@@ -1,0 +1,199 @@
+"""Benchmark-as-test harness.
+
+Reproduces the reference harness contract (run_benchmark at
+/root/reference/kernels/elementwise/elementwise.py:28-67 and the richer hgemm.py
+version): warmup -> timed loop -> mean ms, first/last output elements printed next
+to the oracle's, TFLOPS with best-so-far "+x%" tracking (hgemm.py:288-304) and
+top-k summaries (hgemm.py:332-419).
+
+Timing methodology (TPU-specific, replaces torch.cuda.synchronize bracketing):
+``jax.block_until_ready`` does not reliably fence execution through remote-device
+tunnels, and a python-level loop of independent same-arg calls accumulates
+unconsumed device buffers. So the timed loop runs *inside one jit* as a
+``lax.scan`` whose carry chains each iteration's output into the next call's input
+(defeating loop-invariant hoisting and buffer pileup), execution is forced by a
+tiny (4-byte) readback, and the readback's RPC floor — measured separately — is
+subtracted. For ops whose output can't feed an input, a scalar carry perturbs one
+input instead (one extra elementwise pass; flagged in the result).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class BenchResult:
+    tag: str
+    mean_ms: float
+    tflops: float | None = None
+    gbps: float | None = None
+    out_head: np.ndarray | None = None
+    improve_pct: float | None = None  # vs previous best for this session
+    perturbed: bool = False  # timed with the extra-pass fallback chaining
+
+
+class Session:
+    """Accumulates results; tracks best-so-far like hgemm.py:288-304."""
+
+    def __init__(self, verbose: bool = True):
+        self.results: list[BenchResult] = []
+        self._best_tflops: float = 0.0
+        self.verbose = verbose
+
+    def add(self, r: BenchResult):
+        if r.tflops is not None and self._best_tflops > 0:
+            r.improve_pct = 100.0 * (r.tflops - self._best_tflops) / self._best_tflops
+        self._best_tflops = max(self._best_tflops, r.tflops or 0.0)
+        self.results.append(r)
+        if self.verbose:
+            print(format_result(r), flush=True)
+
+    def topk(self, k: int = 5) -> list[BenchResult]:
+        scored = [r for r in self.results if r.tflops is not None]
+        return sorted(scored, key=lambda r: -r.tflops)[:k]
+
+    def summary(self) -> str:
+        lines = ["-" * 86]
+        for r in sorted(self.results, key=lambda r: r.mean_ms):
+            lines.append(format_result(r))
+        lines.append("-" * 86)
+        return "\n".join(lines)
+
+
+def format_result(r: BenchResult) -> str:
+    head = ""
+    if r.out_head is not None:
+        vals = ", ".join(f"{float(v):>10.6f}" for v in np.ravel(r.out_head)[:2])
+        head = f"out: [{vals}]"
+    perf = f"{r.mean_ms:>9.4f} ms"
+    if r.tflops is not None:
+        perf += f" {r.tflops:>8.2f} TFLOPS"
+    if r.gbps is not None:
+        perf += f" {r.gbps:>8.1f} GB/s"
+    imp = ""
+    if r.improve_pct is not None and r.improve_pct > 0:
+        imp = f" (+{r.improve_pct:.2f}%)"
+    if r.perturbed:
+        imp += " [perturbed-chain]"
+    return f"{r.tag:>46}: {head} {perf}{imp}"
+
+
+def _first_leaf(tree):
+    return jax.tree_util.tree_leaves(tree)[0]
+
+
+def _tiny_probe(x):
+    """4-byte-ish readback forcing execution of everything x depends on."""
+    leaf = _first_leaf(x)
+    flat = leaf.reshape(-1)
+    return jnp.sum(flat[: min(flat.shape[0], 8)].astype(jnp.float32))
+
+
+def _rpc_floor(sample) -> float:
+    """Round-trip cost of the tiny readback itself (host<->device latency)."""
+    probe = jax.jit(_tiny_probe)
+    vals = []
+    float(probe(sample))  # warm
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(probe(sample))
+        vals.append(time.perf_counter() - t0)
+    return min(vals)
+
+
+def _build_timed(fn, args, iters: int):
+    """Returns (jitted timed fn, perturbed flag)."""
+    out_shape = jax.eval_shape(fn, *args)
+    out_leaves = jax.tree_util.tree_leaves(out_shape)
+    chain_idx = None
+    if len(out_leaves) >= 1:
+        o0 = out_leaves[0]
+        for i, a in enumerate(args):
+            if (hasattr(a, "shape") and tuple(a.shape) == tuple(o0.shape)
+                    and a.dtype == o0.dtype):
+                chain_idx = i
+                break
+
+    if chain_idx is not None:
+        ci = chain_idx
+
+        @jax.jit
+        def timed(*args_):
+            def body(carry, _):
+                new_args = list(args_)
+                new_args[ci] = carry
+                out = fn(*new_args)
+                return _first_leaf(out), None
+
+            final, _ = jax.lax.scan(body, args_[ci], None, length=iters)
+            return final
+
+        return timed, False
+
+    # fallback: scalar carry, perturb the first float array input (one extra pass)
+    pi = next((i for i, a in enumerate(args)
+               if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.inexact)),
+              0)
+
+    @jax.jit
+    def timed(*args_):
+        def body(carry, _):
+            new_args = list(args_)
+            a = new_args[pi]
+            if jnp.issubdtype(a.dtype, jnp.inexact):
+                new_args[pi] = a + (carry * 0).astype(a.dtype)
+            else:
+                new_args[pi] = a + (carry * 0).astype(a.dtype)
+            out = fn(*new_args)
+            return _tiny_probe(out), None
+
+        final, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return final
+
+    return timed, True
+
+
+def run_benchmark(
+    fn: Callable[..., Any],
+    *args,
+    tag: str = "",
+    warmup: int = 1,
+    iters: int = 50,
+    flops: float | None = None,
+    bytes: float | None = None,
+    session: Session | None = None,
+) -> BenchResult:
+    """Time ``fn(*args)`` with the chained-scan methodology (module docstring)."""
+    out = fn(*args)  # eager call: correctness head values + absorbs compilation
+    head = np.asarray(jax.device_get(_first_leaf(out))).ravel()[:2]
+
+    timed, perturbed = _build_timed(fn, args, iters)
+    probe = jax.jit(_tiny_probe)
+    for _ in range(max(warmup, 1)):
+        float(probe(timed(*args)))  # warm the scan compile
+
+    floor = _rpc_floor(args[0] if args else out)
+    t0 = time.perf_counter()
+    float(probe(timed(*args)))
+    t1 = time.perf_counter()
+
+    mean_s = max(((t1 - t0) - floor), 1e-9) / iters
+    r = BenchResult(
+        tag=tag or getattr(fn, "__name__", "fn"),
+        mean_ms=mean_s * 1e3,
+        tflops=(flops / mean_s / 1e12) if flops else None,
+        gbps=(bytes / mean_s / 1e9) if bytes else None,
+        out_head=head,
+        perturbed=perturbed,
+    )
+    if session is not None:
+        session.add(r)
+    return r

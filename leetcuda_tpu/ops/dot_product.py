@@ -1,0 +1,87 @@
+"""Dot product — analog of /root/reference/kernels/dot-product/dot_product.cu.
+
+The reference grades dot-product across f32/f32x4/f16_f32/f16x2_f32/f16x8_pack_f32
+(dot_product.cu:35-167), each a fused multiply + warp/block tree-reduce + atomicAdd.
+The TPU version fuses the elementwise product into the same revisited-accumulator
+reduction used by ``ops.reduce`` (grid steps execute in order; the (1,1) output block
+is the accumulator), always accumulating in f32 like the reference's ``_f32`` rungs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from leetcuda_tpu.core.runtime import cdiv, interpret_default
+from leetcuda_tpu.core.registry import register_op
+
+
+def _dot_kernel(x_ref, y_ref, o_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    y = y_ref[:].astype(jnp.float32)
+    o_ref[:] = o_ref[:] + jnp.sum(x * y)
+
+
+def make_dot_product(*, block: tuple[int, int] = (256, 1024)):
+    @jax.jit
+    def fn(x, y):
+        assert x.ndim == 2
+        S, K = x.shape
+        bs, bk = min(block[0], S), min(block[1], K)
+        nj = cdiv(K, bk)
+        out = pl.pallas_call(
+            _dot_kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            grid=(cdiv(S, bs) * nj,),
+            in_specs=[
+                pl.BlockSpec((bs, bk), lambda i: (i // nj, i % nj),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bs, bk), lambda i: (i // nj, i % nj),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret_default(),
+        )(x, y)
+        return out[0, 0]
+
+    return fn
+
+
+def _dot_ref(x, y):
+    return jnp.sum(x.astype(jnp.float32) * y.astype(jnp.float32))
+
+
+def _dot_flops(x, y):
+    return float(2 * x.size)
+
+
+def _dot_bytes(x, y):
+    return float(2 * x.size * x.dtype.itemsize)
+
+
+for _suffix, _blk, _atol in [
+    ("f32", (256, 1024), 1e-1),
+    ("f32x4", (512, 1024), 1e-1),
+    ("f16_f32", (256, 1024), 2.0),
+    ("f16x2_f32", (256, 2048), 2.0),
+    ("f16x8_pack_f32", (512, 2048), 2.0),
+]:
+    register_op(
+        f"dot_prod_{_suffix}",
+        ref=_dot_ref,
+        flops=_dot_flops,
+        bytes=_dot_bytes,
+        atol=_atol,
+        rtol=1e-2,
+        family="dot-product",
+        tags=(_suffix,),
+    )(make_dot_product(block=_blk))
+
+dot_product = make_dot_product()

@@ -1,0 +1,104 @@
+"""Embedding gather — analog of /root/reference/kernels/embedding/embedding.cu.
+
+Reference (embedding.cu:16-71): one block per token, threads copy one table row
+(f32/f32x4/…/f16x8_pack rungs). TPU-native mechanism: *scalar prefetch* + *manual
+aligned DMA*. Token ids are prefetched into SMEM before the kernel body runs
+(``pltpu.PrefetchScalarGridSpec``); the table stays in HBM (``pl.ANY``). HBM is
+tiled (8, 128) for f32, so a single arbitrary row cannot be DMA'd — each token
+instead DMAs its *aligned 8-row group* into VMEM scratch (all tokens' DMAs in
+flight concurrently) and the VPU selects the target row out of the group. This is
+the TPU trade the reference's ladder teaches on CUDA: alignment-for-bandwidth
+(8× read amplification here, vs uncoalesced gathers there).
+
+The ladder varies tokens-per-step (DMA concurrency depth).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from leetcuda_tpu.core.runtime import cdiv, interpret_default
+from leetcuda_tpu.core.registry import register_op
+
+_GROUP = 8  # HBM sublane tiling for f32/bf16 tables; DMA slices must align to it
+
+
+def _embedding_kernel(tok_blk, S, vocab, idx_ref, table_ref, o_ref, scratch, sems):
+    i0 = pl.program_id(0) * tok_blk
+
+    def idx_base(t):
+        ii = jnp.minimum(i0 + t, S - 1)  # clamp tail tokens of a partial block
+        idx = jnp.clip(idx_ref[ii], 0, vocab - 1)
+        # vocab % 8 == 0 (asserted in the wrapper), so base+8 <= vocab always;
+        # multiple_of lets Mosaic prove the HBM slice is tile-aligned
+        base = pl.multiple_of((idx // _GROUP) * _GROUP, _GROUP)
+        return idx, base
+
+    def group_dma(t, base):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(base, _GROUP), :], scratch.at[t], sems.at[t])
+
+    for t in range(tok_blk):  # static unroll: all group DMAs in flight at once
+        _, base = idx_base(t)
+        group_dma(t, base).start()
+    for t in range(tok_blk):
+        idx, base = idx_base(t)
+        group_dma(t, base).wait()
+        r = idx - base
+        o_ref[pl.ds(t, 1), :] = scratch[t, pl.ds(r, 1), :]
+
+
+def make_embedding(*, tokens_per_step: int = 8):
+    """embedding(idx, table): idx (S,) int32, table (V, D) -> (S, D)."""
+
+    @jax.jit
+    def fn(idx, table):
+        S, = idx.shape
+        V, D = table.shape
+        assert V % _GROUP == 0, "table rows must be a multiple of 8 (HBM tiling)"
+        tb = min(tokens_per_step, S)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cdiv(S, tb),),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table stays in HBM
+            out_specs=pl.BlockSpec((tb, D), lambda i, idx_ref: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((tb, _GROUP, D), table.dtype),
+                pltpu.SemaphoreType.DMA((tb,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_embedding_kernel, tb, S, V),
+            out_shape=jax.ShapeDtypeStruct((S, D), table.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret_default(),
+        )(idx.astype(jnp.int32), table)
+
+    return fn
+
+
+def embedding_ref(idx, table):
+    return jnp.take(table, idx, axis=0)
+
+
+def _emb_bytes(idx, table):
+    S = idx.shape[0]
+    D = table.shape[1]
+    return float(2 * S * D * table.dtype.itemsize)
+
+
+for _suffix, _tb in [("f32", 8), ("f32x4", 16), ("f32x4_pack", 32),
+                     ("f16", 8), ("f16x8", 16), ("f16x8_pack", 32)]:
+    register_op(
+        f"embedding_{_suffix}",
+        ref=embedding_ref, bytes=_emb_bytes,
+        atol=0.0, rtol=0.0, family="embedding", tags=(_suffix,),
+    )(make_embedding(tokens_per_step=_tb))
+
+embedding = make_embedding()

@@ -1,0 +1,101 @@
+"""merge_attn_states — analog of /root/reference/kernels/openai-triton/merge-attn-states/.
+
+The vLLM-style split-KV combine (arXiv:2501.01005 §2.2; reference CUDA kernel
+cuda_merge_attn_states.cu:22, torch oracle test_merge_attn_states.py:12-44):
+given two *normalized* partial attention outputs with their log-sum-exp statistics,
+produce the exact attention output over the union of their KV ranges:
+
+    m  = max(lse_p, lse_s)
+    wp = exp(lse_p − m),  ws = exp(lse_s − m)
+    out = (wp·out_p + ws·out_s) / (wp + ws)
+    lse = m + log(wp + ws)
+
+This primitive is the glue for flash-decoding (split-KV) and ring-attention /
+context-parallel combination in ``leetcuda_tpu.parallel``. Non-finite lse values
+(empty KV ranges) are treated as zero-weight, matching the reference's inf handling.
+
+Layout: out (T, H, D), lse (T, H) — token-major, the TPU-friendly layout (D on
+lanes, H on sublanes). A wrapper accepts the reference's (H, T) lse layout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from leetcuda_tpu.core.runtime import cdiv, interpret_default
+from leetcuda_tpu.core.registry import register_op
+
+_NEG_INF = -1e30
+
+
+def _merge_kernel(po_ref, pl_ref, so_ref, sl_ref, o_ref, ol_ref):
+    lse_p = pl_ref[:].astype(jnp.float32)
+    lse_s = sl_ref[:].astype(jnp.float32)
+    # non-finite lse (empty split) -> -inf weight
+    lse_p = jnp.where(jnp.isfinite(lse_p), lse_p, _NEG_INF)
+    lse_s = jnp.where(jnp.isfinite(lse_s), lse_s, _NEG_INF)
+    m = jnp.maximum(lse_p, lse_s)
+    wp = jnp.exp(lse_p - m)
+    ws = jnp.exp(lse_s - m)
+    denom = wp + ws
+    fp = (wp / denom)[..., None]  # (bt, H, 1)
+    fs = (ws / denom)[..., None]
+    out = (po_ref[:].astype(jnp.float32) * fp +
+           so_ref[:].astype(jnp.float32) * fs)
+    o_ref[:] = out.astype(o_ref.dtype)
+    ol_ref[:] = (m + jnp.log(denom)).astype(ol_ref.dtype)
+
+
+def make_merge_attn_states(*, tokens_per_step: int = 8):
+    """(prefix_out, prefix_lse, suffix_out, suffix_lse) -> (out, lse).
+
+    Shapes: out (T, H, D); lse (T, H), natural log base.
+    """
+
+    @jax.jit
+    def fn(prefix_output, prefix_lse, suffix_output, suffix_lse):
+        T, H, D = prefix_output.shape
+        bt = min(tokens_per_step, T)
+        o_spec = pl.BlockSpec((bt, H, D), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        l_spec = pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _merge_kernel,
+            out_shape=(jax.ShapeDtypeStruct((T, H, D), prefix_output.dtype),
+                       jax.ShapeDtypeStruct((T, H), jnp.float32)),
+            grid=(cdiv(T, bt),),
+            in_specs=[o_spec, l_spec, o_spec, l_spec],
+            out_specs=(o_spec, l_spec),
+            interpret=interpret_default(),
+        )(prefix_output, prefix_lse, suffix_output, suffix_lse)
+
+    return fn
+
+
+def merge_attn_states_ref(prefix_output, prefix_lse, suffix_output, suffix_lse):
+    """jnp oracle mirroring the reference torch implementation."""
+    lse_p = jnp.where(jnp.isfinite(prefix_lse), prefix_lse, _NEG_INF)
+    lse_s = jnp.where(jnp.isfinite(suffix_lse), suffix_lse, _NEG_INF)
+    m = jnp.maximum(lse_p, lse_s)
+    wp = jnp.exp(lse_p - m)
+    ws = jnp.exp(lse_s - m)
+    denom = wp + ws
+    out = (prefix_output.astype(jnp.float32) * (wp / denom)[..., None]
+           + suffix_output.astype(jnp.float32) * (ws / denom)[..., None])
+    return out.astype(prefix_output.dtype), m + jnp.log(denom)
+
+
+def _merge_bytes(po, pl_, so, sl):
+    return float(3 * po.size * po.dtype.itemsize)
+
+
+register_op(
+    "merge_attn_states",
+    ref=merge_attn_states_ref, bytes=_merge_bytes,
+    atol=1e-3, rtol=1e-3, family="attention-utils", tags=("merge",),
+)(make_merge_attn_states())
+
+merge_attn_states = make_merge_attn_states()

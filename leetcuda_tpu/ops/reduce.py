@@ -1,0 +1,139 @@
+"""Full-array reductions — analog of /root/reference/kernels/reduce/block_all_reduce.cu.
+
+The reference builds a 20-entry matrix of (element dtype × accumulator dtype) sum
+reductions (f32/f32x4, f16→f16/f32, bf16→bf16/f32, fp8_e4m3/e5m2→f16, i8→i32;
+block_all_reduce.cu:23-753) out of warp/block shuffle primitives + atomicAdd. On TPU
+there are no warps or atomics: a reduction is (1) a VPU partial-reduce of each VMEM
+block and (2) accumulation across sequential grid steps into a revisited output
+block — the grid is executed in order, so the output block acts as the accumulator
+(the TPU-native replacement for atomicAdd of per-block partials).
+
+Accumulation always happens in the accumulator dtype (f32 for float inputs, i32 for
+int8), mirroring the reference's elem-vs-acc dtype matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from leetcuda_tpu.core.runtime import cdiv, interpret_default, min_tile
+from leetcuda_tpu.core.registry import register_op
+
+
+def _reduce_sum_kernel(x_ref, o_ref):
+    # First grid step initializes the accumulator block; later steps accumulate.
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    # (1,1)-shaped accumulate — scalar stores to VMEM are not allowed on TPU
+    o_ref[:] = o_ref[:] + jnp.sum(x_ref[:].astype(o_ref.dtype))
+
+
+def make_block_all_reduce_sum(acc_dtype, *, block: tuple[int, int] = (256, 1024)):
+    """Sum-reduce a 2-D array to a scalar, accumulating in ``acc_dtype``."""
+
+    @jax.jit
+    def fn(x):
+        assert x.ndim == 2
+        S, K = x.shape
+        bs, bk = min(block[0], S), min(block[1], K)
+        grid = (cdiv(S, bs) * cdiv(K, bk),)
+        nj = cdiv(K, bk)
+        out = pl.pallas_call(
+            _reduce_sum_kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 1), acc_dtype),
+            grid=grid,
+            in_specs=[pl.BlockSpec((bs, bk), lambda i: (i // nj, i % nj),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret_default(),
+        )(x)
+        return out[0, 0]
+
+    return fn
+
+
+def _reduce_max_kernel(x_ref, o_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        o_ref[:] = jnp.full_like(o_ref, -jnp.inf)
+
+    o_ref[:] = jnp.maximum(o_ref[:], jnp.max(x_ref[:].astype(o_ref.dtype)))
+
+
+def make_block_all_reduce_max(acc_dtype, *, block: tuple[int, int] = (256, 1024)):
+    @jax.jit
+    def fn(x):
+        S, K = x.shape
+        bs, bk = min(block[0], S), min(block[1], K)
+        nj = cdiv(K, bk)
+        out = pl.pallas_call(
+            _reduce_max_kernel,
+            out_shape=jax.ShapeDtypeStruct((1, 1), acc_dtype),
+            grid=(cdiv(S, bs) * nj,),
+            in_specs=[pl.BlockSpec((bs, bk), lambda i: (i // nj, i % nj),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret_default(),
+        )(x)
+        return out[0, 0]
+
+    return fn
+
+
+def _sum_ref_factory(acc_dtype):
+    def ref(x):
+        return jnp.sum(x.astype(acc_dtype))
+    return ref
+
+
+def _reduce_flops(x):
+    return float(x.size)
+
+
+def _reduce_bytes(x):
+    return float(x.size * x.dtype.itemsize)
+
+
+# (name suffix, element dtype, accumulator dtype, atol) — the reference's matrix.
+# fp8 rungs are gated on dtype availability in this jax build.
+_MATRIX = [
+    ("f32_f32", jnp.float32, jnp.float32, 1e-3),
+    ("f32x4_f32", jnp.float32, jnp.float32, 1e-3),   # wide-block rung
+    ("f16_f16", jnp.float16, jnp.float16, 5e-1),
+    ("f16_f32", jnp.float16, jnp.float32, 5e-1),
+    ("bf16_bf16", jnp.bfloat16, jnp.bfloat16, 8.0),
+    ("bf16_f32", jnp.bfloat16, jnp.float32, 4.0),
+    ("i8_i32", jnp.int8, jnp.int32, 0),
+]
+try:
+    _MATRIX += [
+        ("fp8_e4m3_f16", jnp.float8_e4m3fn, jnp.float16, 16.0),
+        ("fp8_e5m2_f16", jnp.float8_e5m2, jnp.float16, 32.0),
+    ]
+except AttributeError:  # pragma: no cover
+    pass
+
+for _suffix, _edt, _adt, _atol in _MATRIX:
+    _blk = (512, 1024) if "x4" in _suffix else (256, 1024)
+    register_op(
+        f"block_all_reduce_sum_{_suffix}",
+        ref=_sum_ref_factory(_adt),
+        flops=_reduce_flops,
+        bytes=_reduce_bytes,
+        atol=float(_atol),
+        rtol=1e-2,
+        family="reduce",
+        tags=(_suffix,),
+    )(make_block_all_reduce_sum(_adt, block=_blk))
+
+block_all_reduce_sum_f32 = make_block_all_reduce_sum(jnp.float32)
+block_all_reduce_max_f32 = make_block_all_reduce_max(jnp.float32)

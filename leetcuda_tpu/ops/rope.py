@@ -1,0 +1,118 @@
+"""RoPE — analog of /root/reference/kernels/rope/rope.cu.
+
+Reference semantics (rope.cu:18-66): interleaved pairs, θ=10000 —
+``out[2i] = x[2i]·cos(pos·θ^{-2i/D}) − x[2i+1]·sin(·)``,
+``out[2i+1] = x[2i]·sin(·) + x[2i+1]·cos(·)``.
+
+Interleaved lanes are hostile to the TPU's (sublane, lane) layout, so the Pallas
+kernel operates on the de-interleaved halves (two (S, D/2) planes) and fuses the
+angle computation (position from the grid step, frequency from a broadcasted iota)
+with the rotation — no host-precomputed cos/sin tables. The wrapper de/re-interleaves
+via XLA (a relayout XLA does well), keeping reference-identical I/O. The half-rotation
+(HF/Llama "rotate_half") convention used by ``leetcuda_tpu.models`` is also provided.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from leetcuda_tpu.core.runtime import cdiv, interpret_default
+from leetcuda_tpu.core.registry import register_op
+
+DEFAULT_THETA = 10000.0
+
+
+def _rope_pair_kernel(theta, rows, x1_ref, x2_ref, o1_ref, o2_ref):
+    S_blk, half = x1_ref.shape
+    pos0 = pl.program_id(0) * rows
+    # Mosaic iota must be integer-typed; cast to f32 after
+    pos = (pos0 + jax.lax.broadcasted_iota(jnp.int32, (S_blk, half), 0)
+           ).astype(jnp.float32)
+    dim = jax.lax.broadcasted_iota(jnp.int32, (S_blk, half), 1).astype(jnp.float32)
+    inv_freq = jnp.exp(dim * (-jnp.log(theta) / half))
+    ang = pos * inv_freq
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    x1 = x1_ref[:].astype(jnp.float32)
+    x2 = x2_ref[:].astype(jnp.float32)
+    o1_ref[:] = (x1 * c - x2 * s).astype(o1_ref.dtype)
+    o2_ref[:] = (x1 * s + x2 * c).astype(o2_ref.dtype)
+
+
+def make_rope(*, theta: float = DEFAULT_THETA, rows_per_step: int = 8):
+    """rope(x): x is (S, D) with interleaved pairs, position = row index."""
+
+    @jax.jit
+    def fn(x):
+        S, D = x.shape
+        half = D // 2
+        xp = x.reshape(S, half, 2)
+        x1, x2 = xp[..., 0], xp[..., 1]
+        bs = min(rows_per_step, S)
+        spec = pl.BlockSpec((bs, half), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        o1, o2 = pl.pallas_call(
+            functools.partial(_rope_pair_kernel, theta, bs),
+            out_shape=(jax.ShapeDtypeStruct((S, half), x.dtype),
+                       jax.ShapeDtypeStruct((S, half), x.dtype)),
+            grid=(cdiv(S, bs),),
+            in_specs=[spec, spec],
+            out_specs=(spec, spec),
+            interpret=interpret_default(),
+        )(x1, x2)
+        return jnp.stack([o1, o2], axis=-1).reshape(S, D)
+
+    return fn
+
+
+def rope_ref(x, theta: float = DEFAULT_THETA):
+    """jnp oracle with reference-identical interleaved semantics."""
+    S, D = x.shape
+    half = D // 2
+    xf = x.astype(jnp.float32).reshape(S, half, 2)
+    pos = jnp.arange(S, dtype=jnp.float32)[:, None]
+    inv_freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = pos * inv_freq
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = xf[..., 0], xf[..., 1]
+    out = jnp.stack([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    return out.reshape(S, D).astype(x.dtype)
+
+
+def apply_rope_half(x, positions, theta: float = DEFAULT_THETA):
+    """Half-rotation RoPE for models: x (..., S, H, D), positions (..., S).
+
+    rotate_half convention: the first D/2 lanes pair with the last D/2 lanes —
+    layout-friendly on TPU (contiguous halves, no interleave relayout).
+    """
+    D = x.shape[-1]
+    half = D // 2
+    inv_freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., S, half)
+    c = jnp.cos(ang)[..., None, :]  # (..., S, 1, half) broadcasts over heads
+    s = jnp.sin(ang)[..., None, :]
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
+                           axis=-1).astype(x.dtype)
+
+
+def _rope_flops(x):
+    return float(6 * x.size)
+
+
+def _rope_bytes(x):
+    return float(2 * x.size * x.dtype.itemsize)
+
+
+for _suffix, _rows in [("f32", 8), ("f32_v2", 32), ("f32x4_pack", 64)]:
+    register_op(
+        f"rope_{_suffix}",
+        ref=rope_ref, flops=_rope_flops, bytes=_rope_bytes,
+        atol=1e-4, rtol=1e-4, family="rope", tags=(_suffix,),
+    )(make_rope(rows_per_step=_rows))
+
+rope = make_rope(rows_per_step=32)
