@@ -1,0 +1,186 @@
+"""Quantized weight matmuls — the BASELINE.json north-star fused-dequant path.
+
+The reference corpus stops at fp16/bf16/fp8 *reductions* (block_all_reduce.cu) and
+the north star extends the GEMM library with weight-only INT8/FP8: weights stored
+quantized in HBM (halving/quartering weight bandwidth — the usual decode
+bottleneck), dequantized *inside* the matmul kernel right after the DMA, so the
+MXU still computes in bf16/f32. Per-output-channel scales are applied once to the
+f32 accumulator on the last K step (exact for channel-wise quantization).
+
+Also int8×int8 with i32 accumulation (the MXU's native int8 path, 2× bf16 peak).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from leetcuda_tpu.core.runtime import cdiv, interpret_default
+from leetcuda_tpu.core.registry import register_op
+
+
+def quantize_rowwise_int8(w, axis: int = 0):
+    """Symmetric per-channel int8 quantization of w (K, N) along ``axis``.
+
+    Returns (w_q int8, scale f32 per output column). axis=0 scales each column
+    (output channel) by its own max — the weight-only decode convention.
+    """
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w_q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale.reshape(-1)
+
+
+def quantize_rowwise_fp8(w, axis: int = 0, dtype=None):
+    """Per-channel FP8-e4m3 quantization (max-scaled to e4m3 range ±448)."""
+    dtype = dtype or jnp.float8_e4m3fn
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 448.0
+    w_q = (w.astype(jnp.float32) / scale).astype(dtype)
+    return w_q, scale.reshape(-1)
+
+
+def _wq_mm_kernel(compute_dtype, x_ref, w_ref, s_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # fused dequant: cast the quantized block up right after its DMA
+    w = w_ref[:].astype(compute_dtype)
+    acc_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), w,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        # per-output-channel scale applied once to the f32 accumulator
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def make_matmul_w8a16(
+    *,
+    block: tuple[int, int, int] = (512, 1024, 512),
+    compute_dtype=jnp.bfloat16,
+    out_dtype=None,
+):
+    """x (M, K) bf16 @ dequant(w_q (K, N) int8/fp8, scale (N,)) -> (M, N)."""
+
+    @jax.jit
+    def fn(x, w_q, scale):
+        M, K = x.shape
+        K2, N = w_q.shape
+        assert K == K2
+        bm, bn, bk = block
+        bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
+        assert K % bk == 0, "quantized matmul requires K divisible by block K"
+        odt = out_dtype or x.dtype
+        params = {}
+        if not interpret_default():
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            )
+        return pl.pallas_call(
+            functools.partial(_wq_mm_kernel, compute_dtype),
+            out_shape=jax.ShapeDtypeStruct((M, N), odt),
+            grid=(cdiv(M, bm), cdiv(N, bn), cdiv(K, bk)),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * K,
+                bytes_accessed=M * K * x.dtype.itemsize + K * N + M * N * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret_default(),
+            **params,
+        )(x, w_q, scale.reshape(1, N))
+
+    return fn
+
+
+def _i8_mm_kernel(x_ref, w_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def make_matmul_i8i8i32(*, block: tuple[int, int, int] = (512, 1024, 1024)):
+    """Native int8×int8→int32 MXU matmul (2× bf16 throughput on v5e)."""
+
+    @jax.jit
+    def fn(x, w):
+        M, K = x.shape
+        K2, N = w.shape
+        assert K == K2
+        bm, bn, bk = block
+        bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
+        assert K % bk == 0, "int8 matmul requires K divisible by block K"
+        params = {}
+        if not interpret_default():
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            )
+        return pl.pallas_call(
+            _i8_mm_kernel,
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
+            grid=(cdiv(M, bm), cdiv(N, bn), cdiv(K, bk)),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            interpret=interpret_default(),
+            **params,
+        )(x, w)
+
+    return fn
+
+
+def matmul_w8a16_ref(x, w_q, scale):
+    w = w_q.astype(jnp.float32) * scale.astype(jnp.float32)[None, :]
+    return jnp.dot(x.astype(jnp.float32), w).astype(x.dtype)
+
+
+def _wq_flops(x, w_q, scale):
+    return float(2 * x.shape[0] * x.shape[1] * w_q.shape[1])
+
+
+register_op(
+    "hgemm_w8a16_dequant",
+    ref=matmul_w8a16_ref, flops=_wq_flops,
+    atol=5e-2, rtol=5e-2, family="gemm-quant", tags=("int8", "weight-only"),
+)(make_matmul_w8a16())
+
+register_op(
+    "hgemm_w8a8_i32",
+    ref=lambda x, w: jnp.dot(x.astype(jnp.int32), w.astype(jnp.int32)),
+    flops=lambda x, w: float(2 * x.shape[0] * x.shape[1] * w.shape[1]),
+    atol=0, rtol=0, family="gemm-quant", tags=("int8", "a8w8"),
+)(make_matmul_i8i8i32())

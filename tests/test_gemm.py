@@ -1,0 +1,91 @@
+"""GEMM library tests — the sgemm/hgemm parity bar (BASELINE.json config 1:
+"sgemm F32 1024³ checked against matmul reference, CPU-runnable")."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leetcuda_tpu.gemm.matmul import (
+    make_matmul, matmul_ref, matmul_tn_ref)
+from leetcuda_tpu.gemm.quant import (
+    make_matmul_w8a16, make_matmul_i8i8i32, matmul_w8a16_ref,
+    quantize_rowwise_int8, quantize_rowwise_fp8)
+
+
+@pytest.mark.parametrize("M,N,K", [(128, 128, 128), (256, 128, 512),
+                                   (200, 136, 264)])
+def test_sgemm_f32(M, N, K, rng):
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    mm = make_matmul(block=(128, 128, 128))
+    np.testing.assert_allclose(np.asarray(mm(x, y)),
+                               np.asarray(matmul_ref(x, y)),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_sgemm_1024_parity(rng):
+    """The BASELINE.json minimum slice: sgemm F32 1024^3 vs matmul, CPU-runnable."""
+    x = jnp.asarray(rng.standard_normal((1024, 1024)) * 0.1, jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1024, 1024)) * 0.1, jnp.float32)
+    mm = make_matmul(block=(512, 512, 512))
+    np.testing.assert_allclose(np.asarray(mm(x, y)),
+                               np.asarray(x @ y), atol=1e-3, rtol=1e-3)
+
+
+def test_hgemm_bf16(rng):
+    x = jnp.asarray(rng.standard_normal((256, 384)), jnp.bfloat16)
+    y = jnp.asarray(rng.standard_normal((384, 256)), jnp.bfloat16)
+    mm = make_matmul(block=(128, 128, 128))
+    got = np.asarray(mm(x, y), np.float32)
+    want = np.asarray(matmul_ref(x, y), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-1, rtol=2e-2)
+
+
+def test_tn_layout(rng):
+    x = jnp.asarray(rng.standard_normal((128, 256)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((192, 256)), jnp.float32)  # (N, K)
+    mm = make_matmul(block=(128, 128, 128), layout="tn")
+    np.testing.assert_allclose(np.asarray(mm(x, y)),
+                               np.asarray(matmul_tn_ref(x, y)),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_block_swizzle_matches_plain(rng):
+    x = jnp.asarray(rng.standard_normal((512, 256)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((256, 512)), jnp.float32)
+    plain = make_matmul(block=(128, 128, 128))
+    swz = make_matmul(block=(128, 128, 128), swizzle_group=2)
+    np.testing.assert_allclose(np.asarray(swz(x, y)), np.asarray(plain(x, y)),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_w8a16_dequant(rng):
+    x = jnp.asarray(rng.standard_normal((128, 256)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    w_q, scale = quantize_rowwise_int8(w)
+    mm = make_matmul_w8a16(block=(128, 128, 128))
+    got = np.asarray(mm(x, w_q, scale), np.float32)
+    want = np.asarray(matmul_w8a16_ref(x, w_q, scale), np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-1, rtol=5e-2)
+    # quantization itself is faithful
+    w_deq = np.asarray(w_q, np.float32) * np.asarray(scale)[None, :]
+    assert np.abs(w_deq - np.asarray(w)).max() < np.abs(np.asarray(w)).max() / 64
+
+
+def test_w8a16_fp8(rng):
+    x = jnp.asarray(rng.standard_normal((128, 256)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    w_q, scale = quantize_rowwise_fp8(w)
+    mm = make_matmul_w8a16(block=(128, 128, 128))
+    got = np.asarray(mm(x, w_q, scale), np.float32)
+    want = np.asarray(matmul_w8a16_ref(x, w_q, scale), np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-1, rtol=5e-2)
+
+
+def test_i8i8i32(rng):
+    x = jnp.asarray(rng.integers(-100, 100, (128, 256)), jnp.int8)
+    w = jnp.asarray(rng.integers(-100, 100, (256, 128)), jnp.int8)
+    mm = make_matmul_i8i8i32(block=(128, 128, 128))
+    got = np.asarray(mm(x, w))
+    want = np.asarray(x, np.int64) @ np.asarray(w, np.int64)
+    np.testing.assert_array_equal(got, want)
