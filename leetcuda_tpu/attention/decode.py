@@ -1,0 +1,214 @@
+"""Decode (single-token) attention over a KV cache — the engine's hot kernel.
+
+The reference has no decode engine (SURVEY.md §5 checkpoint/resume: absent); this
+is the north-star extension (BASELINE.json: "FP8-weight Llama-style decode with
+FP8 KV cache"). Design: q is one token per sequence, (B, H, D); the KV cache is
+(B, Hkv, S_max, D) with a per-sequence ``length``. The kernel is bandwidth-bound
+(read the valid KV prefix once), so:
+
+- grid = (B, S_max/block_k) with the KV sweep on the sequential dim,
+- all H heads processed per step (MXU M-dim = GQA group size per kv head),
+- per-sequence lengths arrive via scalar prefetch; KV blocks beyond a sequence's
+  length are skipped in BOTH compute (pl.when) and bandwidth: their index maps
+  clamp to the last valid block, and Pallas elides the re-fetch of an unchanged
+  block — so a 512-token sequence in an 8192-slot cache reads ~512 tokens, not 8192,
+- online-softmax state in VMEM scratch exactly like the prefill kernel,
+- optional quantized (int8/fp8) cache: blocks are dequantized VPU-side after DMA.
+  Scales are laid out (B, S, Hkv) — bk on sublanes, heads on lanes — because a
+  (bk, 1) lane-minor block would DMA one scalar per 128-lane row.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from leetcuda_tpu.core.runtime import cdiv, interpret_default
+
+_NEG_INF = -1e30
+_LANES = 128
+
+
+def _decode_kernel(scale, Hkv, group, block_k, quantized,
+                   len_ref, q_ref, k_ref, v_ref, *rest):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_sc, l_sc, acc_sc = rest
+    else:
+        o_ref, m_sc, l_sc, acc_sc = rest
+
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+    seq_len = len_ref[b]
+
+    @pl.when(si == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, _NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    @pl.when(si * block_k < seq_len)  # skip fully-invalid KV blocks
+    def _():
+        cols = si * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)  # (1, bk) global positions
+        valid = cols < seq_len
+
+        for kvh in range(Hkv):  # static unroll over KV heads
+            qg = q_ref[0, kvh * group:(kvh + 1) * group, :].astype(jnp.float32)
+            k_blk = k_ref[0, kvh].astype(jnp.float32)   # (bk, D)
+            v_blk = v_ref[0, kvh].astype(jnp.float32)
+            if quantized:
+                # scales block is (bk, Hkv): take this head's (bk, 1) column
+                k_blk = k_blk * ks_ref[0, :, kvh:kvh + 1].astype(jnp.float32)
+                v_blk = v_blk * vs_ref[0, :, kvh:kvh + 1].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qg, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (group, bk)
+            s = jnp.where(valid, s, _NEG_INF)
+
+            rows = slice(kvh * group, (kvh + 1) * group)
+            m_prev = m_sc[rows, 0:1]
+            l_prev = l_sc[rows, 0:1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            acc_sc[rows, :] = acc_sc[rows, :] * alpha + jnp.dot(
+                p, v_blk, preferred_element_type=jnp.float32)
+            m_sc[rows, :] = jnp.broadcast_to(m_new, (group, _LANES))
+            l_sc[rows, :] = jnp.broadcast_to(l_new, (group, _LANES))
+
+    @pl.when(si == pl.num_programs(1) - 1)
+    def _():
+        l = l_sc[:, 0:1]
+        o_ref[0] = (acc_sc[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _clamped_kv_map(bk):
+    """Index map clamping the KV block to the sequence's last valid block: all
+    fully-masked grid steps map to the same block index, so Pallas skips their
+    DMA (unchanged block) — bandwidth follows actual lengths, not S_max."""
+
+    def kv_map(b, si, len_ref):
+        last = jnp.maximum(pl.cdiv(len_ref[b], bk) - 1, 0)
+        return (b, 0, jnp.minimum(si, last), 0)
+
+    return kv_map
+
+
+def make_decode_attention(*, block_k: int = 512, sm_scale=None):
+    """decode_attention(q, k_cache, v_cache, lengths) -> (B, H, D).
+
+    q (B, H, D); caches (B, Hkv, S_max, D); lengths (B,) int32 — number of valid
+    KV positions per sequence (the current token's K/V must already be appended).
+    """
+
+    @jax.jit
+    def fn(q, k_cache, v_cache, lengths):
+        B, H, D = q.shape
+        _, Hkv, S, _ = k_cache.shape
+        group = H // Hkv
+        bk = min(block_k, S)
+        assert S % bk == 0
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, S // bk),
+            in_specs=[
+                pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((H, _LANES), jnp.float32),
+                pltpu.VMEM((H, _LANES), jnp.float32),
+                pltpu.VMEM((H, D), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_decode_kernel, scale, Hkv, group, bk, False),
+            out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret_default(),
+        )(lengths.astype(jnp.int32), q, k_cache, v_cache)
+
+    return fn
+
+
+def make_decode_attention_quantized(*, block_k: int = 512, sm_scale=None):
+    """Quantized-cache decode: caches int8/fp8, per-(b, pos, head) f32 scales.
+
+    fn(q, k_cache_q, v_cache_q, k_scale, v_scale, lengths); scales (B, S, Hkv).
+    """
+
+    @jax.jit
+    def fn(q, k_cache, v_cache, k_scale, v_scale, lengths):
+        B, H, D = q.shape
+        _, Hkv, S, _ = k_cache.shape
+        group = H // Hkv
+        bk = min(block_k, S)
+        assert S % bk == 0
+        assert k_scale.shape == (B, S, Hkv), "scales must be (B, S, Hkv)"
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+
+        def s_map(b, si, L):
+            last = jnp.maximum(pl.cdiv(L[b], bk) - 1, 0)
+            return (b, jnp.minimum(si, last), 0)
+
+        cache_spec = pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk),
+                                  memory_space=pltpu.VMEM)
+        scale_spec = pl.BlockSpec((1, bk, Hkv), s_map, memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, S // bk),
+            in_specs=[
+                pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                cache_spec, cache_spec, scale_spec, scale_spec,
+            ],
+            out_specs=pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((H, _LANES), jnp.float32),
+                pltpu.VMEM((H, _LANES), jnp.float32),
+                pltpu.VMEM((H, D), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_decode_kernel, scale, Hkv, group, bk, True),
+            out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret_default(),
+        )(lengths.astype(jnp.int32), q, k_cache, v_cache, k_scale, v_scale)
+
+    return fn
+
+
+def decode_attention_ref(q, k_cache, v_cache, lengths, sm_scale=None):
+    B, H, D = q.shape
+    _, Hkv, S, _ = k_cache.shape
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+    if Hkv != H:
+        k_cache = jnp.repeat(k_cache, H // Hkv, axis=1)
+        v_cache = jnp.repeat(v_cache, H // Hkv, axis=1)
+    s = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32),
+                   k_cache.astype(jnp.float32)) * scale
+    mask = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhs,bhsd->bhd", p,
+                      v_cache.astype(jnp.float32)).astype(q.dtype)
+
+
+decode_attention = make_decode_attention()

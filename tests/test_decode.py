@@ -1,0 +1,67 @@
+"""GEMV + decode attention tests (BASELINE.json config 4: fused decode block)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leetcuda_tpu.gemm.gemv import make_gemv, make_rms_norm_gemv, gemv_ref
+from leetcuda_tpu.attention.decode import (
+    make_decode_attention, make_decode_attention_quantized, decode_attention_ref)
+
+
+def test_gemv(rng):
+    x = jnp.asarray(rng.standard_normal(512), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((512, 384)), jnp.float32)
+    got = np.asarray(make_gemv(block=(128, 128))(x, w))
+    np.testing.assert_allclose(got, np.asarray(gemv_ref(x, w)),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_gemv_bf16(rng):
+    x = jnp.asarray(rng.standard_normal(512), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((512, 256)), jnp.bfloat16)
+    got = np.asarray(make_gemv(block=(256, 128))(x, w), np.float32)
+    want = np.asarray(gemv_ref(x, w), np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-1, rtol=3e-2)
+
+
+def test_rms_norm_gemv_fused(rng):
+    x = jnp.asarray(rng.standard_normal(512), jnp.float32)
+    nw = jnp.asarray(rng.standard_normal(512) * 0.3 + 1.0, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((512, 256)), jnp.float32)
+    got = np.asarray(make_rms_norm_gemv(block=(128, 128))(x, nw, w))
+    xf = np.asarray(x, np.float64)
+    xn = xf / np.sqrt((xf ** 2).mean() + 1e-5) * np.asarray(nw, np.float64)
+    want = xn @ np.asarray(w, np.float64)
+    np.testing.assert_allclose(got.ravel(), want, atol=1e-2, rtol=1e-3)
+
+
+@pytest.mark.parametrize("Hkv", [4, 1])
+def test_decode_attention(Hkv, rng):
+    B, H, D, S = 2, 4, 64, 512
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    lengths = jnp.asarray([192, 512], jnp.int32)
+    got = np.asarray(make_decode_attention(block_k=128)(q, k, v, lengths))
+    want = np.asarray(decode_attention_ref(q, k, v, lengths))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_decode_attention_quantized(rng):
+    B, H, Hkv, D, S = 1, 4, 2, 64, 256
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    # per-position symmetric int8 quantization of the caches
+    ks = jnp.max(jnp.abs(k), axis=-1) / 127.0   # (B, Hkv, S)
+    vs = jnp.max(jnp.abs(v), axis=-1) / 127.0
+    kq = jnp.round(k / ks[..., None]).astype(jnp.int8)
+    vq = jnp.round(v / vs[..., None]).astype(jnp.int8)
+    lengths = jnp.asarray([160], jnp.int32)
+    got = np.asarray(make_decode_attention_quantized(block_k=128)(
+        q, kq, vq, ks.transpose(0, 2, 1), vs.transpose(0, 2, 1), lengths))
+    want = np.asarray(decode_attention_ref(
+        q, kq.astype(jnp.float32) * ks[..., None],
+        vq.astype(jnp.float32) * vs[..., None], lengths))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
