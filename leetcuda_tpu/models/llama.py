@@ -1,0 +1,280 @@
+"""Llama-style transformer — the flagship model composing the kernel corpus.
+
+The reference is a kernel library, not a model zoo; its north star (BASELINE.json)
+is an "FP8-weight Llama-style decode" built FROM those kernels. This module is the
+composition layer:
+
+- prefill/training: Pallas flash attention (causal, GQA) — single-chip directly,
+  multi-chip via shard_map with heads on "tp", batch on "dp", and sequence on
+  "sp" (ring attention: ppermute KV rotation + LSE merge, parallel/ring.py math);
+- rope: half-rotation fused angle computation (ops/rope.py);
+- decode: KV-cache decode attention (attention/decode.py) under the engine;
+- projections/norms: jnp — GSPMD shards them from the weight PartitionSpecs
+  (Megatron column/row rules in parallel/mesh.py) and XLA's fusion of
+  norm/elementwise into matmuls is already optimal; hand kernels are spent where
+  XLA is weak (attention inner loop), which is the TPU-first division of labor.
+
+Weights follow the HF Llama naming so checkpoints map 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jax import shard_map
+
+from leetcuda_tpu.attention.flash import make_flash_attention
+from leetcuda_tpu.attention.flash_bwd import make_flash_attention_trainable
+from leetcuda_tpu.attention.decode import make_decode_attention
+from leetcuda_tpu.ops.rope import apply_rope_half
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 32000
+    dim: int = 2048
+    n_layers: int = 16
+    n_heads: int = 16
+    n_kv_heads: int = 4
+    ffn_dim: int = 5632
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.dim // self.n_heads
+
+
+def tiny_config(**kw) -> ModelConfig:
+    """Small config for tests and the multichip dry run."""
+    base = dict(vocab_size=256, dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+                ffn_dim=512, dtype=jnp.float32)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def init_params(key, cfg: ModelConfig):
+    """Random-init parameter pytree (HF Llama layout)."""
+    k_embed, k_layers, k_norm = jax.random.split(key, 3)
+    D, H, Hkv, Dh, F = (cfg.dim, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim,
+                        cfg.ffn_dim)
+
+    def dense(k, fan_in, shape):
+        return (jax.random.normal(k, shape, jnp.float32)
+                / math.sqrt(fan_in)).astype(cfg.dtype)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        ks = jax.random.split(jax.random.fold_in(k_layers, i), 7)
+        layers.append({
+            "attn_norm": jnp.ones((D,), cfg.dtype),
+            "wq": dense(ks[0], D, (D, H * Dh)),
+            "wk": dense(ks[1], D, (D, Hkv * Dh)),
+            "wv": dense(ks[2], D, (D, Hkv * Dh)),
+            "wo": dense(ks[3], H * Dh, (H * Dh, D)),
+            "mlp_norm": jnp.ones((D,), cfg.dtype),
+            "w_gate": dense(ks[4], D, (D, F)),
+            "w_up": dense(ks[5], D, (D, F)),
+            "w_down": dense(ks[6], F, (F, D)),
+        })
+    return {
+        "embed": dense(k_embed, D, (cfg.vocab_size, D)),
+        "norm": jnp.ones((D,), cfg.dtype),
+        "layers": layers,
+    }
+
+
+def param_shardings(cfg: ModelConfig, mesh: Mesh):
+    """PartitionSpec pytree matching init_params (Megatron TP rules)."""
+    layer = {
+        "attn_norm": P(None),
+        "wq": P(None, "tp"), "wk": P(None, "tp"), "wv": P(None, "tp"),
+        "wo": P("tp", None),
+        "mlp_norm": P(None),
+        "w_gate": P(None, "tp"), "w_up": P(None, "tp"),
+        "w_down": P("tp", None),
+    }
+    return {
+        "embed": P(None, None),
+        "norm": P(None),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+    }
+
+
+def _rms_norm(x, w, eps):
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(ms + eps)).astype(x.dtype) * w
+
+
+def _attention(q, k, v, mesh: Mesh | None, causal: bool):
+    """(B, H, N, D) attention: direct Pallas kernel single-chip; under a mesh,
+    shard_map with batch->dp, heads->tp, sequence->sp. The sp axis uses the
+    Ulysses all-to-all reshard (differentiable end to end — all_to_all has a
+    transpose rule, so the FA-2 custom VJP is the only hand-written gradient);
+    the ring/ppermute variant (parallel/ring.py) is the inference-path choice."""
+    fa = make_flash_attention_trainable(causal=causal)
+    if mesh is None:
+        return fa(q, k, v)
+
+    n_sp = mesh.shape["sp"]
+    spec = P("dp", "tp", "sp", None)
+
+    def local(q, k, v):
+        if n_sp == 1:
+            return fa(q, k, v)
+
+        if k.shape[1] != q.shape[1]:
+            # GQA under Ulysses: expand kv to q's head count so the head
+            # chunks land on matching shards after the all-to-all
+            rep = q.shape[1] // k.shape[1]
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+
+        def seq2head(x):
+            return jax.lax.all_to_all(x, "sp", split_axis=1, concat_axis=2,
+                                      tiled=True)
+
+        def head2seq(x):
+            return jax.lax.all_to_all(x, "sp", split_axis=2, concat_axis=1,
+                                      tiled=True)
+
+        return head2seq(fa(seq2head(q), seq2head(k), seq2head(v)))
+
+    return shard_map(local, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+                     check_vma=False)(q, k, v)
+
+
+def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
+            positions=None):
+    """Causal LM forward. tokens (B, S) int32 -> logits (B, S, V)."""
+    B, S = tokens.shape
+    H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    x = jnp.take(params["embed"], tokens, axis=0)  # (B, S, D)
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+
+    for layer in params["layers"]:
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(B, S, H, Dh)
+        k = (h @ layer["wk"]).reshape(B, S, Hkv, Dh)
+        v = (h @ layer["wv"]).reshape(B, S, Hkv, Dh)
+        q = apply_rope_half(q, positions, cfg.rope_theta)
+        k = apply_rope_half(k, positions, cfg.rope_theta)
+        o = _attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                       v.transpose(0, 2, 1, 3), mesh, causal=True)
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
+        x = x + o @ layer["wo"]
+
+        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+        up = (h @ layer["w_up"]).astype(jnp.float32)
+        x = x + ((gate * up).astype(x.dtype) @ layer["w_down"])
+
+    x = _rms_norm(x, params["norm"], cfg.norm_eps)
+    return (x @ params["embed"].T).astype(jnp.float32)  # tied lm head
+
+
+def loss_fn(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None):
+    """Next-token cross-entropy (shifted). Runs the model at the full (usually
+    block-aligned) S and drops the last position's logits, rather than feeding
+    the kernels an S-1 sequence."""
+    logits = forward(params, tokens, cfg, mesh)[:, :-1]
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
+def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
+                    learning_rate: float = 3e-4):
+    """AdamW train step. Under a mesh, jit with GSPMD shardings: weights per
+    Megatron TP rules, batch on dp, sequence on sp."""
+    import optax
+
+    tx = optax.adamw(learning_rate)
+
+    def init_opt(params):
+        return tx.init(params)
+
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return init_opt, jax.jit(step)
+
+    pspec = param_shardings(cfg, mesh)
+    pshard = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), pspec,
+        is_leaf=lambda s: isinstance(s, P))
+    # optimizer state (adamw mu/nu) mirrors param shardings automatically when
+    # tx.init runs on already-sharded params; None = inherit argument sharding
+    tok_shard = NamedSharding(mesh, P("dp", None))
+
+    jstep = jax.jit(
+        step,
+        in_shardings=(pshard, None, tok_shard),
+        out_shardings=(pshard, None, None),
+        donate_argnums=(0, 1),
+    )
+    return init_opt, jstep
+
+
+# --- decode path -------------------------------------------------------------------
+
+def init_kv_caches(cfg: ModelConfig, batch: int, max_seq: int,
+                   dtype=None):
+    dtype = dtype or cfg.dtype
+    shape = (batch, cfg.n_kv_heads, max_seq, cfg.head_dim)
+    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(cfg.n_layers)]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(params, tokens, caches, lengths, cfg: ModelConfig):
+    """One decode step for B sequences. tokens (B,) int32; lengths (B,) = current
+    context length EXCLUDING this token. Returns (logits (B, V), new caches).
+    Uses the Pallas decode-attention kernel over the padded cache."""
+    B = tokens.shape[0]
+    H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    x = jnp.take(params["embed"], tokens, axis=0)  # (B, D)
+    pos = lengths  # this token's position
+    da = make_decode_attention(block_k=512)
+
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q = (h @ layer["wq"]).reshape(B, H, Dh)
+        k = (h @ layer["wk"]).reshape(B, Hkv, Dh)
+        v = (h @ layer["wv"]).reshape(B, Hkv, Dh)
+        q = apply_rope_half(q[:, None], pos[:, None],
+                            cfg.rope_theta)[:, 0]
+        k = apply_rope_half(k[:, None], pos[:, None],
+                            cfg.rope_theta)[:, 0]
+        # append this token's k/v at position `lengths` (batched scatter)
+        bidx = jnp.arange(B)
+        kc = cache["k"].at[bidx, :, pos].set(k.astype(cache["k"].dtype))
+        vc = cache["v"].at[bidx, :, pos].set(v.astype(cache["v"].dtype))
+        new_caches.append({"k": kc, "v": vc})
+        o = da(q, kc, vc, lengths + 1).reshape(B, H * Dh)
+        x = x + o @ layer["wo"]
+
+        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
+        up = (h @ layer["w_up"]).astype(jnp.float32)
+        x = x + ((gate * up).astype(x.dtype) @ layer["w_down"])
+
+    x = _rms_norm(x, params["norm"], cfg.norm_eps)
+    logits = (x @ params["embed"].T).astype(jnp.float32)
+    return logits, new_caches
