@@ -1,0 +1,59 @@
+"""Headline benchmark — the driver runs this on real TPU hardware each round.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: flagship Pallas HGEMM (bf16 8192^3 — the reference's headline
+is at large MNK, kernels/hgemm/README.md:157-165) TFLOPS, with
+``vs_baseline`` = ratio vs XLA's own dot_general on the same shapes — the TPU
+analog of the reference's 98–100%-of-cuBLAS bar
+(/root/reference/kernels/hgemm/README.md:17). Timing through the axon tunnel is
+noisy (RPC floor ~30 ms), so both sides take best-of-3 chained-scan reps.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+
+
+def _best_tflops(fn, *args, flops, iters, reps=3):
+    """Best-of-reps chained-scan timing (see leetcuda_tpu/bench/harness.py):
+    each rep runs the timed loop inside one jit as a lax.scan whose carry feeds
+    each iteration, so nothing is hoisted; execution is fenced by a tiny
+    readback and the tunnel's RPC floor is subtracted."""
+    from leetcuda_tpu.bench.harness import run_benchmark
+
+    return max(
+        run_benchmark(fn, *args, iters=iters, flops=flops).tflops
+        for _ in range(reps))
+
+
+def main():
+    from leetcuda_tpu.core.runtime import on_tpu
+    from leetcuda_tpu.gemm.matmul import hgemm, matmul_ref
+
+    n, iters = (8192, 50) if on_tpu() else (512, 5)  # CPU-runnable fallback
+    dtype = jnp.bfloat16
+    key = jax.random.key(0)
+    ka, kb = jax.random.split(key)
+    a = jax.random.normal(ka, (n, n), jnp.float32).astype(dtype)
+    b = jax.random.normal(kb, (n, n), jnp.float32).astype(dtype)
+
+    flops = 2.0 * n * n * n
+    ours_tflops = _best_tflops(hgemm, a, b, flops=flops, iters=iters)
+    xla_tflops = _best_tflops(jax.jit(matmul_ref), a, b, flops=flops,
+                              iters=iters)
+
+    print(json.dumps({
+        "metric": f"hgemm_pallas_bf16_{n}cubed_tflops",
+        "value": round(ours_tflops, 2),
+        "unit": "TFLOPS",
+        "vs_baseline": round(ours_tflops / xla_tflops, 4),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
