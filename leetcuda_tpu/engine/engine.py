@@ -1,0 +1,236 @@
+"""Continuous-batching decode engine — the BASELINE.json north star.
+
+The reference is a kernel corpus with no serving layer (SURVEY.md §5:
+checkpoint/resume and model state "absent"); BASELINE.json extends it to an
+"FP8-weight Llama-style decode with FP8 KV cache, continuous batching". This
+module is that composition, TPU-style:
+
+- **Static shapes everywhere.** A fixed pool of ``slots`` sequences shares one
+  stacked KV cache (B = slots); per-slot ``lengths`` make the decode-attention
+  kernel's bandwidth follow actual context (attention/decode.py clamps DMA to
+  the valid prefix). No dynamic batch — a finished slot is simply re-admitted,
+  which is what continuous batching means under XLA's compile-once model.
+- **Prefill/decode split.** Admission runs the flash-attention prefill on the
+  prompt (padded to a bucket size so only a few shapes ever compile) and
+  scatters the returned per-layer K/V into the slot; steady state is one
+  ``decode_step`` for all live slots per tick.
+- **Quantization.** Weights may be weight-only fp8/int8 (models/llama.py
+  ``quantize_params`` -> fused-dequant Pallas matmuls) and the KV cache may be
+  int8/fp8 with per-(slot, position, head) scales (attention/decode.py).
+- **In-place caches.** The hot jits donate the cache pytree, so token appends
+  are true scatters, not full-cache copies.
+
+``generate_scan`` is the benchmark path: the whole greedy decode loop inside
+one jit (lax.scan), removing the host round-trip per token — on the axon
+tunnel that round-trip is ~30 ms, far above a decode step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leetcuda_tpu.models.llama import (
+    ModelConfig, decode_step_impl, forward, init_kv_caches)
+from leetcuda_tpu.models.llama import _quantize_token_kv  # cache quant helper
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    slots: int = 8            # concurrent sequences = decode batch
+    max_seq: int = 1024       # KV-cache capacity per slot
+    prefill_bucket: int = 128 # prompts pad to a multiple of this
+    kv_quant: str | None = None      # None | "int8" | "fp8"
+    eos_id: int | None = None        # stop token (None = run to max_new)
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: list[int]
+    max_new: int
+    generated: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _greedy(logits):
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def _insert_kvs(caches, kvs, slot, length):
+    """Scatter prefill K/V ((Bp, Hkv, S_pad, Dh) per layer) into the stacked
+    caches starting at slot ``slot`` (covers both the engine's Bp=1 admission
+    and generate_scan's whole-batch insert at slot 0). Positions >= length are
+    garbage but unreachable: decode attention masks by ``lengths`` and later
+    appends overwrite them in order."""
+    new = []
+    for cache, (k, v) in zip(caches, kvs):
+        c = dict(cache)
+        if "k_scale" in cache:
+            kq, ks = _quantize_token_kv(  # (Bp,S,Hkv,D) -> q + (Bp,S,Hkv)
+                k.transpose(0, 2, 1, 3), cache["k"].dtype)
+            vq, vs = _quantize_token_kv(v.transpose(0, 2, 1, 3),
+                                        cache["v"].dtype)
+            kq, vq = kq.transpose(0, 2, 1, 3), vq.transpose(0, 2, 1, 3)
+            c["k"] = jax.lax.dynamic_update_slice(cache["k"], kq,
+                                                  (slot, 0, 0, 0))
+            c["v"] = jax.lax.dynamic_update_slice(cache["v"], vq,
+                                                  (slot, 0, 0, 0))
+            c["k_scale"] = jax.lax.dynamic_update_slice(
+                cache["k_scale"], ks, (slot, 0, 0))
+            c["v_scale"] = jax.lax.dynamic_update_slice(
+                cache["v_scale"], vs, (slot, 0, 0))
+        else:
+            c["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (slot, 0, 0, 0))
+            c["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (slot, 0, 0, 0))
+        new.append(c)
+    return new
+
+
+class Engine:
+    """Host-driven continuous-batching engine over jitted device steps."""
+
+    def __init__(self, params, cfg: ModelConfig, econfig: EngineConfig = None,
+                 sample_fn: Callable = _greedy):
+        self.params = params
+        self.cfg = cfg
+        self.ec = econfig or EngineConfig()
+        self.sample_fn = jax.jit(sample_fn)
+        ec = self.ec
+        assert ec.max_seq % ec.prefill_bucket == 0
+
+        self.caches = init_kv_caches(cfg, ec.slots, ec.max_seq,
+                                     quant=ec.kv_quant)
+        self.lengths = jnp.zeros((ec.slots,), jnp.int32)
+        self.last_tokens = jnp.zeros((ec.slots,), jnp.int32)
+
+        self.free: list[int] = list(range(ec.slots))
+        self.active: dict[int, Request] = {}   # slot -> request
+        self.waiting: deque[Request] = deque()
+        self.finished: dict[int, Request] = {}
+        self._uid = 0
+
+        self._decode = jax.jit(decode_step_impl, static_argnames=("cfg",),
+                               donate_argnums=(2,))
+        self._prefill = jax.jit(
+            functools.partial(forward, cfg=cfg, return_kv=True))
+        self._insert = jax.jit(_insert_kvs, donate_argnums=(0,))
+
+    # --- public API -----------------------------------------------------------
+
+    def submit(self, prompt: list[int], max_new: int = 64) -> int:
+        self._uid += 1
+        self.waiting.append(Request(self._uid, list(prompt), max_new))
+        return self._uid
+
+    def _admit(self):
+        ec = self.ec
+        while self.free and self.waiting:
+            req = self.waiting.popleft()
+            slot = self.free.pop()
+            L = len(req.prompt)
+            assert 0 < L < ec.max_seq, f"prompt length {L}"
+            s_pad = L + (-L % ec.prefill_bucket)
+            toks = np.zeros((1, s_pad), np.int32)
+            toks[0, :L] = req.prompt
+
+            logits, kvs = self._prefill(self.params, jnp.asarray(toks))
+            self.caches = self._insert(self.caches, kvs,
+                                       jnp.int32(slot), jnp.int32(L))
+            first = self.sample_fn(logits[0, L - 1])
+            self.lengths = self.lengths.at[slot].set(L)
+            self.last_tokens = self.last_tokens.at[slot].set(first)
+            req.generated.append(int(first))
+            self.active[slot] = req
+            self._maybe_finish(slot, int(first))
+
+    def _maybe_finish(self, slot, token):
+        req = self.active.get(slot)
+        if req is None:
+            return
+        hit_eos = self.ec.eos_id is not None and token == self.ec.eos_id
+        ctx = len(req.prompt) + len(req.generated)
+        if hit_eos or len(req.generated) >= req.max_new or ctx >= self.ec.max_seq:
+            req.done = True
+            self.finished[req.uid] = req
+            del self.active[slot]
+            self.free.append(slot)
+
+    def step(self) -> dict[int, int]:
+        """Admit waiting requests, then advance every live slot one token.
+        Returns {uid: new_token} for this tick."""
+        self._admit()
+        if not self.active:
+            return {}
+
+        live = np.zeros((self.ec.slots,), bool)
+        for s in self.active:
+            live[s] = True
+        live_j = jnp.asarray(live)
+
+        logits, self.caches = self._decode(
+            self.params, self.last_tokens, self.caches, self.lengths,
+            cfg=self.cfg)
+        nxt = self.sample_fn(logits)
+        # dead slots: freeze length (their repeated append lands on an unused
+        # position that the next admission's prefill overwrites)
+        self.lengths = jnp.where(live_j, self.lengths + 1, self.lengths)
+        self.last_tokens = jnp.where(live_j, nxt, self.last_tokens)
+
+        out = {}
+        nxt_np = np.asarray(jax.device_get(nxt))
+        for slot, req in list(self.active.items()):
+            tok = int(nxt_np[slot])
+            req.generated.append(tok)
+            out[req.uid] = tok
+            self._maybe_finish(slot, tok)
+        return out
+
+    def run(self, prompts: list[list[int]], max_new: int = 64
+            ) -> dict[int, list[int]]:
+        """Submit all prompts, run to completion, return {uid: generated}."""
+        uids = [self.submit(p, max_new) for p in prompts]
+        while self.waiting or self.active:
+            self.step()
+        return {u: self.finished[u].generated for u in uids}
+
+
+# --- benchmark path: whole decode loop in one jit -----------------------------------
+
+
+def generate_scan(params, cfg: ModelConfig, prompts, max_new: int,
+                  kv_quant: str | None = None, max_seq: int | None = None):
+    """Greedy-generate ``max_new`` tokens for a (B, S) prompt batch with the
+    entire decode loop inside one jit (lax.scan) — the tokens/s measurement
+    path, free of per-token host round-trips. Returns tokens (B, max_new)."""
+    B, S = prompts.shape
+    max_seq = max_seq or ((S + max_new + 127) // 128) * 128
+    caches = init_kv_caches(cfg, B, max_seq, quant=kv_quant)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def go(params, prompts, caches):
+        logits, kvs = forward(params, prompts, cfg, return_kv=True)
+        ins = _insert_kvs(caches, kvs, jnp.int32(0), jnp.int32(S))
+        first = jnp.argmax(logits[:, S - 1], axis=-1).astype(jnp.int32)
+        lengths = jnp.full((B,), S, jnp.int32)
+
+        def body(carry, _):
+            toks, caches, lengths = carry
+            logits, caches = decode_step_impl(params, toks, caches, lengths,
+                                              cfg)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, caches, lengths + 1), toks
+
+        (_, _, _), toks = jax.lax.scan(
+            body, (first, ins, lengths), None, length=max_new)
+        return toks.T  # (B, max_new)
+
+    return go(params, prompts, caches)

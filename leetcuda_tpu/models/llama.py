@@ -32,8 +32,44 @@ from jax import shard_map
 
 from leetcuda_tpu.attention.flash import make_flash_attention
 from leetcuda_tpu.attention.flash_bwd import make_flash_attention_trainable
-from leetcuda_tpu.attention.decode import make_decode_attention
+from leetcuda_tpu.attention.decode import (
+    make_decode_attention, make_decode_attention_quantized)
+from leetcuda_tpu.gemm.quant import make_matmul_w8a16
 from leetcuda_tpu.ops.rope import apply_rope_half
+
+_w8a16 = make_matmul_w8a16()
+
+
+def linear(x, w):
+    """x (..., K) @ w. ``w`` is a dense (K, N) array, or a weight-only-quantized
+    pack {"q": int8/fp8 (K, N), "s": f32 (N,)} routed through the fused-dequant
+    Pallas matmul (gemm/quant.py) — weights stream from HBM at 1 byte/elem and
+    are cast up in VMEM right after the DMA."""
+    if isinstance(w, dict):
+        lead = x.shape[:-1]
+        out = _w8a16(x.reshape(-1, x.shape[-1]), w["q"], w["s"])
+        return out.reshape(*lead, out.shape[-1])
+    return x @ w
+
+
+def quantize_params(params, dtype="fp8"):
+    """Weight-only quantization of every projection matrix (embed/norms stay
+    high-precision — the reference north star is FP8 *weights*, BASELINE.json).
+    dtype: "fp8" (e4m3) or "int8", per-output-channel symmetric scales."""
+    from leetcuda_tpu.gemm.quant import (
+        quantize_rowwise_fp8, quantize_rowwise_int8)
+    quant = quantize_rowwise_fp8 if dtype == "fp8" else quantize_rowwise_int8
+
+    def qmat(w):
+        q, s = quant(w, axis=0)
+        return {"q": q, "s": s}
+
+    out = {"embed": params["embed"], "norm": params["norm"], "layers": []}
+    for layer in params["layers"]:
+        out["layers"].append({
+            k: (qmat(v) if k.startswith("w") else v) for k, v in layer.items()
+        })
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,33 +190,41 @@ def _attention(q, k, v, mesh: Mesh | None, causal: bool):
 
 
 def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
-            positions=None):
-    """Causal LM forward. tokens (B, S) int32 -> logits (B, S, V)."""
+            positions=None, return_kv: bool = False):
+    """Causal LM forward. tokens (B, S) int32 -> logits (B, S, V).
+
+    ``return_kv=True`` additionally returns the post-rope per-layer K/V
+    [(B, Hkv, S, Dh)] — exactly what the decode path would have cached — for
+    engine prefill (engine/engine.py)."""
     B, S = tokens.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], tokens, axis=0)  # (B, S, D)
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
 
+    kvs = []
     for layer in params["layers"]:
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(B, S, H, Dh)
-        k = (h @ layer["wk"]).reshape(B, S, Hkv, Dh)
-        v = (h @ layer["wv"]).reshape(B, S, Hkv, Dh)
+        q = linear(h, layer["wq"]).reshape(B, S, H, Dh)
+        k = linear(h, layer["wk"]).reshape(B, S, Hkv, Dh)
+        v = linear(h, layer["wv"]).reshape(B, S, Hkv, Dh)
         q = apply_rope_half(q, positions, cfg.rope_theta)
         k = apply_rope_half(k, positions, cfg.rope_theta)
-        o = _attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                       v.transpose(0, 2, 1, 3), mesh, causal=True)
+        k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        if return_kv:
+            kvs.append((k, v))
+        o = _attention(q.transpose(0, 2, 1, 3), k, v, mesh, causal=True)
         o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
-        x = x + o @ layer["wo"]
+        x = x + linear(o, layer["wo"])
 
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
-        up = (h @ layer["w_up"]).astype(jnp.float32)
-        x = x + ((gate * up).astype(x.dtype) @ layer["w_down"])
+        gate = jax.nn.silu(linear(h, layer["w_gate"]).astype(jnp.float32))
+        up = linear(h, layer["w_up"]).astype(jnp.float32)
+        x = x + linear((gate * up).astype(x.dtype), layer["w_down"])
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps)
-    return (x @ params["embed"].T).astype(jnp.float32)  # tied lm head
+    logits = (x @ params["embed"].T).astype(jnp.float32)  # tied lm head
+    return (logits, kvs) if return_kv else logits
 
 
 def loss_fn(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None):
@@ -234,47 +278,98 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
 # --- decode path -------------------------------------------------------------------
 
 def init_kv_caches(cfg: ModelConfig, batch: int, max_seq: int,
-                   dtype=None):
-    dtype = dtype or cfg.dtype
+                   dtype=None, quant: str | None = None):
+    """Plain caches: [{"k", "v"}]. With ``quant`` ("int8" | "fp8"): the cache
+    arrays are stored quantized with per-(batch, position, kv-head) f32 scales
+    in the (B, S, Hkv) layout the decode kernel DMAs efficiently."""
     shape = (batch, cfg.n_kv_heads, max_seq, cfg.head_dim)
-    return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if quant is None:
+        dtype = dtype or cfg.dtype
+        return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+                for _ in range(cfg.n_layers)]
+    qdt = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
+    sshape = (batch, max_seq, cfg.n_kv_heads)
+    return [{"k": jnp.zeros(shape, qdt), "v": jnp.zeros(shape, qdt),
+             "k_scale": jnp.ones(sshape, jnp.float32),
+             "v_scale": jnp.ones(sshape, jnp.float32)}
             for _ in range(cfg.n_layers)]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def decode_step(params, tokens, caches, lengths, cfg: ModelConfig):
+def _quantize_token_kv(x, qdt):
+    """x (B, Hkv, D) -> (x_q (B, Hkv, D), scale (B, Hkv)) per-(seq, head)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    qmax = 127.0 if qdt == jnp.int8 else 448.0
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    xq = x.astype(jnp.float32) / scale[..., None]
+    if qdt == jnp.int8:
+        xq = jnp.round(xq)
+    return xq.astype(qdt), scale
+
+
+def _cache_append(cache, k, v, pos):
+    """Write this token's k/v (B, Hkv, Dh) at position ``pos`` (B,), quantizing
+    when the cache is quantized. Returns the updated cache dict."""
+    B = k.shape[0]
+    bidx = jnp.arange(B)
+    out = dict(cache)
+    if "k_scale" in cache:
+        kq, ks = _quantize_token_kv(k, cache["k"].dtype)
+        vq, vs = _quantize_token_kv(v, cache["v"].dtype)
+        out["k"] = cache["k"].at[bidx, :, pos].set(kq)
+        out["v"] = cache["v"].at[bidx, :, pos].set(vq)
+        out["k_scale"] = cache["k_scale"].at[bidx, pos].set(ks)
+        out["v_scale"] = cache["v_scale"].at[bidx, pos].set(vs)
+    else:
+        out["k"] = cache["k"].at[bidx, :, pos].set(k.astype(cache["k"].dtype))
+        out["v"] = cache["v"].at[bidx, :, pos].set(v.astype(cache["v"].dtype))
+    return out
+
+
+def _cache_attend(q, cache, lengths, block_k=512):
+    if "k_scale" in cache:
+        da = make_decode_attention_quantized(block_k=block_k)
+        return da(q, cache["k"], cache["v"], cache["k_scale"],
+                  cache["v_scale"], lengths)
+    da = make_decode_attention(block_k=block_k)
+    return da(q, cache["k"], cache["v"], lengths)
+
+
+def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig):
     """One decode step for B sequences. tokens (B,) int32; lengths (B,) = current
     context length EXCLUDING this token. Returns (logits (B, V), new caches).
-    Uses the Pallas decode-attention kernel over the padded cache."""
+    Uses the Pallas decode-attention kernel over the padded cache; params and
+    caches may each be quantized (weight-only fp8/int8; int8/fp8 KV).
+
+    Un-jitted implementation — the engine jits it with ``donate_argnums=(2,)``
+    so the cache scatter is in-place rather than a full-cache copy per token."""
     B = tokens.shape[0]
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], tokens, axis=0)  # (B, D)
     pos = lengths  # this token's position
-    da = make_decode_attention(block_k=512)
 
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = (h @ layer["wq"]).reshape(B, H, Dh)
-        k = (h @ layer["wk"]).reshape(B, Hkv, Dh)
-        v = (h @ layer["wv"]).reshape(B, Hkv, Dh)
+        q = linear(h, layer["wq"]).reshape(B, H, Dh)
+        k = linear(h, layer["wk"]).reshape(B, Hkv, Dh)
+        v = linear(h, layer["wv"]).reshape(B, Hkv, Dh)
         q = apply_rope_half(q[:, None], pos[:, None],
                             cfg.rope_theta)[:, 0]
         k = apply_rope_half(k[:, None], pos[:, None],
                             cfg.rope_theta)[:, 0]
-        # append this token's k/v at position `lengths` (batched scatter)
-        bidx = jnp.arange(B)
-        kc = cache["k"].at[bidx, :, pos].set(k.astype(cache["k"].dtype))
-        vc = cache["v"].at[bidx, :, pos].set(v.astype(cache["v"].dtype))
-        new_caches.append({"k": kc, "v": vc})
-        o = da(q, kc, vc, lengths + 1).reshape(B, H * Dh)
-        x = x + o @ layer["wo"]
+        cache = _cache_append(cache, k, v, pos)
+        new_caches.append(cache)
+        o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1)
+        x = x + linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
 
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((h @ layer["w_gate"]).astype(jnp.float32))
-        up = (h @ layer["w_up"]).astype(jnp.float32)
-        x = x + ((gate * up).astype(x.dtype) @ layer["w_down"])
+        gate = jax.nn.silu(linear(h, layer["w_gate"]).astype(jnp.float32))
+        up = linear(h, layer["w_up"]).astype(jnp.float32)
+        x = x + linear((gate * up).astype(x.dtype), layer["w_down"])
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps)
     logits = (x @ params["embed"].T).astype(jnp.float32)
     return logits, new_caches
+
+
+decode_step = jax.jit(decode_step_impl, static_argnames=("cfg",))

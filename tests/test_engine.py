@@ -1,0 +1,127 @@
+"""Continuous-batching engine tests.
+
+Oracle strategy (reference-style diffing, SURVEY.md §4): the engine under
+continuous batching — staggered arrivals, slot reuse — must emit exactly the
+tokens that a solo, one-sequence-at-a-time greedy decode emits. That solo path
+itself is pinned against prefill logits in test_model.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leetcuda_tpu.models.llama import (
+    tiny_config, init_params, forward, quantize_params, decode_step,
+    init_kv_caches)
+from leetcuda_tpu.engine import Engine, EngineConfig, generate_scan
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def solo_greedy(params, cfg, prompt, max_new):
+    """Reference: greedy decode one sequence with plain decode_step."""
+    L = len(prompt)
+    toks = jnp.asarray([prompt], jnp.int32)
+    caches = init_kv_caches(cfg, 1, 256)
+    lengths = jnp.zeros((1,), jnp.int32)
+    # feed the prompt one token at a time (the most literal oracle)
+    logits = None
+    for t in range(L):
+        logits, caches = decode_step(params, toks[:, t], caches, lengths, cfg)
+        lengths = lengths + 1
+    out = []
+    cur = jnp.argmax(logits[0]).astype(jnp.int32)
+    for _ in range(max_new):
+        out.append(int(cur))
+        logits, caches = decode_step(params, cur[None], caches, lengths, cfg)
+        lengths = lengths + 1
+        cur = jnp.argmax(logits[0]).astype(jnp.int32)
+    return out
+
+
+def test_engine_matches_solo_decode(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (5, 12, 9)]
+    MAX_NEW = 6
+
+    eng = Engine(params, cfg, EngineConfig(slots=2, max_seq=256,
+                                           prefill_bucket=16))
+    got = eng.run(prompts, max_new=MAX_NEW)
+
+    for uid, prompt in zip(sorted(got), prompts):
+        want = solo_greedy(params, cfg, prompt, MAX_NEW)
+        assert got[uid] == want, (uid, got[uid], want)
+
+
+def test_engine_slot_reuse_staggered(setup):
+    """More requests than slots + mid-flight submission: slot recycling must
+    not corrupt surviving sequences."""
+    cfg, params = setup
+    rng = np.random.default_rng(1)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (4, 4, 7, 3)]
+
+    eng = Engine(params, cfg, EngineConfig(slots=2, max_seq=256,
+                                           prefill_bucket=16))
+    uids = [eng.submit(p, max_new=3 + i) for i, p in enumerate(prompts[:3])]
+    for _ in range(2):
+        eng.step()
+    uids.append(eng.submit(prompts[3], max_new=4))  # arrives mid-flight
+    while eng.waiting or eng.active:
+        eng.step()
+
+    for uid, prompt, max_new in zip(uids, prompts, (3, 4, 5, 4)):
+        want = solo_greedy(params, cfg, prompt, max_new)
+        assert eng.finished[uid].generated == want
+
+
+def test_generate_scan_matches_engine(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(2)
+    B, S, MAX_NEW = 2, 16, 5
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+
+    toks = generate_scan(params, cfg, prompts, MAX_NEW)
+    assert toks.shape == (B, MAX_NEW)
+
+    for b in range(B):
+        want = solo_greedy(params, cfg, list(np.asarray(prompts[b])), MAX_NEW)
+        assert list(np.asarray(toks[b])) == want
+
+
+def test_engine_quantized_weights_and_kv(setup):
+    """FP8 weights + int8 KV cache run end-to-end; logits of the quantized
+    decode stay close to the dequantized-oracle logits."""
+    cfg, params = setup
+    qparams = quantize_params(params, dtype="fp8")
+    rng = np.random.default_rng(3)
+    prompt = list(rng.integers(0, cfg.vocab_size, 8))
+
+    eng = Engine(qparams, cfg, EngineConfig(slots=2, max_seq=256,
+                                            prefill_bucket=16,
+                                            kv_quant="int8"))
+    got = eng.run([prompt], max_new=4)
+    (gen,) = got.values()
+    assert len(gen) == 4 and all(0 <= t < cfg.vocab_size for t in gen)
+
+
+def test_quantized_forward_close_to_dense(setup):
+    cfg, params = setup
+    qparams = quantize_params(params, dtype="int8")
+    tokens = jnp.asarray(np.random.default_rng(4).integers(
+        0, cfg.vocab_size, (1, 16)), jnp.int32)
+    dense = forward(params, tokens, cfg)
+    quant = forward(qparams, tokens, cfg)
+    # per-channel int8 weight quantization: logits agree to ~1e-1
+    err = float(jnp.max(jnp.abs(dense - quant)))
+    assert err < 0.5, err
+    # and top-1 predictions mostly agree
+    match = float(jnp.mean(
+        (jnp.argmax(dense, -1) == jnp.argmax(quant, -1)).astype(jnp.float32)))
+    assert match > 0.8, match
