@@ -52,6 +52,44 @@ def linear(x, w):
     return x @ w
 
 
+def fuse_params(params):
+    """Serving-side transform: concatenate the QKV in-projections into one
+    (D, (H+2Hkv)·Dh) matrix and gate+up into one (D, 2F) — one weight stream
+    and one MXU pass where there were three/two. forward/decode_step detect
+    the fused keys. Compose as quantize_params(fuse_params(p)) — per-output-
+    channel scales make fusion exact."""
+    out = {"embed": params["embed"], "norm": params["norm"], "layers": []}
+    for layer in params["layers"]:
+        fused = {k: v for k, v in layer.items()
+                 if k in ("attn_norm", "mlp_norm", "wo", "w_down")}
+        fused["wqkv"] = jnp.concatenate(
+            [layer["wq"], layer["wk"], layer["wv"]], axis=1)
+        fused["w_gate_up"] = jnp.concatenate(
+            [layer["w_gate"], layer["w_up"]], axis=1)
+        out["layers"].append(fused)
+    return out
+
+
+def _proj_qkv(h, layer, H, Hkv, Dh):
+    """Q/K/V projections, fused or split. Returns flat (..., X*Dh) arrays."""
+    if "wqkv" in layer:
+        qkv = linear(h, layer["wqkv"])
+        return jnp.split(qkv, [H * Dh, (H + Hkv) * Dh], axis=-1)
+    return (linear(h, layer["wq"]), linear(h, layer["wk"]),
+            linear(h, layer["wv"]))
+
+
+def _proj_mlp(h, layer):
+    if "w_gate_up" in layer:
+        gu = linear(h, layer["w_gate_up"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+    else:
+        gate, up = linear(h, layer["w_gate"]), linear(h, layer["w_up"])
+    gate = jax.nn.silu(gate.astype(jnp.float32))
+    return linear((gate * up.astype(jnp.float32)).astype(h.dtype),
+                  layer["w_down"])
+
+
 def quantize_params(params, dtype="fp8"):
     """Weight-only quantization of every projection matrix (embed/norms stay
     high-precision — the reference north star is FP8 *weights*, BASELINE.json).
@@ -205,9 +243,10 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
     kvs = []
     for layer in params["layers"]:
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = linear(h, layer["wq"]).reshape(B, S, H, Dh)
-        k = linear(h, layer["wk"]).reshape(B, S, Hkv, Dh)
-        v = linear(h, layer["wv"]).reshape(B, S, Hkv, Dh)
+        q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+        q = q.reshape(B, S, H, Dh)
+        k = k.reshape(B, S, Hkv, Dh)
+        v = v.reshape(B, S, Hkv, Dh)
         q = apply_rope_half(q, positions, cfg.rope_theta)
         k = apply_rope_half(k, positions, cfg.rope_theta)
         k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
@@ -218,9 +257,7 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
         x = x + linear(o, layer["wo"])
 
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu(linear(h, layer["w_gate"]).astype(jnp.float32))
-        up = linear(h, layer["w_up"]).astype(jnp.float32)
-        x = x + linear((gate * up).astype(x.dtype), layer["w_down"])
+        x = x + _proj_mlp(h, layer)
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps)
     logits = (x @ params["embed"].T).astype(jnp.float32)  # tied lm head
@@ -350,9 +387,9 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig):
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q = linear(h, layer["wq"]).reshape(B, H, Dh)
-        k = linear(h, layer["wk"]).reshape(B, Hkv, Dh)
-        v = linear(h, layer["wv"]).reshape(B, Hkv, Dh)
+        q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+        q, k, v = (q.reshape(B, H, Dh), k.reshape(B, Hkv, Dh),
+                   v.reshape(B, Hkv, Dh))
         q = apply_rope_half(q[:, None], pos[:, None],
                             cfg.rope_theta)[:, 0]
         k = apply_rope_half(k[:, None], pos[:, None],
@@ -363,9 +400,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig):
         x = x + linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
 
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu(linear(h, layer["w_gate"]).astype(jnp.float32))
-        up = linear(h, layer["w_up"]).astype(jnp.float32)
-        x = x + linear((gate * up).astype(x.dtype), layer["w_down"])
+        x = x + _proj_mlp(h, layer)
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps)
     logits = (x @ params["embed"].T).astype(jnp.float32)

@@ -12,8 +12,8 @@ import numpy as np
 import pytest
 
 from leetcuda_tpu.models.llama import (
-    tiny_config, init_params, forward, quantize_params, decode_step,
-    init_kv_caches)
+    tiny_config, init_params, forward, quantize_params, fuse_params,
+    decode_step, init_kv_caches)
 from leetcuda_tpu.engine import Engine, EngineConfig, generate_scan
 
 
@@ -109,6 +109,28 @@ def test_engine_quantized_weights_and_kv(setup):
     got = eng.run([prompt], max_new=4)
     (gen,) = got.values()
     assert len(gen) == 4 and all(0 <= t < cfg.vocab_size for t in gen)
+
+
+def test_fused_params_exact(setup):
+    """QKV / gate-up fusion is a pure layout transform — forward must match
+    the split-weight forward bit-for-bit (same dots, same order)."""
+    cfg, params = setup
+    tokens = jnp.asarray(np.random.default_rng(5).integers(
+        0, cfg.vocab_size, (2, 16)), jnp.int32)
+    split = forward(params, tokens, cfg)
+    fused = forward(fuse_params(params), tokens, cfg)
+    np.testing.assert_allclose(np.asarray(split), np.asarray(fused),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_engine_matches_solo(setup):
+    cfg, params = setup
+    prompt = list(np.random.default_rng(6).integers(0, cfg.vocab_size, 6))
+    eng = Engine(fuse_params(params), cfg,
+                 EngineConfig(slots=1, max_seq=256, prefill_bucket=16))
+    got = eng.run([prompt], max_new=4)
+    (gen,) = got.values()
+    assert gen == solo_greedy(params, cfg, prompt, 4)
 
 
 def test_quantized_forward_close_to_dense(setup):
