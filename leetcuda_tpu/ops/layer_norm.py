@@ -99,3 +99,109 @@ for _suffix, _rows, _atol in [
     )(make_layer_norm(rows_per_step=_rows))
 
 layer_norm = make_layer_norm(rows_per_step=32)
+
+
+# --- trainable layer norm (custom VJP, Pallas backward) ----------------------------
+# Parity with the reference's Triton layer-norm fwd+bwd
+# (/root/reference/kernels/openai-triton/layer-norm/triton_layer_norm.py:35-186):
+# dx fused per-row; dgamma/dbeta via a two-stage reduction (per-block partials in
+# the kernel, final sum in XLA). Statistics are recomputed in the backward from x
+# rather than saved — on TPU the row is already resident in VMEM for xhat, so the
+# recompute trades two (S, 1) residual streams for a handful of VPU ops.
+
+
+def _ln_bwd_kernel(fold, x_ref, g_ref, dy_ref, dx_ref, dg_ref, db_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    dy = dy_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + EPS)
+    xhat = (x - mean) * rstd
+
+    dxhat = dy * g
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = ((dxhat - m1 - xhat * m2) * rstd).astype(dx_ref.dtype)
+    # stage 1 of the (K,) reductions: fold this block's rows to an (8, K)
+    # partial (sublane-width VPU adds) and accumulate into the revisited
+    # output block; stage 2 (XLA) sums the 8 rows. When the row count isn't
+    # a multiple of 8 (fold=False: single whole-array block), the partials
+    # are simply the per-row terms.
+    bs, K = x.shape
+    if fold:
+        dg_ref[:] += jnp.sum((dy * xhat).reshape(bs // 8, 8, K), axis=0)
+        db_ref[:] += jnp.sum(dy.reshape(bs // 8, 8, K), axis=0)
+    else:
+        dg_ref[:] += dy * xhat
+        db_ref[:] += dy
+
+
+def _row_block(S: int, rows_per_step: int) -> int:
+    """Largest multiple of 8 that divides S and is <= rows_per_step; S itself
+    when S has no such divisor (whole-array block is always legal)."""
+    for bs in range(min(rows_per_step, S), 7, -1):
+        if bs % 8 == 0 and S % bs == 0:
+            return bs
+    return S
+
+
+def make_layer_norm_trainable(*, rows_per_step: int = 32):
+    """Differentiable layer_norm(x, gamma, beta) with a Pallas backward."""
+    fwd = make_layer_norm(rows_per_step=rows_per_step)
+
+    @jax.jit
+    def bwd_kernels(x, gamma, dy):
+        S, K = x.shape
+        bs = _row_block(S, rows_per_step)
+        nb = cdiv(S, bs)
+        dg_shape = (8, K) if bs % 8 == 0 else (bs, K)
+        dx, dg_part, db_part = pl.pallas_call(
+            functools.partial(_ln_bwd_kernel, bs % 8 == 0),
+            out_shape=(
+                jax.ShapeDtypeStruct((S, K), x.dtype),
+                jax.ShapeDtypeStruct(dg_shape, jnp.float32),
+                jax.ShapeDtypeStruct(dg_shape, jnp.float32),
+            ),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((bs, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bs, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((bs, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(dg_shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(dg_shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret_default(),
+        )(x, gamma.reshape(1, K), dy)
+        # stage 2: XLA sums the per-sublane partials
+        return dx, dg_part.sum(0), db_part.sum(0)
+
+    @jax.custom_vjp
+    def ln(x, gamma, beta):
+        return fwd(x, gamma, beta)
+
+    def ln_fwd(x, gamma, beta):
+        return fwd(x, gamma, beta), (x, gamma)
+
+    def ln_bwd(res, dy):
+        x, gamma = res
+        dx, dg, db = bwd_kernels(x, gamma, dy)
+        return dx, dg.astype(gamma.dtype), db.astype(gamma.dtype)
+
+    ln.defvjp(ln_fwd, ln_bwd)
+    return ln
+
+
+layer_norm_trainable = make_layer_norm_trainable()
