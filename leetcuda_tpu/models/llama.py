@@ -58,7 +58,8 @@ def fuse_params(params):
     and one MXU pass where there were three/two. forward/decode_step detect
     the fused keys. Compose as quantize_params(fuse_params(p)) — per-output-
     channel scales make fusion exact."""
-    out = {"embed": params["embed"], "norm": params["norm"], "layers": []}
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = []
     for layer in params["layers"]:
         fused = {k: v for k, v in layer.items()
                  if k in ("attn_norm", "mlp_norm", "wo", "w_down")}
@@ -102,7 +103,8 @@ def quantize_params(params, dtype="fp8"):
         q, s = quant(w, axis=0)
         return {"q": q, "s": s}
 
-    out = {"embed": params["embed"], "norm": params["norm"], "layers": []}
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = []
     for layer in params["layers"]:
         out["layers"].append({
             k: (qmat(v) if k.startswith("w") else v) for k, v in layer.items()
@@ -260,7 +262,9 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
         x = x + _proj_mlp(h, layer)
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps)
-    logits = (x @ params["embed"].T).astype(jnp.float32)  # tied lm head
+    # tied lm head by default; HF checkpoints may carry an untied one
+    w_lm = params.get("lm_head", params["embed"])
+    logits = (x @ w_lm.T).astype(jnp.float32)
     return (logits, kvs) if return_kv else logits
 
 
@@ -403,7 +407,8 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig):
         x = x + _proj_mlp(h, layer)
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps)
-    logits = (x @ params["embed"].T).astype(jnp.float32)
+    w_lm = params.get("lm_head", params["embed"])
+    logits = (x @ w_lm.T).astype(jnp.float32)
     return logits, new_caches
 
 

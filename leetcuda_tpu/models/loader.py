@@ -1,0 +1,128 @@
+"""HF Llama checkpoint loading — safetensors -> (sharded) jax param trees.
+
+The reference has no model state at all (SURVEY.md §5: checkpoint/resume
+"absent"); a serving engine needs real weights. This module maps the HF Llama
+layout onto models/llama.py's tree:
+
+    model.embed_tokens.weight            -> embed            (V, D)
+    model.layers.{i}.input_layernorm     -> layers[i].attn_norm
+    .self_attn.{q,k,v,o}_proj.weight     -> wq/wk/wv/wo      (transposed: HF
+    .post_attention_layernorm            -> mlp_norm          stores (out, in),
+    .mlp.{gate,up,down}_proj.weight      -> w_gate/w_up/w_down  we use (in, out))
+    model.norm.weight                    -> norm
+    lm_head.weight                       -> lm_head (V, D), omitted when tied
+
+Conventions verified against transformers' LlamaForCausalLM by the golden test
+(tests/test_loader.py): rotate_half RoPE (ops/rope.py apply_rope_half), f32
+RMS-norm statistics, 1/sqrt(head_dim) attention scale, SiLU gate.
+
+Under a mesh, every tensor is device_put with its Megatron TP PartitionSpec as
+it is converted, so the host never materializes more than one full tensor.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from leetcuda_tpu.models.llama import ModelConfig, param_shardings
+
+
+def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
+    """Build a ModelConfig from a transformers LlamaConfig (or its dict)."""
+    get = (hf_cfg.get if isinstance(hf_cfg, dict)
+           else lambda k, d=None: getattr(hf_cfg, k, d))
+    return ModelConfig(
+        vocab_size=get("vocab_size"),
+        dim=get("hidden_size"),
+        n_layers=get("num_hidden_layers"),
+        n_heads=get("num_attention_heads"),
+        n_kv_heads=get("num_key_value_heads", get("num_attention_heads")),
+        ffn_dim=get("intermediate_size"),
+        rope_theta=float(get("rope_theta", 10000.0)),
+        norm_eps=float(get("rms_norm_eps", 1e-5)),
+        dtype=dtype,
+    )
+
+
+def _to_np(t):
+    """torch / numpy / jax tensor -> numpy f32 (bf16 has no numpy dtype in
+    torch; round-trip through f32 is exact for any <=f32 source)."""
+    if hasattr(t, "detach"):  # torch
+        return t.detach().to(dtype=__import__("torch").float32).numpy()
+    return np.asarray(t, np.float32)
+
+
+def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
+    """Convert an HF Llama state dict (name -> tensor) to the param tree."""
+    specs = param_shardings(cfg, mesh) if mesh else None
+
+    def put(arr, spec, dtype=None):
+        arr = jnp.asarray(arr, dtype or cfg.dtype)
+        if mesh is not None:
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+        return arr
+
+    def mat(name, spec):
+        return put(_to_np(sd[name]).T, spec)  # (out, in) -> (in, out)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        pre = f"model.layers.{i}."
+        lspec = specs["layers"][i] if specs else {k: None for k in (
+            "attn_norm", "wq", "wk", "wv", "wo", "mlp_norm",
+            "w_gate", "w_up", "w_down")}
+        layers.append({
+            "attn_norm": put(_to_np(sd[pre + "input_layernorm.weight"]),
+                             lspec["attn_norm"]),
+            "wq": mat(pre + "self_attn.q_proj.weight", lspec["wq"]),
+            "wk": mat(pre + "self_attn.k_proj.weight", lspec["wk"]),
+            "wv": mat(pre + "self_attn.v_proj.weight", lspec["wv"]),
+            "wo": mat(pre + "self_attn.o_proj.weight", lspec["wo"]),
+            "mlp_norm": put(_to_np(sd[pre + "post_attention_layernorm.weight"]),
+                            lspec["mlp_norm"]),
+            "w_gate": mat(pre + "mlp.gate_proj.weight", lspec["w_gate"]),
+            "w_up": mat(pre + "mlp.up_proj.weight", lspec["w_up"]),
+            "w_down": mat(pre + "mlp.down_proj.weight", lspec["w_down"]),
+        })
+
+    params = {
+        "embed": put(_to_np(sd["model.embed_tokens.weight"]),
+                     specs["embed"] if specs else None),
+        "norm": put(_to_np(sd["model.norm.weight"]),
+                    specs["norm"] if specs else None),
+        "layers": layers,
+    }
+    if "lm_head.weight" in sd:
+        head = _to_np(sd["lm_head.weight"])
+        embed = _to_np(sd["model.embed_tokens.weight"])
+        if head.shape != embed.shape or not np.array_equal(head, embed):
+            params["lm_head"] = put(head, specs["embed"] if specs else None)
+    return params
+
+
+def load_llama(model_dir: str, dtype=jnp.bfloat16, mesh: Mesh | None = None):
+    """Load a saved HF Llama directory (config.json + *.safetensors).
+
+    Returns (cfg, params). Tensors are read lazily per-file via safetensors,
+    converted, and (under a mesh) sharded immediately."""
+    from safetensors import safe_open
+
+    model_dir = pathlib.Path(model_dir)
+    with open(model_dir / "config.json") as f:
+        hf_cfg = json.load(f)
+    cfg = config_from_hf(hf_cfg, dtype=dtype)
+
+    sd = {}
+    for st in sorted(model_dir.glob("*.safetensors")):
+        with safe_open(st, framework="pt") as f:
+            for name in f.keys():
+                sd[name] = f.get_tensor(name)
+    if not sd:
+        raise FileNotFoundError(f"no *.safetensors under {model_dir}")
+    return cfg, params_from_hf_state_dict(sd, cfg, mesh=mesh)

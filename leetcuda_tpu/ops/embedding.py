@@ -65,7 +65,7 @@ def make_embedding(*, tokens_per_step: int = 8):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(cdiv(S, tb),),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # table stays in HBM
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # table stays in HBM
             out_specs=pl.BlockSpec((tb, D), lambda i, idx_ref: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
