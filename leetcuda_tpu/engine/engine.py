@@ -37,7 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from leetcuda_tpu.models.llama import (
-    ModelConfig, decode_step_impl, forward, init_kv_caches)
+    ModelConfig, decode_step_impl, forward, init_kv_caches,
+    shard_llama_params, shard_kv_caches)
 from leetcuda_tpu.models.llama import _quantize_token_kv  # cache quant helper
 
 
@@ -99,16 +100,25 @@ class Engine:
     """Host-driven continuous-batching engine over jitted device steps."""
 
     def __init__(self, params, cfg: ModelConfig, econfig: EngineConfig = None,
-                 sample_fn: Callable = _greedy):
-        self.params = params
+                 sample_fn: Callable = _greedy, mesh=None):
+        """``mesh``: serve tensor-parallel — a (dp=1, sp=1, tp=N) mesh; weights
+        and caches are sharded here (Megatron TP rules; kv-heads on tp).
+        dp>1 is unsupported in the Engine because admission prefills one
+        sequence at a time (use generate_scan for dp-sharded batch decode)."""
         self.cfg = cfg
         self.ec = econfig or EngineConfig()
         self.sample_fn = jax.jit(sample_fn)
+        self.mesh = mesh
         ec = self.ec
         assert ec.max_seq % ec.prefill_bucket == 0
 
-        self.caches = init_kv_caches(cfg, ec.slots, ec.max_seq,
-                                     quant=ec.kv_quant)
+        caches = init_kv_caches(cfg, ec.slots, ec.max_seq, quant=ec.kv_quant)
+        if mesh is not None:
+            assert mesh.shape.get("dp", 1) == 1, "Engine mesh must have dp=1"
+            params = shard_llama_params(params, cfg, mesh)
+            caches = shard_kv_caches(caches, mesh)
+        self.params = params
+        self.caches = caches
         self.lengths = jnp.zeros((ec.slots,), jnp.int32)
         self.last_tokens = jnp.zeros((ec.slots,), jnp.int32)
 
@@ -118,10 +128,11 @@ class Engine:
         self.finished: dict[int, Request] = {}
         self._uid = 0
 
-        self._decode = jax.jit(decode_step_impl, static_argnames=("cfg",),
-                               donate_argnums=(2,))
+        self._decode = jax.jit(
+            functools.partial(decode_step_impl, mesh=mesh),
+            static_argnames=("cfg",), donate_argnums=(2,))
         self._prefill = jax.jit(
-            functools.partial(forward, cfg=cfg, return_kv=True))
+            functools.partial(forward, cfg=cfg, mesh=mesh, return_kv=True))
         self._insert = jax.jit(_insert_kvs, donate_argnums=(0,))
 
     # --- public API -----------------------------------------------------------
@@ -207,7 +218,7 @@ class Engine:
 
 
 @functools.lru_cache(maxsize=None)
-def make_generate_scan(cfg: ModelConfig, max_new: int):
+def make_generate_scan(cfg: ModelConfig, max_new: int, mesh=None):
     """Build the reusable jitted greedy generator (cached so repeated
     benchmark reps hit the compile cache). go(params, prompts, caches) ->
     tokens (B, max_new); the caches argument is donated."""
@@ -215,7 +226,7 @@ def make_generate_scan(cfg: ModelConfig, max_new: int):
     @functools.partial(jax.jit, donate_argnums=(2,))
     def go(params, prompts, caches):
         B, S = prompts.shape
-        logits, kvs = forward(params, prompts, cfg, return_kv=True)
+        logits, kvs = forward(params, prompts, cfg, mesh=mesh, return_kv=True)
         ins = _insert_kvs(caches, kvs, jnp.int32(0), jnp.int32(S))
         first = jnp.argmax(logits[:, S - 1], axis=-1).astype(jnp.int32)
         lengths = jnp.full((B,), S, jnp.int32)
@@ -223,7 +234,7 @@ def make_generate_scan(cfg: ModelConfig, max_new: int):
         def body(carry, _):
             toks, caches, lengths = carry
             logits, caches = decode_step_impl(params, toks, caches, lengths,
-                                              cfg)
+                                              cfg, mesh=mesh)
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nxt, caches, lengths + 1), toks
 
@@ -235,11 +246,17 @@ def make_generate_scan(cfg: ModelConfig, max_new: int):
 
 
 def generate_scan(params, cfg: ModelConfig, prompts, max_new: int,
-                  kv_quant: str | None = None, max_seq: int | None = None):
+                  kv_quant: str | None = None, max_seq: int | None = None,
+                  mesh=None):
     """Greedy-generate ``max_new`` tokens for a (B, S) prompt batch with the
     entire decode loop inside one jit (lax.scan) — the tokens/s measurement
-    path, free of per-token host round-trips. Returns tokens (B, max_new)."""
+    path, free of per-token host round-trips. Returns tokens (B, max_new).
+
+    Under a mesh: dp shards the batch, tp the heads (dp | B, tp | n_kv_heads;
+    params should already be sharded via shard_llama_params)."""
     B, S = prompts.shape
     max_seq = max_seq or ((S + max_new + 511) // 512) * 512  # decode block_k multiple
     caches = init_kv_caches(cfg, B, max_seq, quant=kv_quant)
-    return make_generate_scan(cfg, max_new)(params, prompts, caches)
+    if mesh is not None:
+        caches = shard_kv_caches(caches, mesh)
+    return make_generate_scan(cfg, max_new, mesh)(params, prompts, caches)

@@ -185,6 +185,47 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh):
     }
 
 
+def shard_llama_params(params, cfg: ModelConfig, mesh: Mesh):
+    """device_put the param tree with Megatron TP rules. Handles quantized
+    packs ({"q", "s"}): the per-output-channel scale follows the weight's
+    output-dim sharding (tp for column-parallel, replicated for row-parallel).
+    Fused wqkv/w_gate_up are supported (column-parallel): correctness under
+    GSPMD does not depend on the split landing on head boundaries — XLA
+    reshards the logical split — though unfused weights shard cleanest."""
+    spec = param_shardings(cfg, mesh)
+    fused_specs = {"wqkv": P(None, "tp"), "w_gate_up": P(None, "tp")}
+
+    def put(x, s):
+        if isinstance(x, dict):  # quantized pack
+            s_scale = P("tp") if s[1] == "tp" else P(None)
+            return {"q": jax.device_put(x["q"], NamedSharding(mesh, s)),
+                    "s": jax.device_put(x["s"], NamedSharding(mesh, s_scale))}
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    out = {"embed": put(params["embed"], spec["embed"]),
+           "norm": put(params["norm"], spec["norm"]),
+           "layers": []}
+    if "lm_head" in params:
+        out["lm_head"] = put(params["lm_head"], spec["embed"])
+    for layer in params["layers"]:
+        lspec = {**spec["layers"][0], **fused_specs}
+        out["layers"].append({k: put(v, lspec[k]) for k, v in layer.items()})
+    return out
+
+
+def shard_kv_caches(caches, mesh: Mesh):
+    """Caches onto the mesh: (slots, kv-heads, S, D) -> (dp, tp, -, -)."""
+    cache_spec = {"k": P("dp", "tp", None, None),
+                  "v": P("dp", "tp", None, None),
+                  "k_scale": P("dp", None, "tp"),
+                  "v_scale": P("dp", None, "tp")}
+    return [
+        {k: jax.device_put(v, NamedSharding(mesh, cache_spec[k]))
+         for k, v in c.items()}
+        for c in caches
+    ]
+
+
 def _rms_norm(x, w, eps):
     xf = x.astype(jnp.float32)
     ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
@@ -366,20 +407,39 @@ def _cache_append(cache, k, v, pos):
     return out
 
 
-def _cache_attend(q, cache, lengths, block_k=512):
-    if "k_scale" in cache:
+def _cache_attend(q, cache, lengths, block_k=512, mesh: Mesh | None = None):
+    """Decode attention over the cache. Under a mesh the Pallas kernel is
+    wrapped in shard_map (GSPMD cannot partition a custom call): batch on dp,
+    heads on tp — each shard runs the kernel on its local head group."""
+    quantized = "k_scale" in cache
+    if quantized:
         da = make_decode_attention_quantized(block_k=block_k)
-        return da(q, cache["k"], cache["v"], cache["k_scale"],
-                  cache["v_scale"], lengths)
-    da = make_decode_attention(block_k=block_k)
-    return da(q, cache["k"], cache["v"], lengths)
+        args = (q, cache["k"], cache["v"], cache["k_scale"],
+                cache["v_scale"], lengths)
+        in_specs = (P("dp", "tp", None), P("dp", "tp", None, None),
+                    P("dp", "tp", None, None), P("dp", None, "tp"),
+                    P("dp", None, "tp"), P("dp"))
+    else:
+        da = make_decode_attention(block_k=block_k)
+        args = (q, cache["k"], cache["v"], lengths)
+        in_specs = (P("dp", "tp", None), P("dp", "tp", None, None),
+                    P("dp", "tp", None, None), P("dp"))
+    if mesh is None:
+        return da(*args)
+    return shard_map(da, mesh=mesh, in_specs=in_specs,
+                     out_specs=P("dp", "tp", None), check_vma=False)(*args)
 
 
-def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig):
+def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
+                     mesh: Mesh | None = None):
     """One decode step for B sequences. tokens (B,) int32; lengths (B,) = current
     context length EXCLUDING this token. Returns (logits (B, V), new caches).
     Uses the Pallas decode-attention kernel over the padded cache; params and
     caches may each be quantized (weight-only fp8/int8; int8/fp8 KV).
+
+    Under a ``mesh``: projections shard via GSPMD from the weights' Megatron TP
+    PartitionSpecs; the attention kernel runs per-shard under shard_map
+    (batch->dp, kv-heads->tp). tp must divide n_kv_heads, dp must divide B.
 
     Un-jitted implementation — the engine jits it with ``donate_argnums=(2,)``
     so the cache scatter is in-place rather than a full-cache copy per token."""
@@ -400,7 +460,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig):
                             cfg.rope_theta)[:, 0]
         cache = _cache_append(cache, k, v, pos)
         new_caches.append(cache)
-        o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1)
+        o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1, mesh=mesh)
         x = x + linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
 
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)

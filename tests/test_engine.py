@@ -133,6 +133,41 @@ def test_fused_engine_matches_solo(setup):
     assert gen == solo_greedy(params, cfg, prompt, 4)
 
 
+def test_sharded_generate_scan_matches_unsharded(setup):
+    """dp=2 x tp=2 decode over the virtual mesh — the >=2-host serving path.
+    Tokens must be identical to the single-device scan."""
+    from leetcuda_tpu.parallel.mesh import make_mesh, MeshConfig
+    from leetcuda_tpu.models.llama import shard_llama_params
+
+    cfg, params = setup
+    mesh = make_mesh(MeshConfig(dp=2, sp=1, tp=2), devices=jax.devices()[:4])
+    rng = np.random.default_rng(7)
+    B, S, MAX_NEW = 4, 16, 5
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+
+    solo_toks = generate_scan(params, cfg, prompts, MAX_NEW)
+    sharded = shard_llama_params(params, cfg, mesh)
+    shard_toks = generate_scan(sharded, cfg, prompts, MAX_NEW, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(shard_toks),
+                                  np.asarray(solo_toks))
+
+
+def test_tp_engine_matches_solo(setup):
+    """Engine served tensor-parallel (tp=2, continuous batching intact)."""
+    from leetcuda_tpu.parallel.mesh import make_mesh, MeshConfig
+
+    cfg, params = setup
+    mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
+    rng = np.random.default_rng(8)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (5, 9, 4)]
+
+    eng = Engine(params, cfg, EngineConfig(slots=2, max_seq=256,
+                                           prefill_bucket=16), mesh=mesh)
+    got = eng.run(prompts, max_new=4)
+    for uid, prompt in zip(sorted(got), prompts):
+        assert got[uid] == solo_greedy(params, cfg, prompt, 4)
+
+
 def test_quantized_forward_close_to_dense(setup):
     cfg, params = setup
     qparams = quantize_params(params, dtype="int8")
