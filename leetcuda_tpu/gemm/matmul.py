@@ -216,8 +216,12 @@ _VARIANTS = [
     ("hgemm_sliced_k_f16", (256, 256, 256), "nn", None),
     ("hgemm_t_8x8_sliced_k_f16x8_pack_bcf_dbuf", (512, 512, 1024), "nn", None),
     ("hgemm_wmma_mma4x2_warp2x4_stages", (1024, 1024, 512), "nn", None),
-    # flagship: tuned on v5e — 178.6 TFLOPS at 8192³ bf16 vs XLA dot's 169.7
-    # (105% of the vendor bar; the reference's 98-100%-of-cuBLAS claim analog)
+    # flagship: tuned on v5e — 179.2 TFLOPS at 8192³ bf16 vs XLA dot's 175
+    # (102% of the vendor bar; the reference's 98-100%-of-cuBLAS claim analog).
+    # At 4096³ Pallas plateaus ~167 vs XLA ~190: all operands (96 MB) fit v5e's
+    # 128 MB VMEM, so in a chained timing loop XLA keeps them resident with
+    # zero HBM traffic — a regime pallas_call can't reach (operands stream
+    # HBM->VMEM per block). 8192³ is the honest streaming comparison.
     ("hgemm_mma_stages_block_swizzle", (2048, 2048, 512), "nn", None),
     ("hgemm_mma_stages_tn", (2048, 2048, 512), "tn", None),
     ("hgemm_mma_stages_block_swizzle_tn_cute", (2048, 2048, 512), "tn", 4),
