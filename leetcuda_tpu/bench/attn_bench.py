@@ -1,0 +1,112 @@
+"""Flash-attention benchmark CLI — analog of the reference's flash_attn_mma.py
+(/root/reference/kernels/flash-attn/flash_attn_mma.py: flags :23-56, MHA FLOPs
+model :241-278, allclose checker :465-496, per-kernel max-headdim capability
+table :504-560).
+
+    python -m leetcuda_tpu.bench.attn_bench --B 1 --H 8 --N 8192 --D 64 --causal --check
+    python -m leetcuda_tpu.bench.attn_bench --D 512 --N 4096   # long-headdim tier
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leetcuda_tpu.attention.flash import (
+    make_flash_attention, flash_attention_ref, _fa_flops)
+from leetcuda_tpu.attention.splitkv import flash_attention_splitkv
+from leetcuda_tpu.bench.harness import Session, run_benchmark
+from leetcuda_tpu.utils.roofline import roofline
+
+# variant -> (block_q, block_k, max headdim) — the capability-table analog.
+# Larger KV blocks want more VMEM; long-D tiers shrink blocks (the reference's
+# tiling-qk trick maps to block-size choice: VMEM/step ~ (bq + 2*bk) * D).
+VARIANTS = {
+    "split_q(tuned-default)": (None, None, 256),
+    "split_q(512x512)": (512, 512, 256),
+    "split_q(256x512)": (256, 512, 512),
+    "split_q(128x256)": (128, 256, 1024),
+    "split_q(128x128, low-vmem)": (128, 128, 1024),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--B", type=int, default=1)
+    ap.add_argument("--H", type=int, default=8)
+    ap.add_argument("--Hkv", type=int, default=None, help="GQA kv heads")
+    ap.add_argument("--N", type=int, default=4096)
+    ap.add_argument("--D", type=int, default=64)
+    ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="allclose vs the SDPA oracle (atol 1e-2) + max/mean diff")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--splitkv", type=int, default=0,
+                    help="also run split-KV with this many splits (non-causal)")
+    args = ap.parse_args()
+
+    B, H, N, D = args.B, args.H, args.N, args.D
+    Hkv = args.Hkv or H
+    dt = jnp.dtype(args.dtype)
+    keys = jax.random.split(jax.random.key(args.seed), 3)
+    q = jax.random.normal(keys[0], (B, H, N, D), jnp.float32).astype(dt)
+    k = jax.random.normal(keys[1], (B, Hkv, N, D), jnp.float32).astype(dt)
+    v = jax.random.normal(keys[2], (B, Hkv, N, D), jnp.float32).astype(dt)
+
+    flops = _fa_flops(q, k, v) / (2 if args.causal else 1)
+    byts = (q.size + k.size + v.size + q.size) * dt.itemsize
+    session = Session()
+    print(f"(B,H,Hkv,N,D)=({B},{H},{Hkv},{N},{D}) causal={args.causal} {dt}")
+
+    ref = None
+    if args.check:
+        ref = flash_attention_ref(q, k, v, causal=args.causal)
+
+    best = None
+    for name, (bq, bk, max_d) in VARIANTS.items():
+        if D > max_d:
+            print(f"{name:>42}: skip (D={D} > max {max_d})")
+            continue
+        if bq is not None and (N % min(bq, N) or N % min(bk, N)):
+            print(f"{name:>42}: skip (N={N} not divisible by blocks)")
+            continue
+        fa = make_flash_attention(block_q=bq, block_k=bk, causal=args.causal)
+        r = run_benchmark(fa, q, k, v, tag=name, iters=args.iters,
+                          flops=flops, bytes=byts, session=session)
+        best = r if best is None or r.mean_ms < best.mean_ms else best
+        if args.check:
+            out = fa(q, k, v).astype(jnp.float32)
+            d = jnp.abs(out - ref.astype(jnp.float32))
+            # the reference's 1e-2 bar is for f16 accumulate; bf16 has 3 fewer
+            # mantissa bits (ulp at 1.0 = 7.8e-3), so scale accordingly
+            atol = 2e-2 if dt == jnp.bfloat16 else 1e-2
+            ok = bool(jnp.allclose(out, ref.astype(jnp.float32), atol=atol))
+            print(f"{'':>44}check: allclose={ok} "
+                  f"max={float(jnp.max(d)):.2e} mean={float(jnp.mean(d)):.2e}")
+            assert ok, name
+
+    if args.splitkv and not args.causal:
+        fn = jax.jit(lambda q, k, v: flash_attention_splitkv(
+            q, k, v, num_splits=args.splitkv))
+        run_benchmark(fn, q, k, v, tag=f"split_kv(x{args.splitkv})",
+                      iters=args.iters, flops=flops, bytes=byts,
+                      session=session)
+
+    # oracle through the same loop — the reference benches FA2/SDPA identically
+    sdpa = jax.jit(lambda q, k, v: flash_attention_ref(
+        q, k, v, causal=args.causal))
+    run_benchmark(sdpa, q, k, v, tag="xla_sdpa_ref", iters=args.iters,
+                  flops=flops, bytes=byts, session=session)
+
+    print(session.summary())
+    if best is not None:
+        print(roofline(flops, byts, best.mean_ms / 1e3, compute_dtype=dt))
+
+
+if __name__ == "__main__":
+    main()

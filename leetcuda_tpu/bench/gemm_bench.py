@@ -1,0 +1,133 @@
+"""GEMM benchmark CLI — analog of the reference's hgemm.py
+(/root/reference/kernels/hgemm/hgemm.py:19-178 flags; :440-1110 sweep loop;
+:364-419 TFLOPS plots with top-k filtering; :282-304 best-so-far "+x%").
+
+    python -m leetcuda_tpu.bench.gemm_bench --mnk 1024 2048 4096 --plot
+    python -m leetcuda_tpu.bench.gemm_bench --sweep 1024 8192 1024 --variants hgemm_mma_stages_block_swizzle
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leetcuda_tpu.bench.harness import Session, run_benchmark
+from leetcuda_tpu.bench.report import markdown_table
+from leetcuda_tpu.core.registry import OPS
+from leetcuda_tpu.utils.roofline import roofline
+import leetcuda_tpu.gemm.matmul  # noqa: F401  (registers the variants)
+from leetcuda_tpu.gemm.matmul import matmul_ref, matmul_tn_ref
+
+
+def bench_size(M, N, K, variants, dtype, iters, session, check=False):
+    ka, kb = jax.random.split(jax.random.key(0))
+    a = jax.random.normal(ka, (M, K), jnp.float32).astype(dtype)
+    b_nn = jax.random.normal(kb, (K, N), jnp.float32).astype(dtype)
+    b_tn = b_nn.T.copy()
+    flops = 2.0 * M * N * K
+    byts = (M * K + K * N + M * N) * jnp.dtype(dtype).itemsize
+
+    results = []
+    for name in variants:
+        spec = OPS[name]
+        tn = "tn" in spec.tags
+        b = b_tn if tn else b_nn
+        r = run_benchmark(spec.fn, a, b,
+                          tag=f"{name} {M}x{N}x{K}", iters=iters,
+                          flops=flops, bytes=byts, session=session)
+        results.append(r)
+        if check:
+            ref = (matmul_tn_ref if tn else matmul_ref)(a, b)
+            err = float(jnp.max(jnp.abs(
+                (spec.fn(a, b) - ref).astype(jnp.float32))))
+            print(f"  {name}: max|diff| vs XLA = {err:.5f} "
+                  f"(atol {spec.atol})")
+            assert err <= spec.atol + spec.rtol * float(
+                jnp.max(jnp.abs(ref.astype(jnp.float32)))), name
+    xla_ref = matmul_ref if not all("tn" in OPS[v].tags for v in variants) \
+        else matmul_tn_ref
+    r = run_benchmark(jax.jit(xla_ref), a,
+                      b_nn if xla_ref is matmul_ref else b_tn,
+                      tag=f"xla_dot {M}x{N}x{K}", iters=iters,
+                      flops=flops, bytes=byts, session=session)
+    results.append(r)
+    best = max((x for x in results if x.tflops), key=lambda x: x.tflops)
+    print(" ", roofline(flops, byts, best.mean_ms / 1e3,
+                        compute_dtype=dtype))
+    return results
+
+
+def plot(all_results, path, topk):
+    import collections
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series = collections.defaultdict(list)  # variant -> [(mnk, tflops)]
+    for mnk, results in all_results:
+        for r in results:
+            name = r.tag.rsplit(" ", 1)[0]
+            if r.tflops:
+                series[name].append((mnk, r.tflops))
+    ranked = sorted(series.items(),
+                    key=lambda kv: -max(t for _, t in kv[1]))
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for name, pts in ranked[:topk]:
+        xs, ys = zip(*sorted(pts))
+        style = "--" if name.startswith("xla") else "-"
+        ax.plot(xs, ys, style, marker="o", label=name)
+    ax.set_xlabel("M=N=K")
+    ax.set_ylabel("TFLOPS")
+    ax.set_title(f"GEMM sweep ({jax.devices()[0].device_kind})")
+    ax.legend(fontsize=8)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    print(f"plot -> {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mnk", type=int, nargs="*", default=None,
+                    help="square sizes to run (default: 2048 4096 8192)")
+    ap.add_argument("--sweep", type=int, nargs=3, metavar=("LO", "HI", "STEP"),
+                    help="sweep M=N=K over a range (reference-style)")
+    ap.add_argument("--variants", nargs="*", default=None,
+                    help="registered gemm op names (default: bf16 ladder)")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--check", action="store_true",
+                    help="verify numerics vs XLA per size")
+    ap.add_argument("--plot", nargs="?", const="/tmp/gemm_tflops.png",
+                    default=None, help="save a TFLOPS curve PNG")
+    ap.add_argument("--topk", type=int, default=8)
+    ap.add_argument("--markdown", action="store_true")
+    args = ap.parse_args()
+
+    sizes = (list(range(args.sweep[0], args.sweep[1] + 1, args.sweep[2]))
+             if args.sweep else (args.mnk or [2048, 4096, 8192]))
+    variants = args.variants or [
+        n for n, s in OPS.items()
+        if s.family == "gemm" and "f16" in s.tags]
+    dtype = jnp.dtype(args.dtype)
+
+    session = Session()
+    all_results = []
+    for n in sizes:
+        print(f"--- M=N=K={n} ---")
+        all_results.append(
+            (n, bench_size(n, n, n, variants, dtype, args.iters, session,
+                           check=args.check)))
+    print(session.summary())
+    if args.markdown:
+        flat = [r for _, rs in all_results for r in rs]
+        print(markdown_table(flat))
+    if args.plot:
+        plot(all_results, args.plot, args.topk)
+
+
+if __name__ == "__main__":
+    main()
