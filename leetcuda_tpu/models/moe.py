@@ -1,0 +1,162 @@
+"""Mixture-of-Experts layer with expert parallelism (the "ep" mesh axis).
+
+The reference has no parallelism implementation at all (SURVEY.md §2e); this
+completes the strategy set (dp/tp/sp from parallel/ + pp from
+parallel/pipeline.py + ep here). TPU-native design constraints drive the
+algorithm choice:
+
+- **Static shapes**: top-k routing uses the GShard/Switch capacity-based
+  dispatch — every expert processes exactly C = ceil(T·k·cf / E) token slots;
+  overflow tokens drop (cf controls how rare that is). Dispatch and combine
+  are one-hot einsums, which XLA lowers to MXU matmuls — no gather/scatter.
+- **Expert parallelism**: expert-stacked weights (E, ...) shard on "ep";
+  under jit+GSPMD the dispatch einsum's (E, C, D) result inherits the expert
+  sharding, so XLA inserts the token all-to-all automatically.
+
+Reference for the pattern: GShard (arXiv:2006.16668) §3.2 dispatch einsums.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig:
+    n_experts: int = 8
+    topk: int = 2
+    capacity_factor: float = 1.25
+    dim: int = 256
+    ffn_dim: int = 512
+    dtype: object = jnp.float32
+
+    def capacity(self, n_tokens: int) -> int:
+        c = math.ceil(n_tokens * self.topk * self.capacity_factor
+                      / self.n_experts)
+        return max(8, -(-c // 8) * 8)  # sublane-aligned
+
+
+def init_moe_params(key, cfg: MoEConfig):
+    E, D, F = cfg.n_experts, cfg.dim, cfg.ffn_dim
+    ks = jax.random.split(key, 4)
+
+    def dense(k, fan_in, shape):
+        return (jax.random.normal(k, shape, jnp.float32)
+                / math.sqrt(fan_in)).astype(cfg.dtype)
+
+    return {
+        "router": dense(ks[0], D, (D, E)).astype(jnp.float32),
+        "w_gate": dense(ks[1], D, (E, D, F)),
+        "w_up": dense(ks[2], D, (E, D, F)),
+        "w_down": dense(ks[3], F, (E, F, D)),
+    }
+
+
+def moe_shardings():
+    """PartitionSpecs: router replicated, expert stacks sharded on ep."""
+    return {
+        "router": P(None, None),
+        "w_gate": P("ep", None, None),
+        "w_up": P("ep", None, None),
+        "w_down": P("ep", None, None),
+    }
+
+
+def shard_moe_params(params, mesh: Mesh):
+    spec = moe_shardings()
+    return {k: jax.device_put(v, NamedSharding(mesh, spec[k]))
+            for k, v in params.items()}
+
+
+def _routing(logits, cfg: MoEConfig, capacity: int):
+    """Top-k capacity routing. logits (T, E) f32 ->
+    dispatch (T, E, C) bool-ish, combine (T, E, C) f32."""
+    T, E = logits.shape
+    probs = jax.nn.softmax(logits, axis=-1)  # (T, E)
+
+    dispatch = jnp.zeros((T, E, capacity), jnp.float32)
+    combine = jnp.zeros((T, E, capacity), jnp.float32)
+    masked = probs
+    for _ in range(cfg.topk):
+        # current best expert per token
+        idx = jnp.argmax(masked, axis=-1)  # (T,)
+        gate = jnp.take_along_axis(probs, idx[:, None], axis=-1)[:, 0]
+        onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # (T, E)
+        # position of each token within its chosen expert's buffer =
+        # number of earlier tokens that chose the same expert (this round)
+        # plus slots already taken in earlier rounds
+        taken = jnp.sum(dispatch, axis=(0, 2))  # (E,) slots used so far
+        rank = jnp.cumsum(onehot, axis=0) - onehot  # (T, E) earlier same-expert
+        pos = (rank + taken[None, :]) * onehot  # (T, E)
+        within = (pos < capacity) & (onehot > 0)
+        pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), capacity,
+                                dtype=jnp.float32)  # (T, E, C)
+        sel = within.astype(jnp.float32)[..., None] * pos_oh
+        dispatch = dispatch + sel
+        combine = combine + gate[:, None, None] * sel
+        masked = masked * (1.0 - onehot)  # exclude chosen expert next round
+    return dispatch, combine
+
+
+def moe_ffn(x, params, cfg: MoEConfig):
+    """MoE SwiGLU FFN. x (..., T, D) -> (..., T, D).
+
+    Flattens leading dims; dispatch/combine via one-hot einsums (MXU-friendly,
+    GSPMD-shardable on "ep")."""
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    xf = x.reshape(-1, D)
+    T = xf.shape[0]
+    C = cfg.capacity(T)
+
+    logits = xf.astype(jnp.float32) @ params["router"]
+    dispatch, combine = _routing(logits, cfg, C)
+
+    # (T,E,C) x (T,D) -> (E,C,D): the token all-to-all under ep sharding
+    expert_in = jnp.einsum("tec,td->ecd", dispatch.astype(x.dtype), xf)
+    gate = jax.nn.silu(jnp.einsum("ecd,edf->ecf", expert_in,
+                                  params["w_gate"]).astype(jnp.float32))
+    up = jnp.einsum("ecd,edf->ecf", expert_in,
+                    params["w_up"]).astype(jnp.float32)
+    h = (gate * up).astype(x.dtype)
+    expert_out = jnp.einsum("ecf,efd->ecd", h, params["w_down"])
+    out = jnp.einsum("tec,ecd->td", combine.astype(x.dtype), expert_out)
+    return out.reshape(*lead, D)
+
+
+def moe_ffn_ref(x, params, cfg: MoEConfig):
+    """Dense oracle: run every token through its top-k experts by loop."""
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    xf = x.reshape(-1, D)
+    logits = xf.astype(jnp.float32) @ params["router"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    _, topi = jax.lax.top_k(probs, cfg.topk)  # (T, k)
+
+    def expert(e, v):
+        g = jax.nn.silu((v @ params["w_gate"][e]).astype(jnp.float32))
+        u = (v @ params["w_up"][e]).astype(jnp.float32)
+        return ((g * u).astype(v.dtype) @ params["w_down"][e])
+
+    out = jnp.zeros_like(xf)
+    T = xf.shape[0]
+    C = cfg.capacity(T)
+    # capacity bookkeeping must match _routing's (first-come order per round)
+    for r in range(cfg.topk):
+        idx = topi[:, r]
+        gate = jnp.take_along_axis(probs, idx[:, None], axis=-1)[:, 0]
+        for e in range(cfg.n_experts):
+            mask = idx == e
+            # drop overflow: tokens ranked >= remaining capacity this round
+            prior = sum(jnp.sum(topi[:, rr] == e) for rr in range(r))
+            rank = jnp.cumsum(mask) - mask
+            keep = mask & (rank + prior < C)
+            y = expert(e, xf)
+            out = out + jnp.where(keep[:, None],
+                                  gate[:, None].astype(x.dtype) * y, 0)
+    return out.reshape(*lead, D)
