@@ -61,13 +61,14 @@ def _decode_kernel(scale, Hkv, group, block_k, quantized,
             qg = q_ref[0, kvh * group:(kvh + 1) * group, :].astype(jnp.float32)
             k_blk = k_ref[0, kvh].astype(jnp.float32)   # (bk, D)
             v_blk = v_ref[0, kvh].astype(jnp.float32)
-            if quantized:
-                # scales block is (bk, Hkv): take this head's (bk, 1) column
-                k_blk = k_blk * ks_ref[0, :, kvh:kvh + 1].astype(jnp.float32)
-                v_blk = v_blk * vs_ref[0, :, kvh:kvh + 1].astype(jnp.float32)
             s = jax.lax.dot_general(
                 qg, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (group, bk)
+            if quantized:
+                # dequant folded past the dot: s_ij = (q_i · k_j_raw) · ks_j,
+                # a (group, bk) row-scale instead of a (bk, D) dequant — D/group
+                # times less VPU work. V's scale folds into P the same way.
+                s = s * ks_ref[0, :, kvh].astype(jnp.float32)[None, :]
             s = jnp.where(valid, s, _NEG_INF)
 
             rows = slice(kvh * group, (kvh + 1) * group)
@@ -78,6 +79,8 @@ def _decode_kernel(scale, Hkv, group, block_k, quantized,
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
             l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            if quantized:
+                p = p * vs_ref[0, :, kvh].astype(jnp.float32)[None, :]
             acc_sc[rows, :] = acc_sc[rows, :] * alpha + jnp.dot(
                 p, v_blk, preferred_element_type=jnp.float32)
             m_sc[rows, :] = jnp.broadcast_to(m_new, (group, _LANES))

@@ -80,7 +80,11 @@ def _proj_qkv(h, layer, H, Hkv, Dh):
             linear(h, layer["wv"]))
 
 
-def _proj_mlp(h, layer):
+def _proj_mlp(h, layer, cfg=None):
+    if "moe" in layer:
+        from leetcuda_tpu.models.moe import moe_ffn
+
+        return moe_ffn(h, layer["moe"], cfg.moe)
     if "w_gate_up" in layer:
         gu = linear(h, layer["w_gate_up"])
         gate, up = jnp.split(gu, 2, axis=-1)
@@ -123,10 +127,23 @@ class ModelConfig:
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
+    # MoE (Mixtral-style): n_experts > 0 replaces the dense FFN with a
+    # top-k-routed expert FFN (models/moe.py)
+    n_experts: int = 0
+    expert_topk: int = 2
+    capacity_factor: float = 2.0
 
     @property
     def head_dim(self):
         return self.dim // self.n_heads
+
+    @property
+    def moe(self):
+        from leetcuda_tpu.models.moe import MoEConfig
+
+        return MoEConfig(n_experts=self.n_experts, topk=self.expert_topk,
+                         capacity_factor=self.capacity_factor, dim=self.dim,
+                         ffn_dim=self.ffn_dim, dtype=self.dtype)
 
 
 def tiny_config(**kw) -> ModelConfig:
@@ -150,17 +167,25 @@ def init_params(key, cfg: ModelConfig):
     layers = []
     for i in range(cfg.n_layers):
         ks = jax.random.split(jax.random.fold_in(k_layers, i), 7)
-        layers.append({
+        layer = {
             "attn_norm": jnp.ones((D,), cfg.dtype),
             "wq": dense(ks[0], D, (D, H * Dh)),
             "wk": dense(ks[1], D, (D, Hkv * Dh)),
             "wv": dense(ks[2], D, (D, Hkv * Dh)),
             "wo": dense(ks[3], H * Dh, (H * Dh, D)),
             "mlp_norm": jnp.ones((D,), cfg.dtype),
-            "w_gate": dense(ks[4], D, (D, F)),
-            "w_up": dense(ks[5], D, (D, F)),
-            "w_down": dense(ks[6], F, (F, D)),
-        })
+        }
+        if cfg.n_experts:
+            from leetcuda_tpu.models.moe import init_moe_params
+
+            layer["moe"] = init_moe_params(ks[4], cfg.moe)
+        else:
+            layer.update({
+                "w_gate": dense(ks[4], D, (D, F)),
+                "w_up": dense(ks[5], D, (D, F)),
+                "w_down": dense(ks[6], F, (F, D)),
+            })
+        layers.append(layer)
     return {
         "embed": dense(k_embed, D, (cfg.vocab_size, D)),
         "norm": jnp.ones((D,), cfg.dtype),
@@ -169,7 +194,9 @@ def init_params(key, cfg: ModelConfig):
 
 
 def param_shardings(cfg: ModelConfig, mesh: Mesh):
-    """PartitionSpec pytree matching init_params (Megatron TP rules)."""
+    """PartitionSpec pytree matching init_params (Megatron TP rules). MoE
+    expert stacks shard their expert dim over the tp axis (expert parallelism
+    reuses tp — the standard choice when ep == tp degree)."""
     layer = {
         "attn_norm": P(None),
         "wq": P(None, "tp"), "wk": P(None, "tp"), "wv": P(None, "tp"),
@@ -178,6 +205,15 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh):
         "w_gate": P(None, "tp"), "w_up": P(None, "tp"),
         "w_down": P("tp", None),
     }
+    if cfg.n_experts:
+        for k in ("w_gate", "w_up", "w_down"):
+            del layer[k]
+        layer["moe"] = {
+            "router": P(None, None),
+            "w_gate": P("tp", None, None),
+            "w_up": P("tp", None, None),
+            "w_down": P("tp", None, None),
+        }
     return {
         "embed": P(None, None),
         "norm": P(None),
@@ -196,6 +232,8 @@ def shard_llama_params(params, cfg: ModelConfig, mesh: Mesh):
     fused_specs = {"wqkv": P(None, "tp"), "w_gate_up": P(None, "tp")}
 
     def put(x, s):
+        if isinstance(s, dict):  # nested spec tree (moe)
+            return {k: put(x[k], s[k]) for k in s}
         if isinstance(x, dict):  # quantized pack
             s_scale = P("tp") if s[1] == "tp" else P(None)
             return {"q": jax.device_put(x["q"], NamedSharding(mesh, s)),
@@ -300,7 +338,7 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
         x = x + linear(o, layer["wo"])
 
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        x = x + _proj_mlp(h, layer)
+        x = x + _proj_mlp(h, layer, cfg)
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps)
     # tied lm head by default; HF checkpoints may carry an untied one
@@ -464,7 +502,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
         x = x + linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
 
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        x = x + _proj_mlp(h, layer)
+        x = x + _proj_mlp(h, layer, cfg)
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps)
     w_lm = params.get("lm_head", params["embed"])

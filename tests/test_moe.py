@@ -51,6 +51,61 @@ def test_moe_expert_parallel_matches(setup):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_moe_llama_trains_and_decodes():
+    """Mixtral-style model end-to-end: loss falls; prefill == decode."""
+    from leetcuda_tpu.models.llama import (
+        tiny_config, init_params, forward, make_train_step, init_kv_caches,
+        decode_step)
+
+    cfg = tiny_config(n_experts=4, expert_topk=2, capacity_factor=4.0)
+    params = init_params(jax.random.key(0), cfg)
+    assert "moe" in params["layers"][0] and "w_gate" not in params["layers"][0]
+
+    init_opt, step = make_train_step(cfg, learning_rate=1e-3)
+    opt_state = init_opt(params)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (4, 33)), jnp.int32)
+    losses = []
+    p = params
+    for _ in range(5):
+        p, opt_state, loss = step(p, opt_state, tokens)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+    # prefill/decode consistency (same MoE path both ways). Note: decode runs
+    # tokens one at a time, so per-call T differs from prefill -> capacity
+    # differs; with a generous capacity_factor nothing drops and they agree.
+    B, S = 2, 8
+    toks = jnp.asarray(np.random.default_rng(1).integers(
+        0, cfg.vocab_size, (B, S)), jnp.int32)
+    prefill = forward(params, toks, cfg)
+    caches = init_kv_caches(cfg, B, 128)
+    lengths = jnp.zeros((B,), jnp.int32)
+    outs = []
+    for t in range(S):
+        lg, caches = decode_step(params, toks[:, t], caches, lengths, cfg)
+        outs.append(lg)
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.asarray(jnp.stack(outs, 1)),
+                               np.asarray(prefill), atol=2e-2, rtol=2e-2)
+
+
+def test_moe_llama_sharded_train():
+    from leetcuda_tpu.models.llama import (
+        tiny_config, init_params, make_train_step, loss_fn)
+    from leetcuda_tpu.parallel.mesh import make_mesh, MeshConfig
+
+    cfg = tiny_config(n_experts=4, expert_topk=2, capacity_factor=4.0)
+    mesh = make_mesh(MeshConfig(dp=2, sp=1, tp=2), devices=jax.devices()[:4])
+    params = init_params(jax.random.key(0), cfg)
+    init_opt, step = make_train_step(cfg, mesh=mesh, learning_rate=1e-3)
+    tokens = jnp.asarray(np.random.default_rng(2).integers(
+        0, cfg.vocab_size, (4, 64)), jnp.int32)
+    p, s, loss = step(params, init_opt(params), tokens)
+    solo = float(loss_fn(init_params(jax.random.key(0), cfg), tokens, cfg))
+    np.testing.assert_allclose(float(loss), solo, atol=1e-3, rtol=1e-4)
+
+
 def test_moe_gradients_flow(setup):
     cfg, params, x = setup
 
