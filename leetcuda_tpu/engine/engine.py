@@ -60,8 +60,7 @@ class Request:
     done: bool = False
 
 
-def _greedy(logits):
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+from leetcuda_tpu.engine.sampling import greedy as _greedy
 
 
 def _insert_kvs(caches, kvs, slot, length):
@@ -100,14 +99,18 @@ class Engine:
     """Host-driven continuous-batching engine over jitted device steps."""
 
     def __init__(self, params, cfg: ModelConfig, econfig: EngineConfig = None,
-                 sample_fn: Callable = _greedy, mesh=None):
+                 sample_fn: Callable = _greedy, mesh=None, seed: int = 0):
         """``mesh``: serve tensor-parallel — a (dp=1, sp=1, tp=N) mesh; weights
         and caches are sharded here (Megatron TP rules; kv-heads on tp).
         dp>1 is unsupported in the Engine because admission prefills one
-        sequence at a time (use generate_scan for dp-sharded batch decode)."""
+        sequence at a time (use generate_scan for dp-sharded batch decode).
+
+        ``sample_fn(logits, key) -> tokens``: engine/sampling.py samplers
+        (greedy default; make_sampler for temperature/top-k/top-p)."""
         self.cfg = cfg
         self.ec = econfig or EngineConfig()
         self.sample_fn = jax.jit(sample_fn)
+        self._key = jax.random.key(seed)
         self.mesh = mesh
         ec = self.ec
         assert ec.max_seq % ec.prefill_bucket == 0
@@ -137,6 +140,10 @@ class Engine:
 
     # --- public API -----------------------------------------------------------
 
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
     def submit(self, prompt: list[int], max_new: int = 64) -> int:
         self._uid += 1
         self.waiting.append(Request(self._uid, list(prompt), max_new))
@@ -156,7 +163,7 @@ class Engine:
             logits, kvs = self._prefill(self.params, jnp.asarray(toks))
             self.caches = self._insert(self.caches, kvs,
                                        jnp.int32(slot), jnp.int32(L))
-            first = self.sample_fn(logits[0, L - 1])
+            first = self.sample_fn(logits[0, L - 1], self._next_key())
             self.lengths = self.lengths.at[slot].set(L)
             self.last_tokens = self.last_tokens.at[slot].set(first)
             req.generated.append(int(first))
@@ -190,7 +197,7 @@ class Engine:
         logits, self.caches = self._decode(
             self.params, self.last_tokens, self.caches, self.lengths,
             cfg=self.cfg)
-        nxt = self.sample_fn(logits)
+        nxt = self.sample_fn(logits, self._next_key())
         # dead slots: freeze length (their repeated append lands on an unused
         # position that the next admission's prefill overwrites)
         self.lengths = jnp.where(live_j, self.lengths + 1, self.lengths)

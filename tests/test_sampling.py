@@ -1,0 +1,68 @@
+"""Sampler semantics + stochastic engine generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leetcuda_tpu.engine.sampling import greedy, make_sampler
+
+
+def test_greedy_ignores_key():
+    logits = jnp.asarray([[0.1, 3.0, -1.0], [5.0, 0.0, 0.0]])
+    assert list(np.asarray(greedy(logits))) == [1, 0]
+
+
+def test_temperature_zero_is_greedy():
+    s = make_sampler(temperature=0.0)
+    logits = jnp.asarray([0.1, 3.0, -1.0])
+    assert int(s(logits, None)) == 1
+
+
+def test_top_k_restricts_support():
+    s = make_sampler(temperature=1.0, top_k=2)
+    logits = jnp.asarray([10.0, 9.0, -10.0, -10.0])
+    keys = jax.random.split(jax.random.key(0), 200)
+    toks = np.asarray(jax.vmap(lambda k: s(logits, k))(keys))
+    assert set(toks.tolist()) <= {0, 1}
+    assert len(set(toks.tolist())) == 2  # both survivors get sampled
+
+
+def test_top_p_keeps_head_of_distribution():
+    s = make_sampler(temperature=1.0, top_p=0.5)
+    # token 0 has prob ~0.72 -> top_p=0.5 keeps only token 0
+    logits = jnp.asarray([2.0, 1.0, 0.0, -1.0])
+    keys = jax.random.split(jax.random.key(1), 100)
+    toks = np.asarray(jax.vmap(lambda k: s(logits, k))(keys))
+    assert set(toks.tolist()) == {0}
+
+
+def test_sampling_matches_softmax_frequencies():
+    s = make_sampler(temperature=1.0)
+    logits = jnp.asarray([1.0, 0.0, -1.0])
+    probs = np.asarray(jax.nn.softmax(logits))
+    keys = jax.random.split(jax.random.key(2), 4000)
+    toks = np.asarray(jax.vmap(lambda k: s(logits, k))(keys))
+    freq = np.bincount(toks, minlength=3) / len(toks)
+    np.testing.assert_allclose(freq, probs, atol=0.03)
+
+
+def test_engine_stochastic_sampling_runs():
+    from leetcuda_tpu.models.llama import tiny_config, init_params
+    from leetcuda_tpu.engine import Engine, EngineConfig
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    prompt = list(np.random.default_rng(0).integers(0, cfg.vocab_size, 6))
+
+    def run(seed):
+        eng = Engine(params, cfg,
+                     EngineConfig(slots=1, max_seq=128, prefill_bucket=16),
+                     sample_fn=make_sampler(temperature=1.0, top_k=50),
+                     seed=seed)
+        (gen,) = eng.run([prompt], max_new=8).values()
+        return gen
+
+    a, b, a2 = run(0), run(1), run(0)
+    assert a == a2, "same seed must reproduce"
+    assert a != b, "different seeds should diverge (tiny chance of collision)"
+    assert all(0 <= t < cfg.vocab_size for t in a)
