@@ -13,9 +13,11 @@ FP8 KV cache"). Design: q is one token per sequence, (B, H, D); the KV cache is
   clamp to the last valid block, and Pallas elides the re-fetch of an unchanged
   block — so a 512-token sequence in an 8192-slot cache reads ~512 tokens, not 8192,
 - online-softmax state in VMEM scratch exactly like the prefill kernel,
-- optional quantized (int8/fp8) cache: blocks are dequantized VPU-side after DMA.
-  Scales are laid out (B, S, Hkv) — bk on sublanes, heads on lanes — because a
-  (bk, 1) lane-minor block would DMA one scalar per 128-lane row.
+- optional quantized (int8/fp8) cache: the per-(seq, head, position) scales are
+  folded past the dots (a (group, bk) multiply, not a (bk, D) dequant) and laid
+  out (B, Hkv, S) so a block is (Hkv, bk) = heads on sublanes, positions on the
+  full 128-lane axis (the transposed layout would use 4 of 128 lanes and its
+  per-token scatter append lowers catastrophically).
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
-def _decode_kernel(scale, Hkv, group, block_k, quantized,
+def _decode_kernel(scale, Hkv, group, block_k, quantized, window,
                    len_ref, q_ref, k_ref, v_ref, *rest):
     if quantized:
         ks_ref, vs_ref, o_ref, m_sc, l_sc, acc_sc = rest
@@ -51,11 +53,17 @@ def _decode_kernel(scale, Hkv, group, block_k, quantized,
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    @pl.when(si * block_k < seq_len)  # skip fully-invalid KV blocks
+    live = si * block_k < seq_len  # skip fully-invalid KV blocks
+    if window:  # sliding window: also skip blocks entirely before it
+        live &= si * block_k + block_k > seq_len - window
+
+    @pl.when(live)
     def _():
         cols = si * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)  # (1, bk) global positions
         valid = cols < seq_len
+        if window:
+            valid &= cols >= seq_len - window
 
         for kvh in range(Hkv):  # static unroll over KV heads
             qg = q_ref[0, kvh * group:(kvh + 1) * group, :].astype(jnp.float32)
@@ -68,7 +76,7 @@ def _decode_kernel(scale, Hkv, group, block_k, quantized,
                 # dequant folded past the dot: s_ij = (q_i · k_j_raw) · ks_j,
                 # a (group, bk) row-scale instead of a (bk, D) dequant — D/group
                 # times less VPU work. V's scale folds into P the same way.
-                s = s * ks_ref[0, :, kvh].astype(jnp.float32)[None, :]
+                s = s * ks_ref[0, kvh].astype(jnp.float32)[None, :]
             s = jnp.where(valid, s, _NEG_INF)
 
             rows = slice(kvh * group, (kvh + 1) * group)
@@ -80,7 +88,7 @@ def _decode_kernel(scale, Hkv, group, block_k, quantized,
             p = jnp.exp(s - m_new)
             l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
             if quantized:
-                p = p * vs_ref[0, :, kvh].astype(jnp.float32)[None, :]
+                p = p * vs_ref[0, kvh].astype(jnp.float32)[None, :]
             acc_sc[rows, :] = acc_sc[rows, :] * alpha + jnp.dot(
                 p, v_blk, preferred_element_type=jnp.float32)
             m_sc[rows, :] = jnp.broadcast_to(m_new, (group, _LANES))
@@ -92,23 +100,30 @@ def _decode_kernel(scale, Hkv, group, block_k, quantized,
         o_ref[0] = (acc_sc[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _clamped_kv_map(bk):
-    """Index map clamping the KV block to the sequence's last valid block: all
-    fully-masked grid steps map to the same block index, so Pallas skips their
-    DMA (unchanged block) — bandwidth follows actual lengths, not S_max."""
+def _clamped_kv_map(bk, window=None):
+    """Index map clamping the KV block to the sequence's valid range: all
+    fully-masked grid steps map to an already-fetched block index, so Pallas
+    skips their DMA (unchanged block) — bandwidth follows actual lengths (and,
+    with a sliding ``window``, the window), not S_max."""
 
     def kv_map(b, si, len_ref):
         last = jnp.maximum(pl.cdiv(len_ref[b], bk) - 1, 0)
-        return (b, 0, jnp.minimum(si, last), 0)
+        first = 0
+        if window is not None:
+            first = jnp.maximum((len_ref[b] - window) // bk, 0)
+        return (b, 0, jnp.clip(si, first, last), 0)
 
     return kv_map
 
 
-def make_decode_attention(*, block_k: int = 512, sm_scale=None):
+def make_decode_attention(*, block_k: int = 512, sm_scale=None,
+                          window: int | None = None):
     """decode_attention(q, k_cache, v_cache, lengths) -> (B, H, D).
 
     q (B, H, D); caches (B, Hkv, S_max, D); lengths (B,) int32 — number of valid
     KV positions per sequence (the current token's K/V must already be appended).
+    ``window``: Mistral-style sliding window — attend to the last ``window``
+    positions only; earlier blocks are neither read nor computed.
     """
 
     @jax.jit
@@ -126,9 +141,9 @@ def make_decode_attention(*, block_k: int = 512, sm_scale=None):
             in_specs=[
                 pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk),
+                pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk, window),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk),
+                pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk, window),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
@@ -140,7 +155,8 @@ def make_decode_attention(*, block_k: int = 512, sm_scale=None):
             ],
         )
         return pl.pallas_call(
-            functools.partial(_decode_kernel, scale, Hkv, group, bk, False),
+            functools.partial(_decode_kernel, scale, Hkv, group, bk, False,
+                              window),
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),
@@ -150,9 +166,9 @@ def make_decode_attention(*, block_k: int = 512, sm_scale=None):
 
 
 def make_decode_attention_quantized(*, block_k: int = 512, sm_scale=None):
-    """Quantized-cache decode: caches int8/fp8, per-(b, pos, head) f32 scales.
+    """Quantized-cache decode: caches int8/fp8, per-(b, head, pos) f32 scales.
 
-    fn(q, k_cache_q, v_cache_q, k_scale, v_scale, lengths); scales (B, S, Hkv).
+    fn(q, k_cache_q, v_cache_q, k_scale, v_scale, lengths); scales (B, Hkv, S).
     """
 
     @jax.jit
@@ -162,16 +178,16 @@ def make_decode_attention_quantized(*, block_k: int = 512, sm_scale=None):
         group = H // Hkv
         bk = min(block_k, S)
         assert S % bk == 0
-        assert k_scale.shape == (B, S, Hkv), "scales must be (B, S, Hkv)"
+        assert k_scale.shape == (B, Hkv, S), "scales must be (B, Hkv, S)"
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
 
         def s_map(b, si, L):
             last = jnp.maximum(pl.cdiv(L[b], bk) - 1, 0)
-            return (b, jnp.minimum(si, last), 0)
+            return (b, 0, jnp.minimum(si, last))
 
         cache_spec = pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk),
                                   memory_space=pltpu.VMEM)
-        scale_spec = pl.BlockSpec((1, bk, Hkv), s_map, memory_space=pltpu.VMEM)
+        scale_spec = pl.BlockSpec((1, Hkv, bk), s_map, memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, S // bk),
@@ -189,7 +205,8 @@ def make_decode_attention_quantized(*, block_k: int = 512, sm_scale=None):
             ],
         )
         return pl.pallas_call(
-            functools.partial(_decode_kernel, scale, Hkv, group, bk, True),
+            functools.partial(_decode_kernel, scale, Hkv, group, bk, True,
+                              None),
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),
@@ -198,7 +215,8 @@ def make_decode_attention_quantized(*, block_k: int = 512, sm_scale=None):
     return fn
 
 
-def decode_attention_ref(q, k_cache, v_cache, lengths, sm_scale=None):
+def decode_attention_ref(q, k_cache, v_cache, lengths, sm_scale=None,
+                         window=None):
     B, H, D = q.shape
     _, Hkv, S, _ = k_cache.shape
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
@@ -208,6 +226,9 @@ def decode_attention_ref(q, k_cache, v_cache, lengths, sm_scale=None):
     s = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32),
                    k_cache.astype(jnp.float32)) * scale
     mask = jnp.arange(S)[None, None, :] < lengths[:, None, None]
+    if window is not None:
+        mask &= (jnp.arange(S)[None, None, :]
+                 >= (lengths - window)[:, None, None])
     s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhs,bhsd->bhd", p,

@@ -43,7 +43,7 @@ _NEG_INF = -1e30  # big-negative instead of -inf: avoids exp(-inf - -inf) = nan
 _LANES = 128
 
 
-def _fa_kernel(causal, scale, block_q, block_k, with_lse,
+def _fa_kernel(causal, window, scale, block_q, block_k, with_lse,
                q_ref, k_ref, v_ref, o_ref, *rest):
     if with_lse:
         lse_ref, m_sc, l_sc, acc_sc = rest
@@ -68,12 +68,15 @@ def _fa_kernel(causal, scale, block_q, block_k, with_lse,
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (Bq, Bk)
 
-        if causal:
+        if causal or window:
             rows = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 0)
             cols = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 1)
-            s = jnp.where(rows >= cols, s, _NEG_INF)
+            keep = rows >= cols
+            if window:  # sliding window: attend to the last `window` positions
+                keep &= rows - cols < window
+            s = jnp.where(keep, s, _NEG_INF)
 
         m_prev = m_sc[:, 0:1]  # (Bq, 1)
         l_prev = l_sc[:, 0:1]
@@ -90,10 +93,15 @@ def _fa_kernel(causal, scale, block_q, block_k, with_lse,
         m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
         l_sc[:] = jnp.broadcast_to(l_new, l_sc.shape)
 
-    if causal:
-        # skip KV blocks strictly above the diagonal (ascending ki ⇒ the first
-        # block of every Q row is at least partially valid, so m never stays -inf)
-        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
+    if causal or window:
+        # skip KV blocks strictly above the diagonal, and (with a window)
+        # blocks entirely below the band (ascending ki ⇒ the diagonal block
+        # always runs, so m never stays -inf)
+        cond = ki * block_k <= qi * block_q + block_q - 1
+        if window:
+            cond &= ki * block_k + block_k - 1 >= (
+                qi * block_q - window + 1)
+        @pl.when(cond)
         def _():
             compute()
     else:
@@ -122,6 +130,7 @@ def make_flash_attention(
     block_q: int | None = None,
     block_k: int | None = None,
     causal: bool = False,
+    window: int | None = None,
     with_lse: bool = False,
     sm_scale: float | None = None,
     num_kv_heads: int | None = None,
@@ -130,13 +139,16 @@ def make_flash_attention(
 
     Returns fn(q, k, v) -> out (or (out, lse) when with_lse). k/v may have fewer
     heads (GQA); ``num_kv_heads`` is inferred from k's shape. Block sizes default
-    to per-headdim tuned values.
+    to per-headdim tuned values. ``window``: Mistral-style causal sliding
+    window — each query attends to its last ``window`` positions; off-band KV
+    blocks are skipped entirely (compute cost O(N·window), not O(N²)).
     """
+    assert window is None or window > 0
 
     @jax.jit
     def fn(q, k, v):
         B, H, N, D = q.shape
-        dbq, dbk = _default_blocks(D, causal)
+        dbq, dbk = _default_blocks(D, causal or bool(window))
         block_q_, block_k_ = block_q or dbq, block_k or dbk
         Hkv = k.shape[1]
         assert H % Hkv == 0, (H, Hkv)
@@ -174,7 +186,8 @@ def make_flash_attention(
             )
 
         res = pl.pallas_call(
-            functools.partial(_fa_kernel, causal, scale, bq, bk, with_lse),
+            functools.partial(_fa_kernel, causal or bool(window), window,
+                              scale, bq, bk, with_lse),
             out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
             grid=grid,
             in_specs=[
@@ -208,7 +221,7 @@ def make_flash_attention(
     return fn
 
 
-def mha_ref(q, k, v, *, causal=False, sm_scale=None):
+def mha_ref(q, k, v, *, causal=False, window=None, sm_scale=None):
     """SDPA oracle (the reference's flash_attn_func / F.sdpa parity bar)."""
     B, H, N, D = q.shape
     Hkv = k.shape[1]
@@ -218,8 +231,12 @@ def mha_ref(q, k, v, *, causal=False, sm_scale=None):
         v = jnp.repeat(v, H // Hkv, axis=1)
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
-    if causal:
-        mask = jnp.tril(jnp.ones((N, k.shape[2]), bool))
+    if causal or window:
+        rows = jnp.arange(N)[:, None]
+        cols = jnp.arange(k.shape[2])[None, :]
+        mask = rows >= cols
+        if window:
+            mask &= rows - cols < window
         s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p,

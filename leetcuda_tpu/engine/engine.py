@@ -16,7 +16,7 @@ module is that composition, TPU-style:
   ``decode_step`` for all live slots per tick.
 - **Quantization.** Weights may be weight-only fp8/int8 (models/llama.py
   ``quantize_params`` -> fused-dequant Pallas matmuls) and the KV cache may be
-  int8/fp8 with per-(slot, position, head) scales (attention/decode.py).
+  int8/fp8 with per-(slot, head, position) scales (attention/decode.py).
 - **In-place caches.** The hot jits donate the cache pytree, so token appends
   are true scatters, not full-cache copies.
 
@@ -73,11 +73,8 @@ def _insert_kvs(caches, kvs, slot, length):
     for cache, (k, v) in zip(caches, kvs):
         c = dict(cache)
         if "k_scale" in cache:
-            kq, ks = _quantize_token_kv(  # (Bp,S,Hkv,D) -> q + (Bp,S,Hkv)
-                k.transpose(0, 2, 1, 3), cache["k"].dtype)
-            vq, vs = _quantize_token_kv(v.transpose(0, 2, 1, 3),
-                                        cache["v"].dtype)
-            kq, vq = kq.transpose(0, 2, 1, 3), vq.transpose(0, 2, 1, 3)
+            kq, ks = _quantize_token_kv(k, cache["k"].dtype)  # ks (Bp, Hkv, S)
+            vq, vs = _quantize_token_kv(v, cache["v"].dtype)
             c["k"] = jax.lax.dynamic_update_slice(cache["k"], kq,
                                                   (slot, 0, 0, 0))
             c["v"] = jax.lax.dynamic_update_slice(cache["v"], vq,

@@ -255,8 +255,8 @@ def shard_kv_caches(caches, mesh: Mesh):
     """Caches onto the mesh: (slots, kv-heads, S, D) -> (dp, tp, -, -)."""
     cache_spec = {"k": P("dp", "tp", None, None),
                   "v": P("dp", "tp", None, None),
-                  "k_scale": P("dp", None, "tp"),
-                  "v_scale": P("dp", None, "tp")}
+                  "k_scale": P("dp", "tp", None),
+                  "v_scale": P("dp", "tp", None)}
     return [
         {k: jax.device_put(v, NamedSharding(mesh, cache_spec[k]))
          for k, v in c.items()}
@@ -400,15 +400,16 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
 def init_kv_caches(cfg: ModelConfig, batch: int, max_seq: int,
                    dtype=None, quant: str | None = None):
     """Plain caches: [{"k", "v"}]. With ``quant`` ("int8" | "fp8"): the cache
-    arrays are stored quantized with per-(batch, position, kv-head) f32 scales
-    in the (B, S, Hkv) layout the decode kernel DMAs efficiently."""
+    arrays are stored quantized with per-(batch, kv-head, position) f32 scales
+    in the (B, Hkv, S) layout the decode kernel DMAs efficiently (positions on
+    the lane axis)."""
     shape = (batch, cfg.n_kv_heads, max_seq, cfg.head_dim)
     if quant is None:
         dtype = dtype or cfg.dtype
         return [{"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
                 for _ in range(cfg.n_layers)]
     qdt = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
-    sshape = (batch, max_seq, cfg.n_kv_heads)
+    sshape = (batch, cfg.n_kv_heads, max_seq)
     return [{"k": jnp.zeros(shape, qdt), "v": jnp.zeros(shape, qdt),
              "k_scale": jnp.ones(sshape, jnp.float32),
              "v_scale": jnp.ones(sshape, jnp.float32)}
@@ -437,8 +438,8 @@ def _cache_append(cache, k, v, pos):
         vq, vs = _quantize_token_kv(v, cache["v"].dtype)
         out["k"] = cache["k"].at[bidx, :, pos].set(kq)
         out["v"] = cache["v"].at[bidx, :, pos].set(vq)
-        out["k_scale"] = cache["k_scale"].at[bidx, pos].set(ks)
-        out["v_scale"] = cache["v_scale"].at[bidx, pos].set(vs)
+        out["k_scale"] = cache["k_scale"].at[bidx, :, pos].set(ks)
+        out["v_scale"] = cache["v_scale"].at[bidx, :, pos].set(vs)
     else:
         out["k"] = cache["k"].at[bidx, :, pos].set(k.astype(cache["k"].dtype))
         out["v"] = cache["v"].at[bidx, :, pos].set(v.astype(cache["v"].dtype))

@@ -72,3 +72,42 @@ def test_flash_bf16(rng):
     got = np.asarray(fa(q, k, v), np.float32)
     want = np.asarray(mha_ref(q, k, v, causal=True), np.float32)
     assert np.abs(got - want).max() < 5e-2
+
+
+def test_sliding_window_matches_ref():
+    """Mistral-style sliding window: kernel == masked oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from leetcuda_tpu.attention.flash import make_flash_attention, mha_ref
+
+    B, H, N, D, W = 1, 2, 512, 64, 128
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(ks[0], (B, H, N, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, H, N, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, H, N, D), jnp.float32)
+    fa = make_flash_attention(window=W, block_q=128, block_k=128)
+    got = fa(q, k, v)
+    want = mha_ref(q, k, v, causal=True, window=W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_sliding_window_decode_matches_ref():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from leetcuda_tpu.attention.decode import (
+        make_decode_attention, decode_attention_ref)
+
+    B, H, Hkv, S, D, W = 4, 8, 2, 1024, 64, 256
+    ks = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(ks[0], (B, H, D), jnp.float32)
+    kc = jax.random.normal(ks[1], (B, Hkv, S, D), jnp.float32)
+    vc = jax.random.normal(ks[2], (B, Hkv, S, D), jnp.float32)
+    lengths = jnp.asarray([64, 300, 700, 1024], jnp.int32)
+    fn = make_decode_attention(block_k=256, window=W)
+    got = fn(q, kc, vc, lengths)
+    want = decode_attention_ref(q, kc, vc, lengths, window=W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)

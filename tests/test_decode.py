@@ -60,7 +60,7 @@ def test_decode_attention_quantized(rng):
     vq = jnp.round(v / vs[..., None]).astype(jnp.int8)
     lengths = jnp.asarray([160], jnp.int32)
     got = np.asarray(make_decode_attention_quantized(block_k=128)(
-        q, kq, vq, ks.transpose(0, 2, 1), vs.transpose(0, 2, 1), lengths))
+        q, kq, vq, ks, vs, lengths))  # scales are (B, Hkv, S)
     want = np.asarray(decode_attention_ref(
         q, kq.astype(jnp.float32) * ks[..., None],
         vq.astype(jnp.float32) * vs[..., None], lengths))
