@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--splitkv", type=int, default=0,
                     help="also run split-KV with this many splits (non-causal)")
+    ap.add_argument("--bwd", action="store_true",
+                    help="benchmark forward+backward (custom-VJP kernels)")
     args = ap.parse_args()
 
     B, H, N, D = args.B, args.H, args.N, args.D
@@ -95,6 +97,29 @@ def main():
             q, k, v, num_splits=args.splitkv))
         run_benchmark(fn, q, k, v, tag=f"split_kv(x{args.splitkv})",
                       iters=args.iters, flops=flops, bytes=byts,
+                      session=session)
+
+    if args.bwd:
+        from leetcuda_tpu.attention.flash_bwd import (
+            make_flash_attention_trainable)
+
+        fa_t = make_flash_attention_trainable(causal=args.causal)
+        bwd_flops = flops * 3.5  # fwd + recompute + dq/dk/dv (FA-2 model)
+
+        def grad_pallas(q, k, v):
+            return jax.grad(lambda q: jnp.sum(fa_t(q, k, v)
+                                              .astype(jnp.float32)))(q)
+
+        def grad_ref(q, k, v):
+            return jax.grad(lambda q: jnp.sum(
+                flash_attention_ref(q, k, v, causal=args.causal)
+                .astype(jnp.float32)))(q)
+
+        run_benchmark(jax.jit(grad_pallas), q, k, v, tag="bwd pallas(vjp)",
+                      iters=args.iters, flops=bwd_flops, bytes=byts,
+                      session=session)
+        run_benchmark(jax.jit(grad_ref), q, k, v, tag="bwd xla_sdpa",
+                      iters=args.iters, flops=bwd_flops, bytes=byts,
                       session=session)
 
     # oracle through the same loop — the reference benches FA2/SDPA identically
