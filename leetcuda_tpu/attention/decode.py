@@ -116,7 +116,23 @@ def _clamped_kv_map(bk, window=None):
     return kv_map
 
 
-def make_decode_attention(*, block_k: int = 512, sm_scale=None,
+def _pick_bk(S, block_k):
+    """Largest power-of-two block <= block_k dividing S (v5e sweep: 1024 best
+    at long contexts — 603 GB/s vs 570 at 512; 2048+ exceeds scoped VMEM)."""
+    bk = min(block_k, S)
+    while S % bk:
+        bk //= 2
+    return max(bk, 128) if S % max(bk, 128) == 0 else S
+
+
+def _vmem_params():
+    if interpret_default():
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)}
+
+
+def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
                           window: int | None = None):
     """decode_attention(q, k_cache, v_cache, lengths) -> (B, H, D).
 
@@ -131,7 +147,7 @@ def make_decode_attention(*, block_k: int = 512, sm_scale=None,
         B, H, D = q.shape
         _, Hkv, S, _ = k_cache.shape
         group = H // Hkv
-        bk = min(block_k, S)
+        bk = _pick_bk(S, block_k)
         assert S % bk == 0
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
 
@@ -160,12 +176,13 @@ def make_decode_attention(*, block_k: int = 512, sm_scale=None,
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),
+            **_vmem_params(),
         )(lengths.astype(jnp.int32), q, k_cache, v_cache)
 
     return fn
 
 
-def make_decode_attention_quantized(*, block_k: int = 512, sm_scale=None):
+def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None):
     """Quantized-cache decode: caches int8/fp8, per-(b, head, pos) f32 scales.
 
     fn(q, k_cache_q, v_cache_q, k_scale, v_scale, lengths); scales (B, Hkv, S).
@@ -176,7 +193,7 @@ def make_decode_attention_quantized(*, block_k: int = 512, sm_scale=None):
         B, H, D = q.shape
         _, Hkv, S, _ = k_cache.shape
         group = H // Hkv
-        bk = min(block_k, S)
+        bk = _pick_bk(S, block_k)
         assert S % bk == 0
         assert k_scale.shape == (B, Hkv, S), "scales must be (B, Hkv, S)"
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
@@ -210,6 +227,7 @@ def make_decode_attention_quantized(*, block_k: int = 512, sm_scale=None):
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),
+            **_vmem_params(),
         )(lengths.astype(jnp.int32), q, k_cache, v_cache, k_scale, v_scale)
 
     return fn

@@ -446,7 +446,7 @@ def _cache_append(cache, k, v, pos):
     return out
 
 
-def _cache_attend(q, cache, lengths, block_k=512, mesh: Mesh | None = None):
+def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None):
     """Decode attention over the cache. Under a mesh the Pallas kernel is
     wrapped in shard_map (GSPMD cannot partition a custom call): batch on dp,
     heads on tp — each shard runs the kernel on its local head group."""
