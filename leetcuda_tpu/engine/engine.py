@@ -259,7 +259,7 @@ def generate_scan(params, cfg: ModelConfig, prompts, max_new: int,
     Under a mesh: dp shards the batch, tp the heads (dp | B, tp | n_kv_heads;
     params should already be sharded via shard_llama_params)."""
     B, S = prompts.shape
-    max_seq = max_seq or ((S + max_new + 511) // 512) * 512  # decode block_k multiple
+    max_seq = max_seq or ((S + max_new + 1023) // 1024) * 1024  # enables the 1024 decode block
     caches = init_kv_caches(cfg, B, max_seq, quant=kv_quant)
     if mesh is not None:
         caches = shard_kv_caches(caches, mesh)

@@ -308,6 +308,29 @@ def _attention(q, k, v, mesh: Mesh | None, causal: bool):
                      check_vma=False)(q, k, v)
 
 
+def apply_layer(layer, x, positions, cfg: ModelConfig,
+                mesh: Mesh | None = None):
+    """One transformer layer (prefill/training path). x (B, S, D) ->
+    (x, (k, v)) with the post-rope K/V the decode path would cache."""
+    B, S, _ = x.shape
+    H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+    q = q.reshape(B, S, H, Dh)
+    k = k.reshape(B, S, Hkv, Dh)
+    v = v.reshape(B, S, Hkv, Dh)
+    q = apply_rope_half(q, positions, cfg.rope_theta)
+    k = apply_rope_half(k, positions, cfg.rope_theta)
+    k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+    o = _attention(q.transpose(0, 2, 1, 3), k, v, mesh, causal=True)
+    o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
+    x = x + linear(o, layer["wo"])
+
+    h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    x = x + _proj_mlp(h, layer, cfg)
+    return x, (k, v)
+
+
 def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
             positions=None, return_kv: bool = False):
     """Causal LM forward. tokens (B, S) int32 -> logits (B, S, V).
@@ -323,28 +346,61 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
 
     kvs = []
     for layer in params["layers"]:
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
-        q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
-        q = q.reshape(B, S, H, Dh)
-        k = k.reshape(B, S, Hkv, Dh)
-        v = v.reshape(B, S, Hkv, Dh)
-        q = apply_rope_half(q, positions, cfg.rope_theta)
-        k = apply_rope_half(k, positions, cfg.rope_theta)
-        k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        x, kv = apply_layer(layer, x, positions, cfg, mesh=mesh)
         if return_kv:
-            kvs.append((k, v))
-        o = _attention(q.transpose(0, 2, 1, 3), k, v, mesh, causal=True)
-        o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
-        x = x + linear(o, layer["wo"])
-
-        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
-        x = x + _proj_mlp(h, layer, cfg)
+            kvs.append(kv)
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps)
     # tied lm head by default; HF checkpoints may carry an untied one
     w_lm = params.get("lm_head", params["embed"])
     logits = (x @ w_lm.T).astype(jnp.float32)
     return (logits, kvs) if return_kv else logits
+
+
+def pipeline_forward(params, tokens, cfg: ModelConfig, mesh: Mesh,
+                     n_microbatches: int = None):
+    """Pipeline-parallel forward over the mesh's "pp" axis (GPipe schedule,
+    parallel/pipeline.py): layers are split into pp stages (stage weights live
+    only on their stage's devices); the batch is split into microbatches that
+    stream through the stage ring via ppermute. Embedding, final norm and the
+    LM head are replicated (cheap next to the layer stack).
+
+    Requires n_layers % pp == 0 and batch % n_microbatches == 0."""
+    from leetcuda_tpu.parallel.pipeline import (
+        stack_stage_params, shard_stage_params, pipeline_apply)
+
+    n_stages = mesh.shape["pp"]
+    L = cfg.n_layers
+    assert L % n_stages == 0, (L, n_stages)
+    per = L // n_stages
+    B, S = tokens.shape
+    M = n_microbatches or n_stages
+    assert B % M == 0, (B, M)
+
+    # (stage, layers-per-stage, ...) weight stacks, stage dim sharded on pp
+    stage_trees = [
+        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                               *params["layers"][s * per:(s + 1) * per])
+        for s in range(n_stages)
+    ]
+    stacked = shard_stage_params(stack_stage_params(stage_trees), mesh)
+
+    x = jnp.take(params["embed"], tokens, axis=0)  # (B, S, D)
+    positions = jnp.broadcast_to(jnp.arange(S), (B // M, S))
+    mbs = x.reshape(M, B // M, S, cfg.dim)
+
+    def stage_fn(stage_layers, xmb):
+        def body(x, layer):
+            x, _ = apply_layer(layer, x, positions, cfg)
+            return x, None
+
+        x, _ = jax.lax.scan(body, xmb, stage_layers)
+        return x
+
+    x = pipeline_apply(stage_fn, stacked, mbs, mesh).reshape(B, S, cfg.dim)
+    x = _rms_norm(x, params["norm"], cfg.norm_eps)
+    w_lm = params.get("lm_head", params["embed"])
+    return (x @ w_lm.T).astype(jnp.float32)
 
 
 def loss_fn(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None):

@@ -63,3 +63,20 @@ def test_pipeline_eight_stages():
         want = mlp_stage(p, want)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_llama_forward_matches_plain():
+    """Full model through the 4-stage pipeline == plain forward."""
+    import jax.numpy as jnp
+    from leetcuda_tpu.models.llama import (
+        tiny_config, init_params, forward, pipeline_forward)
+
+    cfg = tiny_config(n_layers=4)
+    params = init_params(jax.random.key(0), cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("pp",))
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (4, 32)), jnp.int32)
+    want = forward(params, tokens, cfg)
+    got = pipeline_forward(params, tokens, cfg, mesh, n_microbatches=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
