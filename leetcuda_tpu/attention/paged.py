@@ -1,0 +1,185 @@
+"""Paged KV-cache attention — vLLM-style PagedAttention, TPU-native.
+
+The slot-cache engine (engine/engine.py) reserves max_seq per sequence; paging
+removes that: K/V live in a global pool of fixed-size pages
+
+    k_pages, v_pages: (num_pages, Hkv, page_size, D)
+
+and each sequence owns a *block table* row mapping logical page i -> physical
+page id. This is the canonical ``PrefetchScalarGridSpec`` use: the block table
+and lengths are scalar-prefetched so the KV BlockSpec's index_map can chase
+the indirection BEFORE the kernel body runs — each grid step DMAs exactly its
+sequence's next physical page, and steps past the sequence's last page clamp
+to an already-fetched index (DMA elided). No gather, no copy-out.
+
+The reference has nothing like this (its north star asks for a continuous-
+batching decode engine; paging is how production engines make that memory-
+dense). Page size is a multiple of 8 (sublane alignment).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from leetcuda_tpu.core.runtime import interpret_default
+
+_NEG_INF = -1e30
+_LANES = 128
+
+
+def _paged_kernel(scale, Hkv, group, page, pt_ref, len_ref,
+                  q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc):
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+    seq_len = len_ref[b]
+
+    @pl.when(si == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, _NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    @pl.when(si * page < seq_len)  # pages past the sequence end: skip
+    def _():
+        cols = si * page + jax.lax.broadcasted_iota(
+            jnp.int32, (1, page), 1)
+        valid = cols < seq_len
+
+        for kvh in range(Hkv):
+            qg = q_ref[0, kvh * group:(kvh + 1) * group, :].astype(jnp.float32)
+            k_blk = k_ref[0, kvh].astype(jnp.float32)  # (page, D)
+            v_blk = v_ref[0, kvh].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qg, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(valid, s, _NEG_INF)
+
+            rows = slice(kvh * group, (kvh + 1) * group)
+            m_prev = m_sc[rows, 0:1]
+            l_prev = l_sc[rows, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            acc_sc[rows, :] = acc_sc[rows, :] * alpha + jnp.dot(
+                p, v_blk, preferred_element_type=jnp.float32)
+            m_sc[rows, :] = jnp.broadcast_to(m_new, (group, _LANES))
+            l_sc[rows, :] = jnp.broadcast_to(l_new, (group, _LANES))
+
+    @pl.when(si == pl.num_programs(1) - 1)
+    def _():
+        o_ref[0] = (acc_sc[:] / jnp.maximum(l_sc[:, 0:1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+def make_paged_attention(*, sm_scale=None):
+    """fn(q, k_pages, v_pages, page_table, lengths) -> (B, H, D).
+
+    q (B, H, D); pages (N_pages, Hkv, page, D); page_table (B, P_max) int32
+    physical page ids (entries past a sequence's last page are ignored);
+    lengths (B,) valid token counts."""
+
+    @jax.jit
+    def fn(q, k_pages, v_pages, page_table, lengths):
+        B, H, D = q.shape
+        _, Hkv, page, _ = k_pages.shape
+        P_max = page_table.shape[1]
+        group = H // Hkv
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+
+        def kv_map(b, si, pt, L):
+            # chase the block table; clamp past-the-end steps onto the last
+            # valid logical page so their DMA is elided (same physical index)
+            last = jnp.maximum(pl.cdiv(L[b], page) - 1, 0)
+            return (pt[b, jnp.minimum(si, last)], 0, 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # page_table, lengths
+            grid=(B, P_max),
+            in_specs=[
+                pl.BlockSpec((1, H, D), lambda b, si, pt, L: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, page, D), kv_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, page, D), kv_map,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, H, D), lambda b, si, pt, L: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((H, _LANES), jnp.float32),
+                pltpu.VMEM((H, _LANES), jnp.float32),
+                pltpu.VMEM((H, D), jnp.float32),
+            ],
+        )
+        params = {}
+        if not interpret_default():
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+        return pl.pallas_call(
+            functools.partial(_paged_kernel, scale, Hkv, group, page),
+            out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret_default(),
+            **params,
+        )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
+          q, k_pages, v_pages)
+
+    return fn
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def paged_append(k_pages, v_pages, k, v, page_table, lengths):
+    """Append one token's k/v (B, Hkv, D) at each sequence's current position.
+    Returns updated (k_pages, v_pages). The caller must have allocated the
+    page containing position ``lengths[b]`` already (PageManager.ensure)."""
+    B = k.shape[0]
+    page = k_pages.shape[2]
+    bidx = jnp.arange(B)
+    logical = lengths // page
+    phys = page_table[bidx, logical]          # (B,)
+    offs = lengths % page                      # (B,)
+    k_pages = k_pages.at[phys, :, offs].set(k.astype(k_pages.dtype))
+    v_pages = v_pages.at[phys, :, offs].set(v.astype(v_pages.dtype))
+    return k_pages, v_pages
+
+
+class PageManager:
+    """Host-side physical-page allocator for the paged cache.
+
+    Page 0 is reserved as the null page (block-table filler), so fresh table
+    entries are always valid physical indices."""
+
+    def __init__(self, num_pages: int, page_size: int, max_pages_per_seq: int,
+                 n_slots: int):
+        self.page_size = page_size
+        self.free = list(range(num_pages - 1, 0, -1))  # pool; 0 reserved
+        self.table = np.zeros((n_slots, max_pages_per_seq), np.int32)
+        self.used: dict[int, list[int]] = {i: [] for i in range(n_slots)}
+
+    def ensure(self, slot: int, length: int) -> bool:
+        """Make sure pages cover positions [0, length]; returns False on OOM."""
+        need = length // self.page_size + 1
+        while len(self.used[slot]) < need:
+            if not self.free:
+                return False
+            p = self.free.pop()
+            self.table[slot, len(self.used[slot])] = p
+            self.used[slot].append(p)
+        return True
+
+    def release(self, slot: int):
+        self.free.extend(reversed(self.used[slot]))
+        self.used[slot] = []
+        self.table[slot] = 0
+
+    @property
+    def device_table(self):
+        return jnp.asarray(self.table)
