@@ -49,6 +49,12 @@ class EngineConfig:
     prefill_bucket: int = 128 # prompts pad to a multiple of this
     kv_quant: str | None = None      # None | "int8" | "fp8"
     eos_id: int | None = None        # stop token (None = run to max_new)
+    # paged KV cache (attention/paged.py): memory-dense serving — the pool can
+    # hold fewer than slots*max_seq tokens; on pool exhaustion the youngest
+    # sequence is preempted (pages released, request requeued for recompute)
+    paged: bool = False
+    page_size: int = 128
+    num_pages: int | None = None     # default: a full slots*max_seq pool + 1
 
 
 @dataclasses.dataclass
@@ -58,6 +64,15 @@ class Request:
     max_new: int
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    orig_prompt_len: int = 0  # fixed at submit; prompt grows on preemption
+
+    def __post_init__(self):
+        if not self.orig_prompt_len:
+            self.orig_prompt_len = len(self.prompt)
+
+    @property
+    def context_len(self):
+        return self.orig_prompt_len + len(self.generated)
 
 
 from leetcuda_tpu.engine.sampling import greedy as _greedy
@@ -92,6 +107,25 @@ def _insert_kvs(caches, kvs, slot, length):
     return new
 
 
+def _insert_kvs_paged(caches, kvs, phys_pages, page):
+    """Scatter one sequence's prefill K/V ((1, Hkv, S_pad, Dh) per layer) into
+    its physical pages (phys_pages (S_pad/page,) ids, same table all layers)."""
+    new = []
+    for cache, (k, v) in zip(caches, kvs):
+        _, Hkv, S_pad, D = k.shape
+        n = S_pad // page
+
+        def chunks(x):
+            return (x[0].reshape(Hkv, n, page, D).transpose(1, 0, 2, 3)
+                    .astype(cache["k_pages"].dtype))
+
+        new.append({
+            "k_pages": cache["k_pages"].at[phys_pages].set(chunks(k)),
+            "v_pages": cache["v_pages"].at[phys_pages].set(chunks(v)),
+        })
+    return new
+
+
 class Engine:
     """Host-driven continuous-batching engine over jitted device steps."""
 
@@ -112,7 +146,22 @@ class Engine:
         ec = self.ec
         assert ec.max_seq % ec.prefill_bucket == 0
 
-        caches = init_kv_caches(cfg, ec.slots, ec.max_seq, quant=ec.kv_quant)
+        self.pm = None
+        if ec.paged:
+            from leetcuda_tpu.attention.paged import PageManager
+            from leetcuda_tpu.models.llama import init_paged_kv_caches
+
+            assert mesh is None, "paged serving is single-shard for now"
+            assert ec.kv_quant is None, "paged + quantized KV not wired yet"
+            assert ec.prefill_bucket % ec.page_size == 0
+            num_pages = ec.num_pages or (
+                ec.slots * ec.max_seq // ec.page_size + 1)
+            self.pm = PageManager(num_pages, ec.page_size,
+                                  ec.max_seq // ec.page_size, ec.slots)
+            caches = init_paged_kv_caches(cfg, num_pages, ec.page_size)
+        else:
+            caches = init_kv_caches(cfg, ec.slots, ec.max_seq,
+                                    quant=ec.kv_quant)
         if mesh is not None:
             assert mesh.shape.get("dp", 1) == 1, "Engine mesh must have dp=1"
             params = shard_llama_params(params, cfg, mesh)
@@ -128,12 +177,15 @@ class Engine:
         self.finished: dict[int, Request] = {}
         self._uid = 0
 
+        self._hlen = np.zeros((ec.slots,), np.int64)  # host-side lengths
         self._decode = jax.jit(
             functools.partial(decode_step_impl, mesh=mesh),
             static_argnames=("cfg",), donate_argnums=(2,))
         self._prefill = jax.jit(
             functools.partial(forward, cfg=cfg, mesh=mesh, return_kv=True))
         self._insert = jax.jit(_insert_kvs, donate_argnums=(0,))
+        self._insert_paged = jax.jit(_insert_kvs_paged, donate_argnums=(0,),
+                                     static_argnums=(3,))
 
     # --- public API -----------------------------------------------------------
 
@@ -157,11 +209,25 @@ class Engine:
             toks = np.zeros((1, s_pad), np.int32)
             toks[0, :L] = req.prompt
 
+            if self.pm is not None and not self.pm.ensure(slot, s_pad - 1):
+                # pool exhausted: put the request back, retry after frees
+                self.waiting.appendleft(req)
+                self.free.append(slot)
+                break
+
             logits, kvs = self._prefill(self.params, jnp.asarray(toks))
-            self.caches = self._insert(self.caches, kvs,
-                                       jnp.int32(slot), jnp.int32(L))
+            if self.pm is not None:
+                phys = jnp.asarray(
+                    self.pm.used[slot][:s_pad // self.ec.page_size],
+                    jnp.int32)
+                self.caches = self._insert_paged(self.caches, kvs, phys,
+                                                 self.ec.page_size)
+            else:
+                self.caches = self._insert(self.caches, kvs,
+                                           jnp.int32(slot), jnp.int32(L))
             first = self.sample_fn(logits[0, L - 1], self._next_key())
             self.lengths = self.lengths.at[slot].set(L)
+            self._hlen[slot] = L
             self.last_tokens = self.last_tokens.at[slot].set(first)
             req.generated.append(int(first))
             self.active[slot] = req
@@ -172,12 +238,30 @@ class Engine:
         if req is None:
             return
         hit_eos = self.ec.eos_id is not None and token == self.ec.eos_id
-        ctx = len(req.prompt) + len(req.generated)
-        if hit_eos or len(req.generated) >= req.max_new or ctx >= self.ec.max_seq:
+        if (hit_eos or len(req.generated) >= req.max_new
+                or req.context_len >= self.ec.max_seq):
             req.done = True
             self.finished[req.uid] = req
             del self.active[slot]
             self.free.append(slot)
+            if self.pm is not None:
+                self.pm.release(slot)
+
+    def _preempt_youngest(self):
+        """Page pool exhausted mid-decode: evict the most recently admitted
+        sequence — release its pages and requeue it for recompute with its
+        generated tokens folded into the prompt (vLLM-style recompute
+        preemption). On re-admission, prefill rebuilds the cache over
+        prompt+generated and sampling continues from the next position;
+        ``context_len`` uses the original prompt length so budgets are
+        unaffected."""
+        slot = max(self.active, key=lambda s: self.active[s].uid)
+        req = self.active.pop(slot)
+        self.pm.release(slot)
+        self.free.append(slot)
+        req.prompt = req.prompt + req.generated
+        self.waiting.appendleft(req)
+        return slot
 
     def step(self) -> dict[int, int]:
         """Admit waiting requests, then advance every live slot one token.
@@ -186,18 +270,33 @@ class Engine:
         if not self.active:
             return {}
 
+        if self.pm is not None:
+            # grow pages for this step's appends; preempt on pool exhaustion
+            # (preempted slots write to the reserved null page 0 until reuse)
+            for slot in sorted(self.active):
+                if slot not in self.active:
+                    continue  # preempted while servicing an earlier slot
+                while (slot in self.active
+                       and not self.pm.ensure(slot, int(self._hlen[slot]))):
+                    self._preempt_youngest()
+            if not self.active:
+                return {}
+
         live = np.zeros((self.ec.slots,), bool)
         for s in self.active:
             live[s] = True
         live_j = jnp.asarray(live)
 
+        kw = ({"page_table": self.pm.device_table}
+              if self.pm is not None else {})
         logits, self.caches = self._decode(
             self.params, self.last_tokens, self.caches, self.lengths,
-            cfg=self.cfg)
+            cfg=self.cfg, **kw)
         nxt = self.sample_fn(logits, self._next_key())
         # dead slots: freeze length (their repeated append lands on an unused
         # position that the next admission's prefill overwrites)
         self.lengths = jnp.where(live_j, self.lengths + 1, self.lengths)
+        self._hlen[live] += 1
         self.last_tokens = jnp.where(live_j, nxt, self.last_tokens)
 
         out = {}

@@ -483,9 +483,26 @@ def _quantize_token_kv(x, qdt):
     return xq.astype(qdt), scale
 
 
-def _cache_append(cache, k, v, pos):
+def init_paged_kv_caches(cfg: ModelConfig, num_pages: int, page_size: int,
+                         dtype=None):
+    """Paged caches (attention/paged.py): per-layer page pools sharing one
+    block table (managed host-side by PageManager)."""
+    dtype = dtype or cfg.dtype
+    shape = (num_pages, cfg.n_kv_heads, page_size, cfg.head_dim)
+    return [{"k_pages": jnp.zeros(shape, dtype),
+             "v_pages": jnp.zeros(shape, dtype)}
+            for _ in range(cfg.n_layers)]
+
+
+def _cache_append(cache, k, v, pos, page_table=None):
     """Write this token's k/v (B, Hkv, Dh) at position ``pos`` (B,), quantizing
-    when the cache is quantized. Returns the updated cache dict."""
+    when the cache is quantized; paged caches route through paged_append."""
+    if "k_pages" in cache:
+        from leetcuda_tpu.attention.paged import paged_append
+
+        kp, vp = paged_append(cache["k_pages"], cache["v_pages"],
+                              k, v, page_table, pos)
+        return {"k_pages": kp, "v_pages": vp}
     B = k.shape[0]
     bidx = jnp.arange(B)
     out = dict(cache)
@@ -502,10 +519,17 @@ def _cache_append(cache, k, v, pos):
     return out
 
 
-def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None):
+def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
+                  page_table=None):
     """Decode attention over the cache. Under a mesh the Pallas kernel is
     wrapped in shard_map (GSPMD cannot partition a custom call): batch on dp,
     heads on tp — each shard runs the kernel on its local head group."""
+    if "k_pages" in cache:
+        from leetcuda_tpu.attention.paged import make_paged_attention
+
+        assert mesh is None, "paged attention is single-shard for now"
+        return make_paged_attention()(q, cache["k_pages"], cache["v_pages"],
+                                      page_table, lengths)
     quantized = "k_scale" in cache
     if quantized:
         da = make_decode_attention_quantized(block_k=block_k)
@@ -526,7 +550,7 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None):
 
 
 def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
-                     mesh: Mesh | None = None):
+                     mesh: Mesh | None = None, page_table=None):
     """One decode step for B sequences. tokens (B,) int32; lengths (B,) = current
     context length EXCLUDING this token. Returns (logits (B, V), new caches).
     Uses the Pallas decode-attention kernel over the padded cache; params and
@@ -553,9 +577,10 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
                             cfg.rope_theta)[:, 0]
         k = apply_rope_half(k[:, None], pos[:, None],
                             cfg.rope_theta)[:, 0]
-        cache = _cache_append(cache, k, v, pos)
+        cache = _cache_append(cache, k, v, pos, page_table=page_table)
         new_caches.append(cache)
-        o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1, mesh=mesh)
+        o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1, mesh=mesh,
+                          page_table=page_table)
         x = x + linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
 
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)

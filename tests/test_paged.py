@@ -85,3 +85,43 @@ def test_page_manager_oom_and_release():
     assert not pm.ensure(1, 8)                     # pool (3 usable) exhausted
     pm.release(0)
     assert pm.ensure(1, 8)                         # freed pages reusable
+
+def test_paged_engine_matches_solo():
+    """Paged engine (ample pool) == solo decode tokens."""
+    from leetcuda_tpu.models.llama import tiny_config, init_params
+    from leetcuda_tpu.engine import Engine, EngineConfig
+    from test_engine import solo_greedy
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    rng2 = np.random.default_rng(0)
+    prompts = [list(rng2.integers(0, cfg.vocab_size, n)) for n in (5, 12, 9)]
+
+    eng = Engine(params, cfg, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16))
+    got = eng.run(prompts, max_new=6)
+    for uid, prompt in zip(sorted(got), prompts):
+        assert got[uid] == solo_greedy(params, cfg, prompt, 6), uid
+
+
+def test_paged_engine_preemption():
+    """A pool too small for all sequences forces recompute preemption; every
+    request must still produce exactly its solo tokens."""
+    from leetcuda_tpu.models.llama import tiny_config, init_params
+    from leetcuda_tpu.engine import Engine, EngineConfig
+    from test_engine import solo_greedy
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    rng2 = np.random.default_rng(1)
+    prompts = [list(rng2.integers(0, cfg.vocab_size, 12)) for _ in range(3)]
+
+    # 2 slots x (12 prompt + 24 new) needs ~3 pages each at page=16; give a
+    # pool of 5 usable pages so two concurrent sequences collide mid-flight
+    eng = Engine(params, cfg, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        num_pages=6))
+    got = eng.run(prompts, max_new=24)
+    for uid, prompt in zip(sorted(got), prompts):
+        want = solo_greedy(params, cfg, prompt, 24)
+        assert got[uid] == want, (uid, got[uid], want)
