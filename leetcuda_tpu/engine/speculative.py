@@ -1,0 +1,175 @@
+"""Speculative decoding — draft-model proposal + single-pass target verify.
+
+Greedy speculative decoding is EXACT: the emitted stream equals the target
+model's own greedy decode, but each accepted draft token costs the target one
+position of a (k+1)-token chunked forward instead of a full decode step —
+the target's weights stream once per chunk, not once per token.
+
+TPU-native mechanics:
+- ``decode_chunk`` extends the engine's decode path to T tokens at once
+  (chunked prefill): all T K/V appended by offset scatter, attention against
+  the cache with per-position validity ``pos_q < lengths + t + 1`` (which is
+  exactly causal-within-chunk + full-prefix). T is small (k+1 <= 8), so the
+  (B, H, T, S) score tensor is jnp einsum territory — no kernel needed.
+- Cache rollback after a rejected suffix is free: caches are length-masked,
+  so rolling back IS just not advancing ``lengths``; the rejected positions'
+  K/V get overwritten by later appends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leetcuda_tpu.models.llama import (
+    ModelConfig, decode_step, forward, init_kv_caches, _rms_norm,
+    _proj_qkv, _proj_mlp, apply_rope_half, linear)
+from leetcuda_tpu.engine.engine import _insert_kvs
+
+
+def _chunk_attend(q, cache, base_lengths):
+    """q (B, T, H, Dh) at positions base+t; cache (B, Hkv, S, Dh).
+    Full-prefix + causal-within-chunk attention (small-T jnp path)."""
+    B, T, H, Dh = q.shape
+    Hkv = cache["k"].shape[1]
+    S = cache["k"].shape[2]
+    k, v = cache["k"], cache["v"]
+    if Hkv != H:
+        k = jnp.repeat(k, H // Hkv, axis=1)
+        v = jnp.repeat(v, H // Hkv, axis=1)
+    s = jnp.einsum("bthd,bhsd->bhts", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / np.sqrt(Dh)
+    # position t may see cache positions < base + t + 1
+    limit = base_lengths[:, None, None, None] + jnp.arange(T)[None, None, :,
+                                                             None] + 1
+    mask = jnp.arange(S)[None, None, None, :] < limit
+    s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhts,bhsd->bthd", p, v.astype(jnp.float32))
+
+
+def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig):
+    """T-token decode step (chunked prefill / speculative verify).
+
+    tokens (B, T) int32 at positions lengths..lengths+T-1. Returns
+    (logits (B, T, V), new caches with all T K/V appended)."""
+    B, T = tokens.shape
+    H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    x = jnp.take(params["embed"], tokens, axis=0)  # (B, T, D)
+    pos = lengths[:, None] + jnp.arange(T)[None, :]  # (B, T)
+
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+        q = apply_rope_half(q.reshape(B, T, H, Dh), pos, cfg.rope_theta)
+        k = apply_rope_half(k.reshape(B, T, Hkv, Dh), pos, cfg.rope_theta)
+        v = v.reshape(B, T, Hkv, Dh)
+        # append all T tokens at offsets lengths..lengths+T-1
+        bidx = jnp.arange(B)[:, None]
+        c = dict(cache)
+        # advanced indices (bidx, pos) around the ':' slice put their broadcast
+        # (B, T) dims in front: target shape (B, T, Hkv, Dh) == k's layout
+        c["k"] = cache["k"].at[bidx, :, pos].set(k.astype(cache["k"].dtype))
+        c["v"] = cache["v"].at[bidx, :, pos].set(v.astype(cache["v"].dtype))
+        new_caches.append(c)
+        o = _chunk_attend(q, c, lengths)  # (B, T, H, Dh) f32
+        x = x + linear(o.reshape(B, T, H * Dh).astype(x.dtype), layer["wo"])
+        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        x = x + _proj_mlp(h, layer, cfg)
+
+    x = _rms_norm(x, params["norm"], cfg.norm_eps)
+    w_lm = params.get("lm_head", params["embed"])
+    return (x @ w_lm.T).astype(jnp.float32), new_caches
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def _jit_chunk(params, tokens, caches, lengths, cfg):
+    return decode_chunk(params, tokens, caches, lengths, cfg)
+
+
+def speculative_generate(params_target, cfg_t: ModelConfig,
+                         params_draft, cfg_d: ModelConfig,
+                         prompts, max_new: int, k: int = 4,
+                         max_seq: int | None = None):
+    """Greedy speculative decoding for a (B, S) prompt batch.
+
+    Returns (tokens (B, max_new), acceptance_rate). Exactness: the output
+    equals the target model's own greedy decode (tested)."""
+    B, S = prompts.shape
+    max_seq = max_seq or ((S + max_new + k + 1023) // 1024) * 1024
+
+    # prefill both models
+    caches_t = init_kv_caches(cfg_t, B, max_seq)
+    caches_d = init_kv_caches(cfg_d, B, max_seq)
+    logits_t, kvs = forward(params_target, prompts, cfg_t, return_kv=True)
+    caches_t = _insert_kvs(caches_t, kvs, jnp.int32(0), jnp.int32(S))
+    _, kvs_d = forward(params_draft, prompts, cfg_d, return_kv=True)
+    caches_d = _insert_kvs(caches_d, kvs_d, jnp.int32(0), jnp.int32(S))
+
+    lengths = jnp.full((B,), S, jnp.int32)  # shared: both caches in sync
+    cur = jnp.argmax(logits_t[:, S - 1], axis=-1).astype(jnp.int32)
+
+    out = np.zeros((B, max_new + k + 1), np.int32)
+    n_out = np.zeros((B,), np.int64)
+    accepted_tot, proposed_tot = 0, 0
+
+    while int(n_out.min()) < max_new:
+        not_done = n_out < max_new
+        for b in range(B):
+            if not_done[b]:   # emit the committed token
+                out[b, n_out[b]] = int(cur[b])
+                n_out[b] += 1
+
+        # --- draft proposes k tokens (its cache advances k steps) ------------
+        d_tokens = [cur]
+        d_len = lengths
+        tok = cur
+        for _ in range(k):
+            lg, caches_d = decode_step(params_draft, tok, caches_d,
+                                       d_len, cfg_d)
+            tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            d_tokens.append(tok)
+            d_len = d_len + 1
+        # append the k-th proposal's K/V too: if the whole chunk is accepted,
+        # the next round's draft decode needs position lengths+k populated
+        _, caches_d = decode_step(params_draft, tok, caches_d, d_len, cfg_d)
+        chunk = jnp.stack(d_tokens, axis=1)  # (B, k+1): cur + k proposals
+
+        # --- target verifies the whole chunk in one pass ----------------------
+        logits, caches_t = _jit_chunk(params_target, chunk, caches_t,
+                                      lengths, cfg_t)
+        target_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,k+1)
+
+        # accepted[i] = how many of the k proposals match the target's greedy
+        proposals = chunk[:, 1:]                   # (B, k)
+        match = proposals == target_next[:, :-1]
+        n_acc = jnp.argmin(jnp.concatenate(
+            [match, jnp.zeros((B, 1), bool)], axis=1).astype(jnp.int32),
+            axis=1)                                # first mismatch index
+        n_acc_np = np.asarray(n_acc)
+        accepted_tot += int(n_acc_np[not_done].sum())
+        proposed_tot += int(not_done.sum()) * k
+
+        for b in range(B):
+            if not not_done[b]:
+                continue
+            for t in range(int(n_acc_np[b])):
+                if n_out[b] < max_new + k:
+                    out[b, n_out[b]] = int(proposals[b, t])
+                n_out[b] += 1
+
+        # commit: cur = target's token after the accepted prefix; lengths
+        # advance past cur + accepted (rejected suffix K/V simply stays
+        # masked-out and will be overwritten). Finished sequences freeze.
+        cur = jnp.where(jnp.asarray(not_done),
+                        jnp.take_along_axis(target_next, n_acc[:, None],
+                                            axis=1)[:, 0], cur)
+        lengths = lengths + jnp.where(jnp.asarray(not_done), 1 + n_acc, 0)
+        # draft cache: same rollback-by-length (its appends beyond are masked)
+
+    rate = accepted_tot / max(proposed_tot, 1)
+    return jnp.asarray(out[:, :max_new]), rate

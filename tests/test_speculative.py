@@ -1,0 +1,87 @@
+"""Speculative decoding: greedy exactness (output == target's own greedy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leetcuda_tpu.models.llama import tiny_config, init_params, forward
+from leetcuda_tpu.engine import generate_scan
+from leetcuda_tpu.engine.speculative import (
+    decode_chunk, speculative_generate)
+from leetcuda_tpu.models.llama import init_kv_caches, decode_step
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg_t = tiny_config()
+    cfg_d = tiny_config(n_layers=1, dim=128, n_heads=2, n_kv_heads=1,
+                        ffn_dim=256)
+    params_t = init_params(jax.random.key(0), cfg_t)
+    params_d = init_params(jax.random.key(1), cfg_d)
+    return cfg_t, params_t, cfg_d, params_d
+
+
+def test_decode_chunk_matches_stepwise(models):
+    """T-token chunked decode == T sequential decode_steps."""
+    cfg, params, _, _ = models
+    rng = np.random.default_rng(0)
+    B, S, T = 2, 16, 5
+    prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+    extra = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
+
+    # build the base cache via prefill insert (same as engine)
+    from leetcuda_tpu.engine.engine import _insert_kvs
+    logits0, kvs = forward(params, prompt, cfg, return_kv=True)
+    caches = _insert_kvs(init_kv_caches(cfg, B, 128), kvs,
+                         jnp.int32(0), jnp.int32(S))
+    lengths = jnp.full((B,), S, jnp.int32)
+
+    chunk_logits, chunk_caches = decode_chunk(params, extra, caches, lengths,
+                                              cfg)
+
+    caches2 = _insert_kvs(init_kv_caches(cfg, B, 128), kvs,
+                          jnp.int32(0), jnp.int32(S))
+    lens2 = lengths
+    step_logits = []
+    for t in range(T):
+        lg, caches2 = decode_step(params, extra[:, t], caches2, lens2, cfg)
+        step_logits.append(lg)
+        lens2 = lens2 + 1
+    step_logits = jnp.stack(step_logits, axis=1)
+
+    np.testing.assert_allclose(np.asarray(chunk_logits),
+                               np.asarray(step_logits),
+                               atol=2e-3, rtol=2e-3)
+    for ck, c2 in zip(chunk_caches, caches2):
+        np.testing.assert_allclose(np.asarray(ck["k"]), np.asarray(c2["k"]),
+                                   atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_speculative_exactness(models, k):
+    """Greedy speculative output == target's plain greedy decode."""
+    cfg_t, params_t, cfg_d, params_d = models
+    rng = np.random.default_rng(2)
+    B, S, MAX_NEW = 2, 16, 12
+    prompts = jnp.asarray(rng.integers(0, cfg_t.vocab_size, (B, S)),
+                          jnp.int32)
+
+    want = generate_scan(params_t, cfg_t, prompts, MAX_NEW)
+    got, rate = speculative_generate(params_t, cfg_t, params_d, cfg_d,
+                                     prompts, MAX_NEW, k=k)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert 0.0 <= rate <= 1.0
+
+
+def test_speculative_self_draft_accepts_everything(models):
+    """Draft == target: every proposal must be accepted."""
+    cfg_t, params_t, _, _ = models
+    rng = np.random.default_rng(3)
+    prompts = jnp.asarray(rng.integers(0, cfg_t.vocab_size, (1, 16)),
+                          jnp.int32)
+    got, rate = speculative_generate(params_t, cfg_t, params_t, cfg_t,
+                                     prompts, 12, k=4)
+    want = generate_scan(params_t, cfg_t, prompts, 12)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert rate == 1.0, rate
