@@ -158,6 +158,7 @@ class Engine:
                 ec.slots * ec.max_seq // ec.page_size + 1)
             self.pm = PageManager(num_pages, ec.page_size,
                                   ec.max_seq // ec.page_size, ec.slots)
+            self._num_pages = num_pages
             caches = init_paged_kv_caches(cfg, num_pages, ec.page_size)
         else:
             caches = init_kv_caches(cfg, ec.slots, ec.max_seq,
@@ -308,12 +309,52 @@ class Engine:
             self._maybe_finish(slot, tok)
         return out
 
-    def run(self, prompts: list[list[int]], max_new: int = 64
-            ) -> dict[int, list[int]]:
-        """Submit all prompts, run to completion, return {uid: generated}."""
+    def recover(self):
+        """Elastic recovery after a device/runtime failure: drop all device
+        state (caches may hold poisoned buffers), release pages, and requeue
+        every in-flight request for recompute — generated tokens fold into the
+        prompts, so each request still emits exactly its remaining tokens.
+        The reference has no failure handling at all (SURVEY.md §5); through a
+        remote-device tunnel, transient INTERNAL errors are a fact of life."""
+        for slot, req in list(self.active.items()):
+            req.prompt = req.prompt + req.generated
+            self.waiting.appendleft(req)
+        self.active.clear()
+        self.free = list(range(self.ec.slots))
+        self.lengths = jnp.zeros((self.ec.slots,), jnp.int32)
+        self.last_tokens = jnp.zeros((self.ec.slots,), jnp.int32)
+        self._hlen[:] = 0
+        if self.pm is not None:
+            from leetcuda_tpu.attention.paged import PageManager
+            from leetcuda_tpu.models.llama import init_paged_kv_caches
+
+            self.pm = PageManager(self._num_pages, self.ec.page_size,
+                                  self.ec.max_seq // self.ec.page_size,
+                                  self.ec.slots)
+            self.caches = init_paged_kv_caches(self.cfg, self._num_pages,
+                                               self.ec.page_size)
+        else:
+            caches = init_kv_caches(self.cfg, self.ec.slots, self.ec.max_seq,
+                                    quant=self.ec.kv_quant)
+            if self.mesh is not None:
+                caches = shard_kv_caches(caches, self.mesh)
+            self.caches = caches
+
+    def run(self, prompts: list[list[int]], max_new: int = 64,
+            max_recoveries: int = 2) -> dict[int, list[int]]:
+        """Submit all prompts, run to completion, return {uid: generated}.
+        Transient device failures trigger recover() up to ``max_recoveries``
+        times before re-raising."""
         uids = [self.submit(p, max_new) for p in prompts]
+        failures = 0
         while self.waiting or self.active:
-            self.step()
+            try:
+                self.step()
+            except jax.errors.JaxRuntimeError:
+                failures += 1
+                if failures > max_recoveries:
+                    raise
+                self.recover()
         return {u: self.finished[u].generated for u in uids}
 
 

@@ -182,3 +182,24 @@ def test_quantized_forward_close_to_dense(setup):
     match = float(jnp.mean(
         (jnp.argmax(dense, -1) == jnp.argmax(quant, -1)).astype(jnp.float32)))
     assert match > 0.8, match
+
+
+def test_recover_midflight_exact(setup):
+    """Elastic recovery: a crash mid-decode (simulated via recover()) requeues
+    in-flight requests for recompute — outputs stay token-exact."""
+    cfg, params = setup
+    rng = np.random.default_rng(9)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (6, 10)]
+
+    eng = Engine(params, cfg, EngineConfig(slots=2, max_seq=256,
+                                           prefill_bucket=16))
+    uids = [eng.submit(p, max_new=8) for p in prompts]
+    for _ in range(3):
+        eng.step()
+    eng.recover()  # simulate a device failure after 3 ticks
+    while eng.waiting or eng.active:
+        eng.step()
+
+    for uid, prompt in zip(uids, prompts):
+        want = solo_greedy(params, cfg, prompt, 8)
+        assert eng.finished[uid].generated == want
