@@ -129,6 +129,80 @@ def moe_ffn(x, params, cfg: MoEConfig):
     return out.reshape(*lead, D)
 
 
+def moe_ffn_dropless(x, params, cfg: MoEConfig, block_m: int = 128):
+    """Dropless MoE via the grouped matmul (gemm/grouped.py): every token
+    reaches its top-k experts regardless of load — no capacity, no drops.
+
+    Token copies are sorted by expert into a zero-padded buffer whose group
+    boundaries are block_m-aligned, the three FFN matmuls run as gmm chains
+    (each row tile DMAs its own expert's panel), and a segment-sum combines
+    the k weighted copies back per token. All shapes static: the buffer is
+    T·k + E·block_m rows (worst-case per-group padding)."""
+    from leetcuda_tpu.gemm.grouped import make_gmm, tile_groups_from_sizes
+
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    E, k = cfg.n_experts, cfg.topk
+    xf = x.reshape(-1, D)
+    T = xf.shape[0]
+
+    logits = xf.astype(jnp.float32) @ params["router"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    gate_w, expert_id = jax.lax.top_k(probs, k)       # (T, k)
+    e_flat = expert_id.reshape(-1)                     # (T*k,)
+    token_of_copy = jnp.repeat(jnp.arange(T), k)
+
+    counts = jnp.sum(jax.nn.one_hot(e_flat, E, dtype=jnp.int32), axis=0)
+    padded = ((counts + block_m - 1) // block_m) * block_m
+    off_pad = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(padded)[:-1]])
+    off_raw = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts)[:-1]])
+
+    order = jnp.argsort(e_flat, stable=True)           # copies sorted by expert
+    e_sorted = e_flat[order]
+    pos = off_pad[e_sorted] + (jnp.arange(T * k) - off_raw[e_sorted])
+
+    T_buf = T * k + E * block_m                        # static worst case
+    buf = jnp.zeros((T_buf, D), x.dtype).at[pos].set(xf[token_of_copy[order]])
+
+    n_tiles = T_buf // block_m
+    tile_group = jnp.minimum(
+        tile_groups_from_sizes(padded, block_m, n_tiles), E - 1)
+
+    gmm = make_gmm(block=(block_m, 128, min(512, D)))
+    gate = jax.nn.silu(gmm(buf, params["w_gate"], tile_group)
+                       .astype(jnp.float32))
+    up = gmm(buf, params["w_up"], tile_group).astype(jnp.float32)
+    down = make_gmm(block=(block_m, 128, min(512, cfg.ffn_dim)))(
+        (gate * up).astype(x.dtype), params["w_down"], tile_group)
+
+    w_sorted = gate_w.reshape(-1)[order].astype(jnp.float32)
+    contrib = down[pos].astype(jnp.float32) * w_sorted[:, None]
+    out = jnp.zeros((T, D), jnp.float32).at[token_of_copy[order]].add(contrib)
+    return out.astype(x.dtype).reshape(*lead, D)
+
+
+def moe_ffn_dropless_ref(x, params, cfg: MoEConfig):
+    """Dense oracle: every token through its top-k experts, no capacity."""
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    xf = x.reshape(-1, D)
+    logits = xf.astype(jnp.float32) @ params["router"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    gate_w, topi = jax.lax.top_k(probs, cfg.topk)
+
+    out = jnp.zeros((xf.shape[0], D), jnp.float32)
+    for e in range(cfg.n_experts):
+        g = jax.nn.silu((xf @ params["w_gate"][e]).astype(jnp.float32))
+        u = (xf @ params["w_up"][e]).astype(jnp.float32)
+        y = ((g * u).astype(x.dtype) @ params["w_down"][e]).astype(jnp.float32)
+        for r in range(cfg.topk):
+            w = jnp.where(topi[:, r] == e, gate_w[:, r], 0.0)
+            out = out + w[:, None] * y
+    return out.astype(x.dtype).reshape(*lead, D)
+
+
 def moe_ffn_ref(x, params, cfg: MoEConfig):
     """Dense oracle: run every token through its top-k experts by loop."""
     lead = x.shape[:-1]

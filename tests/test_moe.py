@@ -117,3 +117,49 @@ def test_moe_gradients_flow(setup):
         g = grads[name]
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.max(jnp.abs(g))) > 0, name
+
+
+def test_gmm_matches_loop():
+    from leetcuda_tpu.gemm.grouped import (
+        make_gmm, gmm_ref, tile_groups_from_sizes)
+
+    rng = np.random.default_rng(0)
+    bm, K, N, G = 128, 256, 384, 3
+    sizes = jnp.asarray([256, 128, 384], jnp.int32)  # bm-aligned
+    T = int(sizes.sum())
+    lhs = jnp.asarray(rng.standard_normal((T, K)), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((G, K, N)), jnp.float32)
+    tg = tile_groups_from_sizes(sizes, bm, T // bm)
+    got = make_gmm(block=(bm, 128, 128))(lhs, rhs, tg)
+    want = gmm_ref(lhs, rhs, sizes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_moe_dropless_matches_dense(setup):
+    from leetcuda_tpu.models.moe import moe_ffn_dropless, moe_ffn_dropless_ref
+
+    cfg, params, x = setup
+    got = moe_ffn_dropless(x, params, cfg)
+    want = moe_ffn_dropless_ref(x, params, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_moe_dropless_skewed_load():
+    """All tokens routed to one expert — capacity MoE would drop most; the
+    dropless path must serve every token exactly."""
+    from leetcuda_tpu.models.moe import (
+        moe_ffn_dropless, moe_ffn_dropless_ref, init_moe_params)
+
+    cfg = MoEConfig(n_experts=4, topk=1, dim=64, ffn_dim=128)
+    params = init_moe_params(jax.random.key(0), cfg)
+    # bias the router hard toward expert 2
+    params = dict(params)
+    params["router"] = params["router"].at[:, 2].add(100.0)
+    x = jax.random.normal(jax.random.key(1), (128, 64), jnp.float32)
+    got = moe_ffn_dropless(x, params, cfg)
+    want = moe_ffn_dropless_ref(x, params, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    assert bool(jnp.all(jnp.any(got != 0, axis=-1)))  # nobody dropped
