@@ -170,12 +170,13 @@ def moe_ffn_dropless(x, params, cfg: MoEConfig, block_m: int = 128):
     tile_group = jnp.minimum(
         tile_groups_from_sizes(padded, block_m, n_tiles), E - 1)
 
-    gmm = make_gmm(block=(block_m, 128, min(512, D)))
+    # (bm, 2048, 2048) tuned on v5e (140 TFLOPS at T=8192 variable groups);
+    # make_gmm clamps bn/bk to the actual dims for small models
+    gmm = make_gmm(block=(block_m, 2048, 2048))
     gate = jax.nn.silu(gmm(buf, params["w_gate"], tile_group)
                        .astype(jnp.float32))
     up = gmm(buf, params["w_up"], tile_group).astype(jnp.float32)
-    down = make_gmm(block=(block_m, 128, min(512, cfg.ffn_dim)))(
-        (gate * up).astype(x.dtype), params["w_down"], tile_group)
+    down = gmm((gate * up).astype(x.dtype), params["w_down"], tile_group)
 
     w_sorted = gate_w.reshape(-1)[order].astype(jnp.float32)
     contrib = down[pos].astype(jnp.float32) * w_sorted[:, None]
