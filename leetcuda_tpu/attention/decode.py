@@ -36,10 +36,12 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
-def _decode_kernel(scale, Hkv, group, block_k, quantized, window,
+def _decode_kernel(scale, Hkv, group, block_k, quantized, window, with_lse,
                    len_ref, q_ref, k_ref, v_ref, *rest):
     if quantized:
-        ks_ref, vs_ref, o_ref, m_sc, l_sc, acc_sc = rest
+        ks_ref, vs_ref, *rest = rest
+    if with_lse:
+        o_ref, lse_ref, m_sc, l_sc, acc_sc = rest
     else:
         o_ref, m_sc, l_sc, acc_sc = rest
 
@@ -98,6 +100,8 @@ def _decode_kernel(scale, Hkv, group, block_k, quantized, window,
     def _():
         l = l_sc[:, 0:1]
         o_ref[0] = (acc_sc[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0] = m_sc[:] + jnp.log(jnp.maximum(l_sc[:], 1e-30))
 
 
 def _clamped_kv_map(bk, window=None):
@@ -133,13 +137,15 @@ def _vmem_params():
 
 
 def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
-                          window: int | None = None):
+                          window: int | None = None, with_lse: bool = False):
     """decode_attention(q, k_cache, v_cache, lengths) -> (B, H, D).
 
     q (B, H, D); caches (B, Hkv, S_max, D); lengths (B,) int32 — number of valid
     KV positions per sequence (the current token's K/V must already be appended).
     ``window``: Mistral-style sliding window — attend to the last ``window``
     positions only; earlier blocks are neither read nor computed.
+    ``with_lse``: also return the log-sum-exp (B, H) — the partial-result
+    statistic for flash-decoding / context-parallel merging.
     """
 
     @jax.jit
@@ -162,22 +168,36 @@ def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
                 pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk, window),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=(
+                pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, _LANES), lambda b, si, L: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ) if with_lse else pl.BlockSpec(
+                (1, H, D), lambda b, si, L: (b, 0, 0),
+                memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((H, _LANES), jnp.float32),
                 pltpu.VMEM((H, _LANES), jnp.float32),
                 pltpu.VMEM((H, D), jnp.float32),
             ],
         )
-        return pl.pallas_call(
+        out_shape = jax.ShapeDtypeStruct((B, H, D), q.dtype)
+        if with_lse:
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((B, H, _LANES), jnp.float32))
+        res = pl.pallas_call(
             functools.partial(_decode_kernel, scale, Hkv, group, bk, False,
-                              window),
-            out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+                              window, with_lse),
+            out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret_default(),
             **_vmem_params(),
         )(lengths.astype(jnp.int32), q, k_cache, v_cache)
+        if with_lse:
+            out, lse = res
+            return out, lse[..., 0]
+        return res
 
     return fn
 
@@ -223,7 +243,7 @@ def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None):
         )
         return pl.pallas_call(
             functools.partial(_decode_kernel, scale, Hkv, group, bk, True,
-                              None),
+                              None, False),
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),

@@ -65,3 +65,45 @@ def test_decode_attention_quantized(rng):
         q, kq.astype(jnp.float32) * ks[..., None],
         vq.astype(jnp.float32) * vs[..., None], lengths))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_decode_attention_lse(rng):
+    """with_lse output merges two halves back to the full result."""
+    B, H, D, S = 2, 4, 64, 512
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    lengths = jnp.asarray([300, 512], jnp.int32)
+    da = make_decode_attention(block_k=128, with_lse=True)
+    half = S // 2
+    o1, l1 = da(q, k[:, :, :half], v[:, :, :half],
+                jnp.minimum(lengths, half))
+    o2, l2 = da(q, k[:, :, half:], v[:, :, half:],
+                jnp.maximum(lengths - half, 0))
+    m = jnp.maximum(l1, l2)
+    w1, w2 = jnp.exp(l1 - m), jnp.exp(l2 - m)
+    merged = (w1[..., None] * o1 + w2[..., None] * o2) / (w1 + w2)[..., None]
+    want = decode_attention_ref(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_context_parallel_decode(rng):
+    """KV sharded over 4 sp shards (+dp=2): CP decode == plain decode."""
+    import jax
+    from jax.sharding import Mesh
+    from leetcuda_tpu.parallel.cp_decode import make_decode_attention_cp
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("dp", "sp"))
+    B, H, D, S = 4, 8, 64, 1024
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    lengths = jnp.asarray([100, 256, 700, 1024], jnp.int32)
+
+    fn = make_decode_attention_cp(mesh, block_k=128)
+    got = fn(q, k, v, lengths)
+    want = decode_attention_ref(q, k, v, lengths)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
