@@ -309,6 +309,25 @@ class Engine:
             self._maybe_finish(slot, tok)
         return out
 
+    def stats(self) -> dict:
+        """Serving observability: queue depths, slot/page utilization, and
+        per-request progress (the reference's print-based metrics, §5, grown
+        into a structured snapshot)."""
+        s = {
+            "waiting": len(self.waiting),
+            "active": len(self.active),
+            "finished": len(self.finished),
+            "free_slots": len(self.free),
+            "context_lens": {req.uid: req.context_len
+                             for req in self.active.values()},
+        }
+        if self.pm is not None:
+            used = sum(len(v) for v in self.pm.used.values())
+            s["pages_used"] = used
+            s["pages_free"] = len(self.pm.free)
+            s["page_utilization"] = used / max(used + len(self.pm.free), 1)
+        return s
+
     def recover(self):
         """Elastic recovery after a device/runtime failure: drop all device
         state (caches may hold poisoned buffers), release pages, and requeue
