@@ -34,8 +34,12 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
-def _paged_kernel(scale, Hkv, group, page, pt_ref, len_ref,
-                  q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc):
+def _paged_kernel(scale, Hkv, group, page, quantized, pt_ref, len_ref,
+                  q_ref, k_ref, v_ref, *rest):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_sc, l_sc, acc_sc = rest
+    else:
+        o_ref, m_sc, l_sc, acc_sc = rest
     b = pl.program_id(0)
     si = pl.program_id(1)
     seq_len = len_ref[b]
@@ -59,6 +63,9 @@ def _paged_kernel(scale, Hkv, group, page, pt_ref, len_ref,
             s = jax.lax.dot_general(
                 qg, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
+            if quantized:
+                # dequant folded past the dots (see attention/decode.py)
+                s = s * ks_ref[0, kvh].astype(jnp.float32)[None, :]
             s = jnp.where(valid, s, _NEG_INF)
 
             rows = slice(kvh * group, (kvh + 1) * group)
@@ -68,6 +75,8 @@ def _paged_kernel(scale, Hkv, group, page, pt_ref, len_ref,
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
             l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            if quantized:
+                p = p * vs_ref[0, kvh].astype(jnp.float32)[None, :]
             acc_sc[rows, :] = acc_sc[rows, :] * alpha + jnp.dot(
                 p, v_blk, preferred_element_type=jnp.float32)
             m_sc[rows, :] = jnp.broadcast_to(m_new, (group, _LANES))
@@ -79,15 +88,22 @@ def _paged_kernel(scale, Hkv, group, page, pt_ref, len_ref,
                     ).astype(o_ref.dtype)
 
 
-def make_paged_attention(*, sm_scale=None):
-    """fn(q, k_pages, v_pages, page_table, lengths) -> (B, H, D).
+def make_paged_attention(*, sm_scale=None, quantized: bool = False):
+    """fn(q, k_pages, v_pages, [k_scales, v_scales,] page_table, lengths)
+    -> (B, H, D).
 
     q (B, H, D); pages (N_pages, Hkv, page, D); page_table (B, P_max) int32
     physical page ids (entries past a sequence's last page are ignored);
-    lengths (B,) valid token counts."""
+    lengths (B,) valid token counts. ``quantized``: pages are int8/fp8 with
+    per-(page, head, position) f32 scale pools (N_pages, Hkv, page); dequant
+    is folded past the dots like attention/decode.py."""
 
     @jax.jit
-    def fn(q, k_pages, v_pages, page_table, lengths):
+    def fn(q, k_pages, v_pages, *rest):
+        if quantized:
+            k_scales, v_scales, page_table, lengths = rest
+        else:
+            page_table, lengths = rest
         B, H, D = q.shape
         _, Hkv, page, _ = k_pages.shape
         P_max = page_table.shape[1]
@@ -100,17 +116,28 @@ def make_paged_attention(*, sm_scale=None):
             last = jnp.maximum(pl.cdiv(L[b], page) - 1, 0)
             return (pt[b, jnp.minimum(si, last)], 0, 0, 0)
 
+        def s_map(b, si, pt, L):
+            last = jnp.maximum(pl.cdiv(L[b], page) - 1, 0)
+            return (pt[b, jnp.minimum(si, last)], 0, 0)
+
+        page_spec = pl.BlockSpec((1, Hkv, page, D), kv_map,
+                                 memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((1, H, D), lambda b, si, pt, L: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            page_spec, page_spec,
+        ]
+        args = [q, k_pages, v_pages]
+        if quantized:
+            scale_spec = pl.BlockSpec((1, Hkv, page), s_map,
+                                      memory_space=pltpu.VMEM)
+            in_specs += [scale_spec, scale_spec]
+            args += [k_scales, v_scales]
+
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page_table, lengths
             grid=(B, P_max),
-            in_specs=[
-                pl.BlockSpec((1, H, D), lambda b, si, pt, L: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hkv, page, D), kv_map,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hkv, page, D), kv_map,
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, H, D), lambda b, si, pt, L: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -124,13 +151,13 @@ def make_paged_attention(*, sm_scale=None):
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)
         return pl.pallas_call(
-            functools.partial(_paged_kernel, scale, Hkv, group, page),
+            functools.partial(_paged_kernel, scale, Hkv, group, page,
+                              quantized),
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),
             **params,
-        )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
-          q, k_pages, v_pages)
+        )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), *args)
 
     return fn
 

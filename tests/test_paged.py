@@ -125,3 +125,30 @@ def test_paged_engine_preemption():
     for uid, prompt in zip(sorted(got), prompts):
         want = solo_greedy(params, cfg, prompt, 24)
         assert got[uid] == want, (uid, got[uid], want)
+
+
+def test_paged_quantized_matches_dequantized(rng):
+    """int8 page pools + scale pools == attention over dequantized pages."""
+    from leetcuda_tpu.attention.paged import make_paged_attention
+
+    B, H, Hkv, D, page = 2, 4, 2, 64, 32
+    lengths = [50, 96]
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    _, _, kp, vp, table = build_paged(rng, B, Hkv, lengths, page, D,
+                                      num_pages=16)
+
+    def quant(pages):
+        amax = jnp.max(jnp.abs(pages), axis=-1)            # (N, Hkv, page)
+        sc = jnp.maximum(amax, 1e-8) / 127.0
+        pq = jnp.round(pages / sc[..., None]).astype(jnp.int8)
+        return pq, sc
+
+    kq, ks = quant(kp)
+    vq, vs = quant(vp)
+    lens = jnp.asarray(lengths, jnp.int32)
+    got = make_paged_attention(quantized=True)(q, kq, vq, ks, vs, table, lens)
+    want = make_paged_attention()(
+        q, kq.astype(jnp.float32) * ks[..., None],
+        vq.astype(jnp.float32) * vs[..., None], table, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
