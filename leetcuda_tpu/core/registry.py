@@ -45,6 +45,35 @@ class OpSpec:
     tags: tuple[str, ...] = ()
 
 
+def _f16_compat(fn):
+    """TPU has no native float16 compute — Mosaic hard-fails on f16 kernels
+    (found by tools/hw_sweep.py; CPU interpret mode masked it). The f16 ladder
+    rungs exist for reference parity, so on real TPU f16 inputs are upcast to
+    f32 for the kernel (strictly more precise than true f16 compute) and
+    results cast back. Interpret mode (CPU) still runs true f16."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.wraps(fn)
+    def wrapped(*args):
+        from leetcuda_tpu.core.runtime import on_tpu
+
+        def is_f16(a):
+            return getattr(a, "dtype", None) == jnp.float16
+
+        if not on_tpu() or not any(is_f16(a) for a in args):
+            return fn(*args)
+        cast = [a.astype(jnp.float32) if is_f16(a) else a for a in args]
+        out = fn(*cast)
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float16)
+            if getattr(x, "dtype", None) == jnp.float32 else x, out)
+
+    return wrapped
+
+
 def register_op(
     name: str,
     *,
@@ -62,7 +91,7 @@ def register_op(
         if name in OPS:
             raise ValueError(f"duplicate op registration: {name}")
         OPS[name] = OpSpec(
-            name=name, fn=fn, ref=ref, flops=flops, bytes=bytes,
+            name=name, fn=_f16_compat(fn), ref=ref, flops=flops, bytes=bytes,
             atol=atol, rtol=rtol, family=family, tags=tags,
         )
         return fn

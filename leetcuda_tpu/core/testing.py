@@ -1,0 +1,72 @@
+"""Canonical test inputs per op family — shared by the CPU registry sweep
+(tests/test_ops_registry.py) and the on-hardware sweep (tools/hw_sweep.py)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def make_args(spec, rng):
+    """Construct canonical inputs per family/tags."""
+    S, K = 64, 256
+    fam = spec.family
+    tags = set(spec.tags)
+    dt = jnp.float32
+    if "f16" in tags or any(t.startswith("f16") for t in tags):
+        dt = jnp.float16
+    if "bf16" in tags or any(t.startswith("bf16") for t in tags):
+        dt = jnp.bfloat16
+
+    def randn(shape, dtype=dt, scale=1.0):
+        return jnp.asarray(rng.standard_normal(shape) * scale, dtype=dtype)
+
+    if fam == "elementwise":
+        return (randn((S, K)), randn((S, K)))
+    if fam == "activation":
+        return (randn((S, K)),)
+    if fam == "reduce":
+        suffix = spec.name.replace("block_all_reduce_sum_", "")
+        edt = {
+            "f32_f32": jnp.float32, "f32x4_f32": jnp.float32,
+            "f16_f16": jnp.float16, "f16_f32": jnp.float16,
+            "bf16_bf16": jnp.bfloat16, "bf16_f32": jnp.bfloat16,
+            "i8_i32": jnp.int8,
+        }.get(suffix)
+        if edt is None and hasattr(jnp, "float8_e4m3fn"):
+            edt = jnp.float8_e4m3fn if "e4m3" in suffix else jnp.float8_e5m2
+        if edt == jnp.int8:
+            return (jnp.asarray(rng.integers(-8, 8, (S, K)), jnp.int8),)
+        return (jnp.asarray(rng.standard_normal((S, K)) * 0.1, edt),)
+    if fam == "dot-product":
+        d = jnp.float16 if "f16" in spec.name else jnp.float32
+        return (randn((S, K), d, 0.1), randn((S, K), d, 0.1))
+    if fam in ("softmax",):
+        d = jnp.float16 if "f16" in spec.name else jnp.float32
+        return (randn((S, K), d),)
+    if fam == "layer-norm":
+        d = jnp.float16 if "f16" in spec.name else jnp.float32
+        return (randn((S, K), d), randn((K,), d, 0.5), randn((K,), d, 0.5))
+    if fam == "rms-norm":
+        d = jnp.float16 if "f16" in spec.name else jnp.float32
+        return (randn((S, K), d), randn((K,), d, 0.5))
+    if fam == "rope":
+        return (randn((S, 128), jnp.float32),)
+    if fam == "embedding":
+        d = jnp.float16 if "f16" in spec.name else jnp.float32
+        idx = jnp.asarray(rng.integers(0, 104, (32,)), jnp.int32)
+        table = randn((104, 128), d)  # rows must be a multiple of 8 (HBM tiling)
+        return (idx, table)
+    if fam == "histogram":
+        return (jnp.asarray(rng.integers(0, 128, (S, 128)), jnp.int32),)
+    if fam == "transpose":
+        return (randn((S, K), jnp.float32),)
+    if fam == "attention-utils":
+        T, H, D = 16, 4, 64
+        po = randn((T, H, D), jnp.float32)
+        so = randn((T, H, D), jnp.float32)
+        plse = randn((T, H), jnp.float32)
+        slse = randn((T, H), jnp.float32)
+        return (po, plse, so, slse)
+    return None
+
+

@@ -35,6 +35,17 @@ def _reduce_sum_kernel(x_ref, o_ref):
     o_ref[:] = o_ref[:] + jnp.sum(x_ref[:].astype(o_ref.dtype))
 
 
+def _kernel_acc_dtype(acc_dtype):
+    """Mosaic has no float16 compute on TPU — an f16 accumulator rung runs its
+    in-kernel accumulation in f32 there (cast back outside); interpret mode
+    keeps true f16 (tools/hw_sweep.py found the hard compile failure)."""
+    from leetcuda_tpu.core.runtime import on_tpu
+
+    if jnp.dtype(acc_dtype) == jnp.float16 and on_tpu():
+        return jnp.float32
+    return acc_dtype
+
+
 def make_block_all_reduce_sum(acc_dtype, *, block: tuple[int, int] = (256, 1024)):
     """Sum-reduce a 2-D array to a scalar, accumulating in ``acc_dtype``."""
 
@@ -45,9 +56,10 @@ def make_block_all_reduce_sum(acc_dtype, *, block: tuple[int, int] = (256, 1024)
         bs, bk = min(block[0], S), min(block[1], K)
         grid = (cdiv(S, bs) * cdiv(K, bk),)
         nj = cdiv(K, bk)
+        kdt = _kernel_acc_dtype(acc_dtype)
         out = pl.pallas_call(
             _reduce_sum_kernel,
-            out_shape=jax.ShapeDtypeStruct((1, 1), acc_dtype),
+            out_shape=jax.ShapeDtypeStruct((1, 1), kdt),
             grid=grid,
             in_specs=[pl.BlockSpec((bs, bk), lambda i: (i // nj, i % nj),
                                    memory_space=pltpu.VMEM)],
@@ -55,7 +67,7 @@ def make_block_all_reduce_sum(acc_dtype, *, block: tuple[int, int] = (256, 1024)
                                    memory_space=pltpu.VMEM),
             interpret=interpret_default(),
         )(x)
-        return out[0, 0]
+        return out[0, 0].astype(acc_dtype)
 
     return fn
 
@@ -74,9 +86,10 @@ def make_block_all_reduce_max(acc_dtype, *, block: tuple[int, int] = (256, 1024)
         S, K = x.shape
         bs, bk = min(block[0], S), min(block[1], K)
         nj = cdiv(K, bk)
+        kdt = _kernel_acc_dtype(acc_dtype)
         out = pl.pallas_call(
             _reduce_max_kernel,
-            out_shape=jax.ShapeDtypeStruct((1, 1), acc_dtype),
+            out_shape=jax.ShapeDtypeStruct((1, 1), kdt),
             grid=(cdiv(S, bs) * nj,),
             in_specs=[pl.BlockSpec((bs, bk), lambda i: (i // nj, i % nj),
                                    memory_space=pltpu.VMEM)],
@@ -84,7 +97,7 @@ def make_block_all_reduce_max(acc_dtype, *, block: tuple[int, int] = (256, 1024)
                                    memory_space=pltpu.VMEM),
             interpret=interpret_default(),
         )(x)
-        return out[0, 0]
+        return out[0, 0].astype(acc_dtype)
 
     return fn
 
