@@ -60,6 +60,31 @@ def make_args(spec, rng):
         return (jnp.asarray(rng.integers(0, 128, (S, 128)), jnp.int32),)
     if fam == "transpose":
         return (randn((S, K), jnp.float32),)
+    if fam == "gemm":
+        d = jnp.bfloat16 if "f16" in tags else jnp.float32
+        a = randn((128, 256), d, 0.3)
+        b = (randn((128, 256), d, 0.3) if "tn" in tags
+             else randn((256, 128), d, 0.3))
+        return (a, b)
+    if fam == "gemm-quant":
+        import numpy as _np
+        x = randn((64, 256), jnp.bfloat16, 0.3)
+        if "a8w8" in tags:
+            xi = jnp.asarray(rng.integers(-8, 8, (64, 256)), jnp.int8)
+            w = jnp.asarray(rng.integers(-8, 8, (256, 128)), jnp.int8)
+            return (xi, w)
+        wq = jnp.asarray(rng.integers(-127, 127, (256, 128)), jnp.int8)
+        scale = jnp.asarray(_np.abs(rng.standard_normal((128,))) * 0.01 + 1e-3,
+                            jnp.float32)
+        return (x, wq, scale)
+    if fam == "gemv":
+        d = jnp.bfloat16 if spec.name.startswith("hgemv") else jnp.float32
+        return (randn((256,), d, 0.3), randn((256, 128), d, 0.3))
+    if fam == "flash-attn":
+        B, H, N, D = 1, 2, 256, 64
+        return (randn((B, H, N, D), jnp.bfloat16, 0.5),
+                randn((B, H, N, D), jnp.bfloat16, 0.5),
+                randn((B, H, N, D), jnp.bfloat16, 0.5))
     if fam == "attention-utils":
         T, H, D = 16, 4, 64
         po = randn((T, H, D), jnp.float32)

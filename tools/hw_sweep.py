@@ -23,7 +23,8 @@ MODULES = [
     "ops.elementwise", "ops.activations", "ops.reduce", "ops.softmax",
     "ops.layer_norm", "ops.rms_norm", "ops.rope", "ops.embedding",
     "ops.histogram", "ops.transpose", "ops.dot_product",
-    "ops.merge_attn_states", "gemm.matmul", "gemm.gemv",
+    "ops.merge_attn_states", "gemm.matmul", "gemm.gemv", "gemm.quant",
+    "attention.flash",
 ]
 
 
