@@ -45,6 +45,18 @@ _LANES = 128
 
 def _fa_kernel(causal, window, scale, block_q, block_k, with_lse,
                q_ref, k_ref, v_ref, o_ref, *rest):
+    return _fa_body(causal, window, scale, block_q, block_k, with_lse, None,
+                    None, q_ref, k_ref, v_ref, o_ref, rest)
+
+
+def _fa_ragged_kernel(causal, window, scale, block_q, block_k, with_lse, H,
+                      len_ref, q_ref, k_ref, v_ref, o_ref, *rest):
+    return _fa_body(causal, window, scale, block_q, block_k, with_lse, H,
+                    len_ref, q_ref, k_ref, v_ref, o_ref, rest)
+
+
+def _fa_body(causal, window, scale, block_q, block_k, with_lse, H,
+             len_ref, q_ref, k_ref, v_ref, o_ref, rest):
     if with_lse:
         lse_ref, m_sc, l_sc, acc_sc = rest
     else:
@@ -52,6 +64,9 @@ def _fa_kernel(causal, window, scale, block_q, block_k, with_lse,
 
     ki = pl.program_id(2)
     qi = pl.program_id(1)
+    seq_len = None
+    if len_ref is not None:  # ragged: per-sequence valid length
+        seq_len = len_ref[pl.program_id(0) // H]
 
     @pl.when(ki == 0)
     def _():
@@ -68,14 +83,17 @@ def _fa_kernel(causal, window, scale, block_q, block_k, with_lse,
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (Bq, Bk)
 
-        if causal or window:
+        if causal or window or seq_len is not None:
             rows = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 0)
             cols = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 1)
-            keep = rows >= cols
+            keep = rows >= cols if causal or window else jnp.full(
+                s.shape, True)
             if window:  # sliding window: attend to the last `window` positions
                 keep &= rows - cols < window
+            if seq_len is not None:
+                keep &= cols < seq_len
             s = jnp.where(keep, s, _NEG_INF)
 
         m_prev = m_sc[:, 0:1]  # (Bq, 1)
@@ -93,14 +111,18 @@ def _fa_kernel(causal, window, scale, block_q, block_k, with_lse,
         m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
         l_sc[:] = jnp.broadcast_to(l_new, l_sc.shape)
 
-    if causal or window:
-        # skip KV blocks strictly above the diagonal, and (with a window)
-        # blocks entirely below the band (ascending ki ⇒ the diagonal block
-        # always runs, so m never stays -inf)
-        cond = ki * block_k <= qi * block_q + block_q - 1
+    if causal or window or seq_len is not None:
+        # skip KV blocks strictly above the diagonal, (with a window) blocks
+        # entirely below the band, and (ragged) blocks past the valid length
+        # (ascending ki ⇒ the first unskipped block of every q row is at
+        # least partially valid, so m never stays -inf)
+        cond = (ki * block_k <= qi * block_q + block_q - 1
+                if causal or window else True)
         if window:
             cond &= ki * block_k + block_k - 1 >= (
                 qi * block_q - window + 1)
+        if seq_len is not None:
+            cond &= ki * block_k < seq_len
         @pl.when(cond)
         def _():
             compute()
@@ -217,6 +239,75 @@ def make_flash_attention(
             return (out.reshape(B, H, N, D),
                     lse[..., 0].reshape(B, H, N))
         return res.reshape(B, H, N, D)
+
+    return fn
+
+
+def make_flash_attention_ragged(
+    *,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    causal: bool = True,
+    sm_scale: float | None = None,
+):
+    """Length-masked flash attention: fn(q, k, v, lengths) with per-sequence
+    valid lengths (B,) — key positions >= lengths[b] are neither attended nor
+    computed (block skip past the length). Query rows >= lengths[b] attend the
+    valid prefix (finite; callers slice them away). The batched-prefill
+    primitive: one call prefills B prompts of different lengths padded to a
+    common S."""
+
+    @jax.jit
+    def fn(q, k, v, lengths):
+        B, H, N, D = q.shape
+        dbq, dbk = _default_blocks(D, causal)
+        bq = min(block_q or dbq, N)
+        bk = min(block_k or dbk, N)
+        Hkv = k.shape[1]
+        group = H // Hkv
+        assert N % bq == 0 and N % bk == 0, (N, bq, bk)
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+
+        qf = q.reshape(B * H, N, D)
+        kf = k.reshape(B * Hkv, N, D)
+        vf = v.reshape(B * Hkv, N, D)
+
+        def kv_map(bh, qi, ki, L):
+            b = bh // H
+            h = bh % H
+            return (b * Hkv + h // group, ki, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H, N // bq, N // bk),
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda bh, qi, ki, L: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), kv_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk, D), kv_map, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, D),
+                                   lambda bh, qi, ki, L: (bh, qi, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((bq, _LANES), jnp.float32),
+                pltpu.VMEM((bq, _LANES), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        )
+        params = {}
+        if not interpret_default():
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            )
+        return pl.pallas_call(
+            functools.partial(_fa_ragged_kernel, causal, None, scale, bq, bk,
+                              False, H),
+            out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret_default(),
+            **params,
+        )(lengths.astype(jnp.int32), qf, kf, vf).reshape(B, H, N, D)
 
     return fn
 

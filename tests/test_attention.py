@@ -111,3 +111,31 @@ def test_sliding_window_decode_matches_ref():
     want = decode_attention_ref(q, kc, vc, lengths, window=W)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_ragged_flash_matches_per_sequence():
+    """Length-masked batch prefill == per-sequence unpadded attention."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from leetcuda_tpu.attention.flash import (
+        make_flash_attention_ragged, mha_ref)
+
+    rng = np.random.default_rng(0)
+    B, H, N, D = 3, 4, 256, 64
+    lengths = [64, 200, 256]
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+
+    fa = make_flash_attention_ragged(block_q=64, block_k=64, causal=True)
+    got = fa(q, k, v, jnp.asarray(lengths, jnp.int32))
+    for b, L in enumerate(lengths):
+        want = mha_ref(q[b:b + 1, :, :L], k[b:b + 1, :, :L],
+                       v[b:b + 1, :, :L], causal=True)
+        np.testing.assert_allclose(np.asarray(got[b:b + 1, :, :L]),
+                                   np.asarray(want), atol=2e-3, rtol=2e-3,
+                                   err_msg=f"seq {b}")
+    # rows beyond a sequence's length attend only to its valid prefix —
+    # well-defined and finite (callers slice them away)
+    assert bool(jnp.all(jnp.isfinite(got)))
