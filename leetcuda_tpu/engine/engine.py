@@ -184,6 +184,9 @@ class Engine:
             static_argnames=("cfg",), donate_argnums=(2,))
         self._prefill = jax.jit(
             functools.partial(forward, cfg=cfg, mesh=mesh, return_kv=True))
+        from leetcuda_tpu.models.llama import forward_ragged
+        self._prefill_ragged = jax.jit(
+            functools.partial(forward_ragged, cfg=cfg))
         self._insert = jax.jit(_insert_kvs, donate_argnums=(0,))
         self._insert_paged = jax.jit(_insert_kvs_paged, donate_argnums=(0,),
                                      static_argnums=(3,))
@@ -200,33 +203,62 @@ class Engine:
         return self._uid
 
     def _admit(self):
+        """Admit waiting requests. Without a mesh, all admissible requests
+        prefill in ONE ragged-flash batch (different lengths padded to a
+        common bucket); under a mesh (or with one request) the per-sequence
+        path runs (the sharded forward handles its own masking)."""
         ec = self.ec
+        batch: list[tuple[int, Request]] = []
         while self.free and self.waiting:
             req = self.waiting.popleft()
             slot = self.free.pop()
             L = len(req.prompt)
             assert 0 < L < ec.max_seq, f"prompt length {L}"
             s_pad = L + (-L % ec.prefill_bucket)
-            toks = np.zeros((1, s_pad), np.int32)
-            toks[0, :L] = req.prompt
-
             if self.pm is not None and not self.pm.ensure(slot, s_pad - 1):
                 # pool exhausted: put the request back, retry after frees
                 self.waiting.appendleft(req)
                 self.free.append(slot)
                 break
+            batch.append((slot, req))
+        if not batch:
+            return
 
-            logits, kvs = self._prefill(self.params, jnp.asarray(toks))
+        if self.mesh is None and self.pm is None and len(batch) > 1:
+            s_pad = max(len(r.prompt) for _, r in batch)
+            s_pad = s_pad + (-s_pad % ec.prefill_bucket)
+            toks = np.zeros((len(batch), s_pad), np.int32)
+            lens = np.zeros((len(batch),), np.int32)
+            for i, (_, req) in enumerate(batch):
+                toks[i, :len(req.prompt)] = req.prompt
+                lens[i] = len(req.prompt)
+            logits, kvs = self._prefill_ragged(
+                self.params, jnp.asarray(toks), jnp.asarray(lens))
+            per_seq = [(logits[i], [(k[i:i + 1], v[i:i + 1])
+                                    for k, v in kvs])
+                       for i in range(len(batch))]
+        else:
+            per_seq = []
+            for _, req in batch:
+                L = len(req.prompt)
+                s_pad = L + (-L % ec.prefill_bucket)
+                toks = np.zeros((1, s_pad), np.int32)
+                toks[0, :L] = req.prompt
+                lg, kvs = self._prefill(self.params, jnp.asarray(toks))
+                per_seq.append((lg[0], kvs))
+
+        for (slot, req), (logits_i, kvs_i) in zip(batch, per_seq):
+            L = len(req.prompt)
             if self.pm is not None:
-                phys = jnp.asarray(
-                    self.pm.used[slot][:s_pad // self.ec.page_size],
-                    jnp.int32)
-                self.caches = self._insert_paged(self.caches, kvs, phys,
+                s_pad = kvs_i[0][0].shape[2]
+                n_pages = s_pad // self.ec.page_size
+                phys = jnp.asarray(self.pm.used[slot][:n_pages], jnp.int32)
+                self.caches = self._insert_paged(self.caches, kvs_i, phys,
                                                  self.ec.page_size)
             else:
-                self.caches = self._insert(self.caches, kvs,
+                self.caches = self._insert(self.caches, kvs_i,
                                            jnp.int32(slot), jnp.int32(L))
-            first = self.sample_fn(logits[0, L - 1], self._next_key())
+            first = self.sample_fn(logits_i[L - 1], self._next_key())
             self.lengths = self.lengths.at[slot].set(L)
             self._hlen[slot] = L
             self.last_tokens = self.last_tokens.at[slot].set(first)

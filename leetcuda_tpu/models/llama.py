@@ -357,6 +357,42 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
     return (logits, kvs) if return_kv else logits
 
 
+def forward_ragged(params, tokens, lengths, cfg: ModelConfig):
+    """Batched-prefill forward over different-length prompts padded to a
+    common S: logits (B, S, V) + per-layer K/V, with attention masked to each
+    sequence's valid prefix (attention/flash.py ragged kernel). Rows past a
+    sequence's length are garbage the engine never reads (it samples at
+    lengths[b]-1 and inserts only [:lengths[b]] K/V positions... the padded
+    tail K/V is inserted too but masked by cache lengths)."""
+    from leetcuda_tpu.attention.flash import make_flash_attention_ragged
+
+    B, S = tokens.shape
+    H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    x = jnp.take(params["embed"], tokens, axis=0)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    fa = make_flash_attention_ragged(causal=True)
+
+    kvs = []
+    for layer in params["layers"]:
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+        q = apply_rope_half(q.reshape(B, S, H, Dh), positions, cfg.rope_theta)
+        k = apply_rope_half(k.reshape(B, S, Hkv, Dh), positions,
+                            cfg.rope_theta)
+        v = v.reshape(B, S, Hkv, Dh)
+        k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+        kvs.append((k, v))
+        o = fa(q.transpose(0, 2, 1, 3), k, v, lengths)  # kernel handles GQA
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
+        x = x + linear(o, layer["wo"])
+        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        x = x + _proj_mlp(h, layer, cfg)
+
+    x = _rms_norm(x, params["norm"], cfg.norm_eps)
+    w_lm = params.get("lm_head", params["embed"])
+    return (x @ w_lm.T).astype(jnp.float32), kvs
+
+
 def pipeline_forward(params, tokens, cfg: ModelConfig, mesh: Mesh,
                      n_microbatches: int = None):
     """Pipeline-parallel forward over the mesh's "pp" axis (GPipe schedule,

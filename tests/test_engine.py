@@ -203,3 +203,36 @@ def test_recover_midflight_exact(setup):
     for uid, prompt in zip(uids, prompts):
         want = solo_greedy(params, cfg, prompt, 8)
         assert eng.finished[uid].generated == want
+
+
+def test_ragged_forward_matches_forward(setup):
+    """forward_ragged at full lengths == plain forward."""
+    from leetcuda_tpu.models.llama import forward_ragged
+    cfg, params = setup
+    tokens = jnp.asarray(np.random.default_rng(10).integers(
+        0, cfg.vocab_size, (2, 32)), jnp.int32)
+    lengths = jnp.asarray([32, 32], jnp.int32)
+    lg_r, kv_r = forward_ragged(params, tokens, lengths, cfg)
+    lg, kv = forward(params, tokens, cfg, return_kv=True)
+    np.testing.assert_allclose(np.asarray(lg_r), np.asarray(lg),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(kv_r[0][0]), np.asarray(kv[0][0]),
+                               atol=1e-5)
+
+
+def test_batched_admission_matches_solo(setup):
+    """Three same-tick arrivals admit in one ragged-prefill batch — tokens
+    must equal the solo oracle for each."""
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (5, 17, 9)]
+    eng = Engine(params, cfg, EngineConfig(slots=3, max_seq=256,
+                                           prefill_bucket=16))
+    for p in prompts:
+        eng.submit(p, max_new=5)
+    eng.step()  # admits all three in one ragged batch
+    while eng.waiting or eng.active:
+        eng.step()
+    for uid, prompt in zip(sorted(eng.finished), prompts):
+        assert eng.finished[uid].generated == solo_greedy(params, cfg,
+                                                          prompt, 5)
