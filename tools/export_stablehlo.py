@@ -123,8 +123,12 @@ def main():
         B, H, S, D = 1, 8, args.n, 128
         fa = make_flash_attention(causal=True)
         q = jnp.zeros((B, H, S, D), jnp.bfloat16)
-        paths = export(fa, (q, q, q), args.out,
-                       flops=2.0 * 2 * B * H * S * S * D / 2)  # causal half
+        flops = 2.0 * 2 * B * H * S * S * D / 2  # causal half
+        fn = fa
+        if args.scan:
+            fn = scanned(fa, 0, args.scan)  # chain out -> q
+            flops *= args.scan
+        paths = export(fn, (q, q, q), args.out, flops=flops)
 
     print("wrote", *paths)
 
