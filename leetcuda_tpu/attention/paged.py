@@ -210,3 +210,21 @@ class PageManager:
     @property
     def device_table(self):
         return jnp.asarray(self.table)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def paged_append_quantized(k_pages, v_pages, k_scales, v_scales,
+                           kq, vq, ks, vs, page_table, lengths):
+    """Quantized paged append: values (B, Hkv, D) already quantized with
+    per-(seq, head) scales (B, Hkv); writes values + scales at each
+    sequence's current position."""
+    B = kq.shape[0]
+    page = k_pages.shape[2]
+    bidx = jnp.arange(B)
+    phys = page_table[bidx, lengths // page]
+    offs = lengths % page
+    k_pages = k_pages.at[phys, :, offs].set(kq.astype(k_pages.dtype))
+    v_pages = v_pages.at[phys, :, offs].set(vq.astype(v_pages.dtype))
+    k_scales = k_scales.at[phys, :, offs].set(ks)
+    v_scales = v_scales.at[phys, :, offs].set(vs)
+    return k_pages, v_pages, k_scales, v_scales

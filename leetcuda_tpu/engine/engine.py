@@ -109,7 +109,8 @@ def _insert_kvs(caches, kvs, slot, length):
 
 def _insert_kvs_paged(caches, kvs, phys_pages, page):
     """Scatter one sequence's prefill K/V ((1, Hkv, S_pad, Dh) per layer) into
-    its physical pages (phys_pages (S_pad/page,) ids, same table all layers)."""
+    its physical pages (phys_pages (S_pad/page,) ids, same table all layers).
+    Quantized pools also get their per-position scale chunks."""
     new = []
     for cache, (k, v) in zip(caches, kvs):
         _, Hkv, S_pad, D = k.shape
@@ -119,10 +120,24 @@ def _insert_kvs_paged(caches, kvs, phys_pages, page):
             return (x[0].reshape(Hkv, n, page, D).transpose(1, 0, 2, 3)
                     .astype(cache["k_pages"].dtype))
 
-        new.append({
-            "k_pages": cache["k_pages"].at[phys_pages].set(chunks(k)),
-            "v_pages": cache["v_pages"].at[phys_pages].set(chunks(v)),
-        })
+        c = {}
+        if "k_scales" in cache:
+            kq, ks = _quantize_token_kv(k, cache["k_pages"].dtype)
+            vq, vs = _quantize_token_kv(v, cache["v_pages"].dtype)
+
+            def schunks(s):  # (1, Hkv, S_pad) -> (n, Hkv, page)
+                return s[0].reshape(Hkv, n, page).transpose(1, 0, 2)
+
+            c["k_pages"] = cache["k_pages"].at[phys_pages].set(
+                kq[0].reshape(Hkv, n, page, D).transpose(1, 0, 2, 3))
+            c["v_pages"] = cache["v_pages"].at[phys_pages].set(
+                vq[0].reshape(Hkv, n, page, D).transpose(1, 0, 2, 3))
+            c["k_scales"] = cache["k_scales"].at[phys_pages].set(schunks(ks))
+            c["v_scales"] = cache["v_scales"].at[phys_pages].set(schunks(vs))
+        else:
+            c["k_pages"] = cache["k_pages"].at[phys_pages].set(chunks(k))
+            c["v_pages"] = cache["v_pages"].at[phys_pages].set(chunks(v))
+        new.append(c)
     return new
 
 
@@ -152,14 +167,14 @@ class Engine:
             from leetcuda_tpu.models.llama import init_paged_kv_caches
 
             assert mesh is None, "paged serving is single-shard for now"
-            assert ec.kv_quant is None, "paged + quantized KV not wired yet"
             assert ec.prefill_bucket % ec.page_size == 0
             num_pages = ec.num_pages or (
                 ec.slots * ec.max_seq // ec.page_size + 1)
             self.pm = PageManager(num_pages, ec.page_size,
                                   ec.max_seq // ec.page_size, ec.slots)
             self._num_pages = num_pages
-            caches = init_paged_kv_caches(cfg, num_pages, ec.page_size)
+            caches = init_paged_kv_caches(cfg, num_pages, ec.page_size,
+                                          quant=ec.kv_quant)
         else:
             caches = init_kv_caches(cfg, ec.slots, ec.max_seq,
                                     quant=ec.kv_quant)
@@ -383,7 +398,8 @@ class Engine:
                                   self.ec.max_seq // self.ec.page_size,
                                   self.ec.slots)
             self.caches = init_paged_kv_caches(self.cfg, self._num_pages,
-                                               self.ec.page_size)
+                                               self.ec.page_size,
+                                               quant=self.ec.kv_quant)
         else:
             caches = init_kv_caches(self.cfg, self.ec.slots, self.ec.max_seq,
                                     quant=self.ec.kv_quant)

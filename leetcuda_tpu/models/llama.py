@@ -520,13 +520,23 @@ def _quantize_token_kv(x, qdt):
 
 
 def init_paged_kv_caches(cfg: ModelConfig, num_pages: int, page_size: int,
-                         dtype=None):
+                         dtype=None, quant: str | None = None):
     """Paged caches (attention/paged.py): per-layer page pools sharing one
-    block table (managed host-side by PageManager)."""
-    dtype = dtype or cfg.dtype
+    block table (managed host-side by PageManager). With ``quant``
+    ("int8" | "fp8"): pools store quantized values + per-(page, head,
+    position) f32 scale pools."""
     shape = (num_pages, cfg.n_kv_heads, page_size, cfg.head_dim)
-    return [{"k_pages": jnp.zeros(shape, dtype),
-             "v_pages": jnp.zeros(shape, dtype)}
+    if quant is None:
+        dtype = dtype or cfg.dtype
+        return [{"k_pages": jnp.zeros(shape, dtype),
+                 "v_pages": jnp.zeros(shape, dtype)}
+                for _ in range(cfg.n_layers)]
+    qdt = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
+    sshape = (num_pages, cfg.n_kv_heads, page_size)
+    return [{"k_pages": jnp.zeros(shape, qdt),
+             "v_pages": jnp.zeros(shape, qdt),
+             "k_scales": jnp.ones(sshape, jnp.float32),
+             "v_scales": jnp.ones(sshape, jnp.float32)}
             for _ in range(cfg.n_layers)]
 
 
@@ -534,8 +544,16 @@ def _cache_append(cache, k, v, pos, page_table=None):
     """Write this token's k/v (B, Hkv, Dh) at position ``pos`` (B,), quantizing
     when the cache is quantized; paged caches route through paged_append."""
     if "k_pages" in cache:
-        from leetcuda_tpu.attention.paged import paged_append
+        from leetcuda_tpu.attention.paged import paged_append, paged_append_quantized
 
+        if "k_scales" in cache:
+            kq, ks = _quantize_token_kv(k, cache["k_pages"].dtype)
+            vq, vs = _quantize_token_kv(v, cache["v_pages"].dtype)
+            kp, vp, kss, vss = paged_append_quantized(
+                cache["k_pages"], cache["v_pages"], cache["k_scales"],
+                cache["v_scales"], kq, vq, ks, vs, page_table, pos)
+            return {"k_pages": kp, "v_pages": vp,
+                    "k_scales": kss, "v_scales": vss}
         kp, vp = paged_append(cache["k_pages"], cache["v_pages"],
                               k, v, page_table, pos)
         return {"k_pages": kp, "v_pages": vp}
@@ -564,6 +582,10 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
         from leetcuda_tpu.attention.paged import make_paged_attention
 
         assert mesh is None, "paged attention is single-shard for now"
+        if "k_scales" in cache:
+            return make_paged_attention(quantized=True)(
+                q, cache["k_pages"], cache["v_pages"], cache["k_scales"],
+                cache["v_scales"], page_table, lengths)
         return make_paged_attention()(q, cache["k_pages"], cache["v_pages"],
                                       page_table, lengths)
     quantized = "k_scale" in cache

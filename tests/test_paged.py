@@ -152,3 +152,27 @@ def test_paged_quantized_matches_dequantized(rng):
         vq.astype(jnp.float32) * vs[..., None], table, lens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_paged_int8_engine_matches_slot_int8_engine():
+    """Paged + int8 KV == slot-cache + int8 KV (same per-token scale
+    granularity => identical numerics), exercising the full north-star combo:
+    quantized weights + quantized paged KV + continuous batching."""
+    from leetcuda_tpu.models.llama import (
+        tiny_config, init_params, quantize_params)
+    from leetcuda_tpu.engine import Engine, EngineConfig
+
+    cfg = tiny_config()
+    params = quantize_params(init_params(jax.random.key(0), cfg),
+                             dtype="int8")
+    rng2 = np.random.default_rng(4)
+    prompts = [list(rng2.integers(0, cfg.vocab_size, n)) for n in (7, 13)]
+
+    eng_slot = Engine(params, cfg, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, kv_quant="int8"))
+    eng_paged = Engine(params, cfg, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, kv_quant="int8",
+        paged=True, page_size=16))
+    a = eng_slot.run(prompts, max_new=6)
+    b = eng_paged.run(prompts, max_new=6)
+    assert list(a.values()) == list(b.values())
