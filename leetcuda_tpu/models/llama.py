@@ -308,7 +308,7 @@ def _attention(q, k, v, mesh: Mesh | None, causal: bool):
                      check_vma=False)(q, k, v)
 
 
-def apply_layer(layer, x, positions, cfg: ModelConfig,
+def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
                 mesh: Mesh | None = None):
     """One transformer layer (prefill/training path). x (B, S, D) ->
     (x, (k, v)) with the post-rope K/V the decode path would cache."""
@@ -332,21 +332,28 @@ def apply_layer(layer, x, positions, cfg: ModelConfig,
 
 
 def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
-            positions=None, return_kv: bool = False):
+            positions=None, return_kv: bool = False, remat: bool = False):
     """Causal LM forward. tokens (B, S) int32 -> logits (B, S, V).
 
     ``return_kv=True`` additionally returns the post-rope per-layer K/V
     [(B, Hkv, S, Dh)] — exactly what the decode path would have cached — for
-    engine prefill (engine/engine.py)."""
+    engine prefill (engine/engine.py). ``remat=True`` checkpoints each layer
+    (activations rematerialized in the backward): the standard FLOPs-for-HBM
+    trade that makes 2k-context training of the 0.8B fit a 16 GB chip."""
     B, S = tokens.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], tokens, axis=0)  # (B, S, D)
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
 
+    layer_fn = functools.partial(apply_layer, positions=positions, cfg=cfg,
+                                 mesh=mesh)
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+
     kvs = []
     for layer in params["layers"]:
-        x, kv = apply_layer(layer, x, positions, cfg, mesh=mesh)
+        x, kv = layer_fn(layer, x)
         if return_kv:
             kvs.append(kv)
 
@@ -439,11 +446,12 @@ def pipeline_forward(params, tokens, cfg: ModelConfig, mesh: Mesh,
     return (x @ w_lm.T).astype(jnp.float32)
 
 
-def loss_fn(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None):
+def loss_fn(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
+            remat: bool = False):
     """Next-token cross-entropy (shifted). Runs the model at the full (usually
     block-aligned) S and drops the last position's logits, rather than feeding
     the kernels an S-1 sequence."""
-    logits = forward(params, tokens, cfg, mesh)[:, :-1]
+    logits = forward(params, tokens, cfg, mesh, remat=remat)[:, :-1]
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -451,9 +459,11 @@ def loss_fn(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None):
 
 
 def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
-                    learning_rate: float = 3e-4):
+                    learning_rate: float = 3e-4, remat: bool = True):
     """AdamW train step. Under a mesh, jit with GSPMD shardings: weights per
-    Megatron TP rules, batch on dp, sequence on sp."""
+    Megatron TP rules, batch on dp, sequence on sp. ``remat`` (default on)
+    checkpoints each layer — without it the 0.8B at B=8 S=2048 OOMs 16 GB HBM
+    (activations ~10 GB); with it they rematerialize in the backward."""
     import optax
 
     tx = optax.adamw(learning_rate)
@@ -462,13 +472,15 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
         return tx.init(params)
 
     def step(params, opt_state, tokens):
-        loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh)
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg, mesh,
+                                                  remat)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     if mesh is None:
-        return init_opt, jax.jit(step)
+        # donate params/opt_state: two 8GB state generations don't fit HBM
+        return init_opt, jax.jit(step, donate_argnums=(0, 1))
 
     pspec = param_shardings(cfg, mesh)
     pshard = jax.tree_util.tree_map(
