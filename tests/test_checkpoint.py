@@ -16,15 +16,17 @@ def test_resume_matches_uninterrupted(tmp_path):
     tokens = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (2, 65)), jnp.int32)
 
-    # uninterrupted: 4 steps
-    p, s = params, init_opt(params)
+    # uninterrupted: 4 steps (on copies: the step donates its arguments)
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    s = init_opt(p)
     losses = []
     for _ in range(4):
         p, s, loss = step(p, s, tokens)
         losses.append(float(loss))
 
     # interrupted: 2 steps -> save -> restore -> 2 more
-    p2, s2 = params, init_opt(params)
+    p2 = jax.tree_util.tree_map(jnp.copy, params)
+    s2 = init_opt(p2)
     for _ in range(2):
         p2, s2, _ = step(p2, s2, tokens)
     save_checkpoint(tmp_path / "ckpt", p2, s2, step=2)

@@ -33,6 +33,9 @@ def test_forward_shape(setup):
 
 def test_train_step_loss_decreases(setup):
     cfg, params = setup
+    # the step donates its state args; train on a copy so the module-scoped
+    # fixture params stay alive for later tests
+    params = jax.tree_util.tree_map(jnp.copy, params)
     init_opt, step = make_train_step(cfg, learning_rate=1e-3)
     opt_state = init_opt(params)
     tokens = jnp.asarray(np.random.default_rng(1).integers(

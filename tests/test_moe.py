@@ -62,11 +62,12 @@ def test_moe_llama_trains_and_decodes():
     assert "moe" in params["layers"][0] and "w_gate" not in params["layers"][0]
 
     init_opt, step = make_train_step(cfg, learning_rate=1e-3)
-    opt_state = init_opt(params)
+    # train on a copy: the step donates its state and `params` is reused below
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    opt_state = init_opt(p)
     tokens = jnp.asarray(np.random.default_rng(0).integers(
         0, cfg.vocab_size, (4, 33)), jnp.int32)
     losses = []
-    p = params
     for _ in range(5):
         p, opt_state, loss = step(p, opt_state, tokens)
         losses.append(float(loss))
