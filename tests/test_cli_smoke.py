@@ -6,6 +6,17 @@ import sys
 import pytest
 
 
+def run_script(path, *args, timeout=600):
+    r = subprocess.run(
+        [sys.executable, path, *args],
+        capture_output=True, text=True, timeout=timeout,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "."},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
 def run_cli(mod, *args, timeout=600):
     r = subprocess.run(
         [sys.executable, "-m", mod, *args],
@@ -47,3 +58,13 @@ def test_gen_op_table_cli():
     out = run_cli("tools.gen_op_table")
     assert "Registered kernel inventory" in out
     assert "flash-attn" in out
+
+
+def test_train_example():
+    out = run_script("examples/train.py", "--steps", "2")
+    assert "loss" in out and "checkpoint ->" in out
+
+
+def test_serve_example():
+    out = run_script("examples/serve.py", "--paged", "--temperature", "0.8")
+    assert "request 1:" in out
