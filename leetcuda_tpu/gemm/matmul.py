@@ -79,12 +79,17 @@ def _swizzled_ij(t, ni, nj, group):
     This is the reference's block-swizzle (hgemm_mma_stage.cu:1919-1921) with
     grid-order instead of blockIdx arithmetic: the A row-panel stays resident
     across a group; B column-panels are reused ni times in a row.
+
+    The last group may be narrower (nj % group != 0 — or even nj < group);
+    without the tail clamp j walks past nj and the index_map DMAs out of
+    bounds (FAILED_PRECONDITION on hardware, found by tools/fuzz_gemm.py).
     """
     tiles_per_group = ni * group
     g = t // tiles_per_group
     r = t % tiles_per_group
-    i = r // group
-    j = g * group + r % group
+    cur = jnp.minimum(group, nj - g * group)  # tail-group width
+    i = r // cur
+    j = g * group + r % cur
     return i, j
 
 

@@ -89,3 +89,36 @@ def test_i8i8i32(rng):
     got = np.asarray(mm(x, w))
     want = np.asarray(x, np.int64) @ np.asarray(w, np.int64)
     np.testing.assert_array_equal(got, want)
+
+
+def test_swizzled_walk_stays_in_bounds():
+    """Grouped grid walk must visit every (i, j) exactly once even when the
+    group doesn't divide nj (incl. nj < group) — the out-of-bounds regression
+    found by tools/fuzz_gemm.py on hardware."""
+    import numpy as np
+    from leetcuda_tpu.gemm.matmul import _swizzled_ij
+
+    for ni, nj, group in [(4, 1, 4), (4, 6, 4), (2, 5, 3), (3, 8, 8),
+                          (4, 4, 2), (1, 7, 4)]:
+        seen = set()
+        for t in range(ni * nj):
+            i, j = _swizzled_ij(t, ni, nj, group)
+            i, j = int(i), int(j)
+            assert 0 <= i < ni and 0 <= j < nj, (ni, nj, group, t, i, j)
+            seen.add((i, j))
+        assert len(seen) == ni * nj, (ni, nj, group)
+
+
+def test_swizzled_matmul_awkward_shapes(rng):
+    """Swizzled matmul at shapes where group doesn't divide the column grid."""
+    import jax.numpy as jnp
+    from leetcuda_tpu.gemm.matmul import make_matmul, matmul_ref
+
+    for M, N, K, blk, g in [(512, 256, 2048, (128, 256, 256), 4),
+                            (256, 640, 384, (128, 128, 128), 4)]:
+        a = jnp.asarray(rng.standard_normal((M, K)) * 0.3, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((K, N)) * 0.3, jnp.float32)
+        got = make_matmul(block=blk, swizzle_group=g)(a, b)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(matmul_ref(a, b)),
+                                   atol=1e-3, rtol=1e-3)
