@@ -87,7 +87,9 @@ def _swizzled_ij(t, ni, nj, group):
     tiles_per_group = ni * group
     g = t // tiles_per_group
     r = t % tiles_per_group
-    cur = jnp.minimum(group, nj - g * group)  # tail-group width
+    # tail-group width; plain-int path keeps the visualizer's values hashable
+    cur = min(group, nj - g * group) if isinstance(t, int) else jnp.minimum(
+        group, nj - g * group)
     i = r // cur
     j = g * group + r % cur
     return i, j
