@@ -55,6 +55,10 @@ class EngineConfig:
     paged: bool = False
     page_size: int = 128
     num_pages: int | None = None     # default: a full slots*max_seq pool + 1
+    # speculative decoding: k draft proposals per tick verified by one
+    # (k+1)-position target chunk (engine/speculative.py mechanics); requires
+    # Engine(draft=(draft_params, draft_cfg)) and greedy sampling
+    spec_k: int = 0
 
 
 @dataclasses.dataclass
@@ -145,7 +149,8 @@ class Engine:
     """Host-driven continuous-batching engine over jitted device steps."""
 
     def __init__(self, params, cfg: ModelConfig, econfig: EngineConfig = None,
-                 sample_fn: Callable = _greedy, mesh=None, seed: int = 0):
+                 sample_fn: Callable = _greedy, mesh=None, seed: int = 0,
+                 draft=None):
         """``mesh``: serve tensor-parallel — a (dp=1, sp=1, tp=N) mesh; weights
         and caches are sharded here (Megatron TP rules; kv-heads on tp).
         dp>1 is unsupported in the Engine because admission prefills one
@@ -192,6 +197,19 @@ class Engine:
         self.waiting: deque[Request] = deque()
         self.finished: dict[int, Request] = {}
         self._uid = 0
+
+        self.draft = None
+        if ec.spec_k:
+            assert draft is not None, "spec_k requires draft=(params, cfg)"
+            assert not ec.paged and ec.kv_quant is None and mesh is None, \
+                "speculative engine runs on plain slot caches for now"
+            assert sample_fn is _greedy, "speculative decoding is greedy-exact"
+            d_params, d_cfg = draft
+            self.draft = (d_params, d_cfg)
+            self.caches_d = init_kv_caches(d_cfg, ec.slots, ec.max_seq)
+            self._prefill_d = jax.jit(
+                functools.partial(forward, cfg=d_cfg, return_kv=True))
+            self._accepted = self._proposed = 0
 
         self._hlen = np.zeros((ec.slots,), np.int64)  # host-side lengths
         self._decode = jax.jit(
@@ -273,6 +291,14 @@ class Engine:
             else:
                 self.caches = self._insert(self.caches, kvs_i,
                                            jnp.int32(slot), jnp.int32(L))
+            if self.draft is not None:
+                d_params, d_cfg = self.draft
+                s_pad = kvs_i[0][0].shape[2]
+                toks = np.zeros((1, s_pad), np.int32)
+                toks[0, :L] = req.prompt
+                _, dkvs = self._prefill_d(d_params, jnp.asarray(toks))
+                self.caches_d = self._insert(self.caches_d, dkvs,
+                                             jnp.int32(slot), jnp.int32(L))
             first = self.sample_fn(logits_i[L - 1], self._next_key())
             self.lengths = self.lengths.at[slot].set(L)
             self._hlen[slot] = L
@@ -312,11 +338,14 @@ class Engine:
         return slot
 
     def step(self) -> dict[int, int]:
-        """Admit waiting requests, then advance every live slot one token.
-        Returns {uid: new_token} for this tick."""
+        """Admit waiting requests, then advance every live slot one token
+        (or up to 1 + spec_k tokens in speculative mode).
+        Returns {uid: last new token} for this tick."""
         self._admit()
         if not self.active:
             return {}
+        if self.draft is not None:
+            return self._step_speculative()
 
         if self.pm is not None:
             # grow pages for this step's appends; preempt on pool exhaustion
@@ -355,6 +384,74 @@ class Engine:
             out[req.uid] = tok
             self._maybe_finish(slot, tok)
         return out
+
+    def _step_speculative(self) -> dict[int, int]:
+        """One speculative tick: k draft proposals per slot, one (k+1)-chunk
+        target verify, emit 1 + accepted tokens per live slot (greedy-exact:
+        identical stream to plain decoding)."""
+        from leetcuda_tpu.engine.speculative import _jit_chunk
+
+        k = self.ec.spec_k
+        d_params, d_cfg = self.draft
+        live = np.zeros((self.ec.slots,), bool)
+        for s in self.active:
+            live[s] = True
+        live_j = jnp.asarray(live)
+
+        # draft proposes k tokens (cache advances k+1 for full-accept sync)
+        d_tokens = [self.last_tokens]
+        d_len = self.lengths
+        tok = self.last_tokens
+        for _ in range(k):
+            lg, self.caches_d = self._decode(d_params, tok, self.caches_d,
+                                             d_len, cfg=d_cfg)
+            tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            d_tokens.append(tok)
+            d_len = d_len + 1
+        _, self.caches_d = self._decode(d_params, tok, self.caches_d, d_len,
+                                        cfg=d_cfg)
+        chunk = jnp.stack(d_tokens, axis=1)  # (slots, k+1)
+
+        logits, self.caches = _jit_chunk(self.params, chunk, self.caches,
+                                         self.lengths, self.cfg)
+        target_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        proposals = chunk[:, 1:]
+        match = proposals == target_next[:, :-1]
+        n_acc = jnp.argmin(jnp.concatenate(
+            [match, jnp.zeros((self.ec.slots, 1), bool)], axis=1)
+            .astype(jnp.int32), axis=1)
+        new_cur = jnp.take_along_axis(target_next, n_acc[:, None],
+                                      axis=1)[:, 0]
+
+        n_acc_np = np.asarray(jax.device_get(n_acc))
+        props_np = np.asarray(jax.device_get(proposals))
+        cur_np = np.asarray(jax.device_get(new_cur))
+        self._accepted += int(n_acc_np[live].sum())
+        self._proposed += int(live.sum()) * k
+
+        adv = jnp.where(live_j, 1 + n_acc, 0)
+        self.lengths = self.lengths + adv
+        self._hlen[live] += 1 + n_acc_np[live]
+        self.last_tokens = jnp.where(live_j, new_cur, self.last_tokens)
+
+        out = {}
+        for slot, req in list(self.active.items()):
+            for t in range(int(n_acc_np[slot])):
+                req.generated.append(int(props_np[slot, t]))
+                out[req.uid] = int(props_np[slot, t])
+                self._maybe_finish(slot, int(props_np[slot, t]))
+                if slot not in self.active:
+                    break
+            if slot not in self.active:
+                continue
+            req.generated.append(int(cur_np[slot]))
+            out[req.uid] = int(cur_np[slot])
+            self._maybe_finish(slot, int(cur_np[slot]))
+        return out
+
+    @property
+    def acceptance_rate(self):
+        return self._accepted / max(self._proposed, 1)
 
     def stats(self) -> dict:
         """Serving observability: queue depths, slot/page utilization, and
@@ -406,6 +503,9 @@ class Engine:
             if self.mesh is not None:
                 caches = shard_kv_caches(caches, self.mesh)
             self.caches = caches
+        if self.draft is not None:
+            self.caches_d = init_kv_caches(self.draft[1], self.ec.slots,
+                                           self.ec.max_seq)
 
     def run(self, prompts: list[list[int]], max_new: int = 64,
             max_recoveries: int = 2) -> dict[int, list[int]]:

@@ -85,3 +85,42 @@ def test_speculative_self_draft_accepts_everything(models):
     want = generate_scan(params_t, cfg_t, prompts, 12)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert rate == 1.0, rate
+
+
+def test_speculative_engine_matches_solo(models):
+    """Continuous-batching engine in speculative mode: token-exact vs solo
+    greedy, with slot reuse and staggered lengths."""
+    from leetcuda_tpu.engine import Engine, EngineConfig
+    from test_engine import solo_greedy
+
+    cfg_t, params_t, cfg_d, params_d = models
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(0, cfg_t.vocab_size, n)) for n in (6, 14, 9)]
+
+    eng = Engine(params_t, cfg_t,
+                 EngineConfig(slots=2, max_seq=256, prefill_bucket=16,
+                              spec_k=3),
+                 draft=(params_d, cfg_d))
+    got = eng.run(prompts, max_new=10)
+    for uid, prompt in zip(sorted(got), prompts):
+        want = solo_greedy(params_t, cfg_t, prompt, 10)
+        assert eng.finished[uid].generated == want, (
+            uid, eng.finished[uid].generated, want)
+    assert 0.0 <= eng.acceptance_rate <= 1.0
+
+
+def test_speculative_engine_self_draft(models):
+    """Draft == target: full acceptance, still token-exact."""
+    from leetcuda_tpu.engine import Engine, EngineConfig
+    from test_engine import solo_greedy
+
+    cfg_t, params_t, _, _ = models
+    prompt = list(np.random.default_rng(6).integers(0, cfg_t.vocab_size, 8))
+    eng = Engine(params_t, cfg_t,
+                 EngineConfig(slots=1, max_seq=256, prefill_bucket=16,
+                              spec_k=4),
+                 draft=(params_t, cfg_t))
+    got = eng.run([prompt], max_new=9)
+    (gen,) = got.values()
+    assert gen == solo_greedy(params_t, cfg_t, prompt, 9)
+    assert eng.acceptance_rate == 1.0
