@@ -15,6 +15,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -66,7 +67,10 @@ def make_matmul_w8a16(
     compute_dtype=jnp.bfloat16,
     out_dtype=None,
 ):
-    """x (M, K) bf16 @ dequant(w_q (K, N) int8/fp8, scale (N,)) -> (M, N)."""
+    """x (M, K) bf16 @ dequant(w_q (K, N) int8/fp8, scale (N,)) -> (M, N).
+
+    Differentiable wrt x (custom VJP: dx = (g·s) @ w_qᵀ via XLA) — quantized
+    weights are frozen (QLoRA-style adapters train through this)."""
 
     @jax.jit
     def fn(x, w_q, scale):
@@ -107,7 +111,30 @@ def make_matmul_w8a16(
             **params,
         )(x, w_q, scale.reshape(1, N))
 
-    return fn
+    @jax.custom_vjp
+    def op(x, w_q, scale):
+        return fn(x, w_q, scale)
+
+    def op_fwd(x, w_q, scale):
+        # zero-size token carries x's dtype (residuals must be JAX types)
+        return fn(x, w_q, scale), (w_q, scale, jnp.zeros((0,), x.dtype))
+
+    def op_bwd(res, g):
+        w_q, scale, xtok = res
+        xdt = xtok.dtype
+        gs = g.astype(jnp.float32) * scale.astype(jnp.float32)[None, :]
+        dx = jax.lax.dot_general(
+            gs.astype(compute_dtype), w_q.astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(xdt)
+        # frozen quantized weights: zero/float0 cotangents
+        dw = (np.zeros((), jax.dtypes.float0)
+              if jnp.issubdtype(w_q.dtype, jnp.integer)
+              else jnp.zeros_like(w_q))
+        return dx, dw, jnp.zeros_like(scale)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
 
 
 def _i8_mm_kernel(x_ref, w_ref, o_ref, acc_ref):

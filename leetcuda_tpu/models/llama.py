@@ -41,11 +41,16 @@ _w8a16 = make_matmul_w8a16()
 
 
 def linear(x, w):
-    """x (..., K) @ w. ``w`` is a dense (K, N) array, or a weight-only-quantized
+    """x (..., K) @ w. ``w`` is a dense (K, N) array, a weight-only-quantized
     pack {"q": int8/fp8 (K, N), "s": f32 (N,)} routed through the fused-dequant
     Pallas matmul (gemm/quant.py) — weights stream from HBM at 1 byte/elem and
-    are cast up in VMEM right after the DMA."""
+    are cast up in VMEM right after the DMA — or a LoRA pack
+    {"w": base, "A", "B", "scale"} (models/lora.py): base + low-rank delta."""
     if isinstance(w, dict):
+        if "A" in w:  # LoRA adapter over a (possibly quantized) frozen base
+            base = linear(x, w["w"])
+            delta = (x.astype(jnp.float32) @ w["A"]) @ w["B"] * w["scale"]
+            return base + delta.astype(base.dtype)
         lead = x.shape[:-1]
         out = _w8a16(x.reshape(-1, x.shape[-1]), w["q"], w["s"])
         return out.reshape(*lead, out.shape[-1])

@@ -1,0 +1,70 @@
+"""LoRA: zero-init equivalence, adapter-only training, merge, quantized base."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leetcuda_tpu.models.llama import (
+    tiny_config, init_params, forward, quantize_params)
+from leetcuda_tpu.models.lora import (
+    add_lora, lora_params, set_lora_params, merge_lora, make_lora_train_step)
+
+
+def setup():
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 32)), jnp.int32)
+    return cfg, params, tokens
+
+
+def test_zero_init_matches_base():
+    cfg, params, tokens = setup()
+    lp = add_lora(params, jax.random.key(1), rank=4)
+    np.testing.assert_allclose(np.asarray(forward(lp, tokens, cfg)),
+                               np.asarray(forward(params, tokens, cfg)),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_adapter_training_moves_loss_base_frozen():
+    cfg, params, tokens = setup()
+    lp = add_lora(params, jax.random.key(1), rank=4)
+    ad = lora_params(lp)
+    init_opt, step = make_lora_train_step(cfg, learning_rate=1e-2)
+    s = init_opt(ad)
+    losses = []
+    for _ in range(5):
+        ad, s, loss = step(ad, s, lp, tokens)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    # base weights untouched
+    np.testing.assert_array_equal(
+        np.asarray(lp["layers"][0]["wq"]["w"]),
+        np.asarray(params["layers"][0]["wq"]))
+
+
+def test_merge_matches_adapted_forward():
+    cfg, params, tokens = setup()
+    lp = add_lora(params, jax.random.key(1), rank=4)
+    ad = lora_params(lp)
+    # give the adapters non-trivial values
+    ad = jax.tree_util.tree_map(lambda x: x + 0.01, ad)
+    lp = set_lora_params(lp, ad)
+    merged = merge_lora(lp)
+    np.testing.assert_allclose(np.asarray(forward(merged, tokens, cfg)),
+                               np.asarray(forward(lp, tokens, cfg)),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_qlora_quantized_base_trains():
+    cfg, params, tokens = setup()
+    qbase = quantize_params(params, dtype="int8")
+    lp = add_lora(qbase, jax.random.key(1), rank=4)
+    ad = lora_params(lp)
+    init_opt, step = make_lora_train_step(cfg, learning_rate=1e-2)
+    s = init_opt(ad)
+    losses = []
+    for _ in range(4):
+        ad, s, loss = step(ad, s, lp, tokens)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
