@@ -68,3 +68,23 @@ def test_qlora_quantized_base_trains():
         ad, s, loss = step(ad, s, lp, tokens)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_engine_serves_lora_adapters():
+    """The engine serves adapted weights transparently; with non-zero
+    adapters, generation matches the merged-weight model exactly."""
+    from leetcuda_tpu.engine import Engine, EngineConfig
+
+    cfg, params, _ = setup()
+    lp = add_lora(params, jax.random.key(2), rank=4)
+    ad = jax.tree_util.tree_map(lambda x: x + 0.02, lora_params(lp))
+    lp = set_lora_params(lp, ad)
+
+    prompt = list(np.random.default_rng(7).integers(0, cfg.vocab_size, 9))
+    e1 = Engine(lp, cfg, EngineConfig(slots=1, max_seq=128,
+                                      prefill_bucket=16))
+    e2 = Engine(merge_lora(lp), cfg, EngineConfig(slots=1, max_seq=128,
+                                                  prefill_bucket=16))
+    (a,) = e1.run([prompt], max_new=6).values()
+    (b,) = e2.run([prompt], max_new=6).values()
+    assert a == b
