@@ -19,19 +19,11 @@ import jax
 import jax.numpy as jnp
 
 
-def _best_tflops(fn, *args, flops, iters, reps=3):
-    """Best-of-reps chained-scan timing (see leetcuda_tpu/bench/harness.py):
-    each rep runs the timed loop inside one jit as a lax.scan whose carry feeds
-    each iteration, so nothing is hoisted; execution is fenced by a tiny
-    readback and the tunnel's RPC floor is subtracted."""
-    from leetcuda_tpu.bench.harness import run_benchmark
-
-    return max(
-        run_benchmark(fn, *args, iters=iters, flops=flops).tflops
-        for _ in range(reps))
-
-
 def main():
+    """Interleaved best-of-5: ours/XLA alternate every rep so both sides
+    sample the same chip/tunnel state (chained-scan timing per rep — see
+    leetcuda_tpu/bench/harness.py)."""
+    from leetcuda_tpu.bench.harness import run_benchmark
     from leetcuda_tpu.core.runtime import on_tpu
     from leetcuda_tpu.gemm.matmul import hgemm, matmul_ref
 
@@ -43,9 +35,13 @@ def main():
     b = jax.random.normal(kb, (n, n), jnp.float32).astype(dtype)
 
     flops = 2.0 * n * n * n
-    ours_tflops = _best_tflops(hgemm, a, b, flops=flops, iters=iters)
-    xla_tflops = _best_tflops(jax.jit(matmul_ref), a, b, flops=flops,
-                              iters=iters)
+    xla = jax.jit(matmul_ref)
+    ours_tflops = xla_tflops = 0.0
+    for _ in range(5):
+        ours_tflops = max(ours_tflops, run_benchmark(
+            hgemm, a, b, iters=iters, flops=flops).tflops)
+        xla_tflops = max(xla_tflops, run_benchmark(
+            xla, a, b, iters=iters, flops=flops).tflops)
 
     print(json.dumps({
         "metric": f"hgemm_pallas_bf16_{n}cubed_tflops",
