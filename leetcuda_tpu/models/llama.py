@@ -67,7 +67,8 @@ def fuse_params(params):
     out["layers"] = []
     for layer in params["layers"]:
         fused = {k: v for k, v in layer.items()
-                 if k in ("attn_norm", "mlp_norm", "wo", "w_down")}
+                 if k in ("attn_norm", "mlp_norm", "wo", "w_down",
+                          "bq", "bk", "bv")}
         fused["wqkv"] = jnp.concatenate(
             [layer["wq"], layer["wk"], layer["wv"]], axis=1)
         fused["w_gate_up"] = jnp.concatenate(
@@ -77,12 +78,19 @@ def fuse_params(params):
 
 
 def _proj_qkv(h, layer, H, Hkv, Dh):
-    """Q/K/V projections, fused or split. Returns flat (..., X*Dh) arrays."""
+    """Q/K/V projections, fused or split; optional biases (Qwen2-style QKV
+    bias: bq/bk/bv). Returns flat (..., X*Dh) arrays."""
     if "wqkv" in layer:
         qkv = linear(h, layer["wqkv"])
-        return jnp.split(qkv, [H * Dh, (H + Hkv) * Dh], axis=-1)
-    return (linear(h, layer["wq"]), linear(h, layer["wk"]),
-            linear(h, layer["wv"]))
+        q, k, v = jnp.split(qkv, [H * Dh, (H + Hkv) * Dh], axis=-1)
+    else:
+        q, k, v = (linear(h, layer["wq"]), linear(h, layer["wk"]),
+                   linear(h, layer["wv"]))
+    if "bq" in layer:
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    return q, k, v
 
 
 def _proj_mlp(h, layer, cfg=None):
@@ -234,7 +242,8 @@ def shard_llama_params(params, cfg: ModelConfig, mesh: Mesh):
     GSPMD does not depend on the split landing on head boundaries — XLA
     reshards the logical split — though unfused weights shard cleanest."""
     spec = param_shardings(cfg, mesh)
-    fused_specs = {"wqkv": P(None, "tp"), "w_gate_up": P(None, "tp")}
+    fused_specs = {"wqkv": P(None, "tp"), "w_gate_up": P(None, "tp"),
+                   "bq": P("tp"), "bk": P("tp"), "bv": P("tp")}
 
     def put(x, s):
         if isinstance(s, dict):  # nested spec tree (moe)

@@ -1,8 +1,9 @@
 """HF Llama checkpoint loading — safetensors -> (sharded) jax param trees.
 
 The reference has no model state at all (SURVEY.md §5: checkpoint/resume
-"absent"); a serving engine needs real weights. This module maps the HF Llama
-layout onto models/llama.py's tree:
+"absent"); a serving engine needs real weights. This module maps the HF
+Llama/Qwen2 layout (same module names; Qwen2 adds QKV biases, mapped to
+bq/bk/bv) onto models/llama.py's tree:
 
     model.embed_tokens.weight            -> embed            (V, D)
     model.layers.{i}.input_layernorm     -> layers[i].attn_norm
@@ -77,7 +78,7 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
         lspec = specs["layers"][i] if specs else {k: None for k in (
             "attn_norm", "wq", "wk", "wv", "wo", "mlp_norm",
             "w_gate", "w_up", "w_down")}
-        layers.append({
+        layer = {
             "attn_norm": put(_to_np(sd[pre + "input_layernorm.weight"]),
                              lspec["attn_norm"]),
             "wq": mat(pre + "self_attn.q_proj.weight", lspec["wq"]),
@@ -89,7 +90,14 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
             "w_gate": mat(pre + "mlp.gate_proj.weight", lspec["w_gate"]),
             "w_up": mat(pre + "mlp.up_proj.weight", lspec["w_up"]),
             "w_down": mat(pre + "mlp.down_proj.weight", lspec["w_down"]),
-        })
+        }
+        if pre + "self_attn.q_proj.bias" in sd:  # Qwen2-style QKV bias
+            for ours, theirs in (("bq", "q_proj"), ("bk", "k_proj"),
+                                 ("bv", "v_proj")):
+                layer[ours] = put(
+                    _to_np(sd[pre + f"self_attn.{theirs}.bias"]),
+                    P("tp") if mesh else None)
+        layers.append(layer)
 
     params = {
         "embed": put(_to_np(sd["model.embed_tokens.weight"]),

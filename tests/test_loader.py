@@ -98,3 +98,36 @@ def test_load_llama_roundtrip(hf_model, tmp_path):
         want = model(torch.tensor([[5, 6, 7]])).logits.numpy()
     got = np.asarray(forward(params, tokens, cfg))
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_qwen2_golden_parity():
+    """Qwen2 = Llama module layout + QKV biases: transformers golden parity."""
+    hf_cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(1)
+    model = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    assert "bq" in params["layers"][0]  # biases picked up
+
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+    # decode path with biases too
+    caches = init_kv_caches(cfg, 2, 128)
+    lengths = jnp.zeros((2,), jnp.int32)
+    outs = []
+    for t in range(12):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
