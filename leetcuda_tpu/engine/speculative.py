@@ -59,11 +59,14 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig):
     B, T = tokens.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], tokens, axis=0)  # (B, T, D)
+    if cfg.embed_scale:
+        import math as _math
+        x = (x.astype(jnp.float32) * _math.sqrt(cfg.dim)).astype(x.dtype)
     pos = lengths[:, None] + jnp.arange(T)[None, :]  # (B, T)
 
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
         q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
         q = apply_rope_half(q.reshape(B, T, H, Dh), pos, cfg.rope_theta)
         k = apply_rope_half(k.reshape(B, T, Hkv, Dh), pos, cfg.rope_theta)
@@ -78,10 +81,10 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig):
         new_caches.append(c)
         o = _chunk_attend(q, c, lengths)  # (B, T, H, Dh) f32
         x = x + linear(o.reshape(B, T, H * Dh).astype(x.dtype), layer["wo"])
-        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
         x = x + _proj_mlp(h, layer, cfg)
 
-    x = _rms_norm(x, params["norm"], cfg.norm_eps)
+    x = _rms_norm(x, params["norm"], cfg.norm_eps, cfg.rms_offset)
     w_lm = params.get("lm_head", params["embed"])
     return (x @ w_lm.T).astype(jnp.float32), new_caches
 

@@ -103,7 +103,9 @@ def _proj_mlp(h, layer, cfg=None):
         gate, up = jnp.split(gu, 2, axis=-1)
     else:
         gate, up = linear(h, layer["w_gate"]), linear(h, layer["w_up"])
-    gate = jax.nn.silu(gate.astype(jnp.float32))
+    act = (jax.nn.silu if cfg is None or cfg.hidden_act == "silu"
+           else functools.partial(jax.nn.gelu, approximate=True))
+    gate = act(gate.astype(jnp.float32))
     return linear((gate * up.astype(jnp.float32)).astype(h.dtype),
                   layer["w_down"])
 
@@ -145,10 +147,16 @@ class ModelConfig:
     n_experts: int = 0
     expert_topk: int = 2
     capacity_factor: float = 2.0
+    # family switches (Gemma: gelu_tanh + (1+w) norm + sqrt(D) embed scaling
+    # + decoupled head_dim; Llama/Qwen2 defaults otherwise)
+    hidden_act: str = "silu"          # "silu" | "gelu_tanh"
+    rms_offset: bool = False          # normalize * (1 + w) instead of * w
+    embed_scale: bool = False         # x = embed[tokens] * sqrt(dim)
+    head_dim_override: int | None = None
 
     @property
     def head_dim(self):
-        return self.dim // self.n_heads
+        return self.head_dim_override or self.dim // self.n_heads
 
     @property
     def moe(self):
@@ -278,10 +286,12 @@ def shard_kv_caches(caches, mesh: Mesh):
     ]
 
 
-def _rms_norm(x, w, eps):
+def _rms_norm(x, w, eps, offset: bool = False):
     xf = x.astype(jnp.float32)
     ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(ms + eps)).astype(x.dtype) * w
+    xhat = (xf * jax.lax.rsqrt(ms + eps)).astype(x.dtype)
+    return xhat * (1.0 + w.astype(jnp.float32)).astype(x.dtype) if offset \
+        else xhat * w
 
 
 def _attention(q, k, v, mesh: Mesh | None, causal: bool):
@@ -328,7 +338,7 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     (x, (k, v)) with the post-rope K/V the decode path would cache."""
     B, S, _ = x.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+    h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
     q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
     q = q.reshape(B, S, H, Dh)
     k = k.reshape(B, S, Hkv, Dh)
@@ -340,7 +350,7 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
     x = x + linear(o, layer["wo"])
 
-    h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+    h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
     x = x + _proj_mlp(h, layer, cfg)
     return x, (k, v)
 
@@ -357,6 +367,8 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
     B, S = tokens.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], tokens, axis=0)  # (B, S, D)
+    if cfg.embed_scale:
+        x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
 
@@ -371,7 +383,7 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
         if return_kv:
             kvs.append(kv)
 
-    x = _rms_norm(x, params["norm"], cfg.norm_eps)
+    x = _rms_norm(x, params["norm"], cfg.norm_eps, cfg.rms_offset)
     # tied lm head by default; HF checkpoints may carry an untied one
     w_lm = params.get("lm_head", params["embed"])
     logits = (x @ w_lm.T).astype(jnp.float32)
@@ -390,12 +402,14 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig):
     B, S = tokens.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.embed_scale:
+        x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
     fa = make_flash_attention_ragged(causal=True)
 
     kvs = []
     for layer in params["layers"]:
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
         q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
         q = apply_rope_half(q.reshape(B, S, H, Dh), positions, cfg.rope_theta)
         k = apply_rope_half(k.reshape(B, S, Hkv, Dh), positions,
@@ -406,10 +420,10 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig):
         o = fa(q.transpose(0, 2, 1, 3), k, v, lengths)  # kernel handles GQA
         o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
         x = x + linear(o, layer["wo"])
-        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
         x = x + _proj_mlp(h, layer, cfg)
 
-    x = _rms_norm(x, params["norm"], cfg.norm_eps)
+    x = _rms_norm(x, params["norm"], cfg.norm_eps, cfg.rms_offset)
     w_lm = params.get("lm_head", params["embed"])
     return (x @ w_lm.T).astype(jnp.float32), kvs
 
@@ -443,6 +457,8 @@ def pipeline_forward(params, tokens, cfg: ModelConfig, mesh: Mesh,
     stacked = shard_stage_params(stack_stage_params(stage_trees), mesh)
 
     x = jnp.take(params["embed"], tokens, axis=0)  # (B, S, D)
+    if cfg.embed_scale:
+        x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
     positions = jnp.broadcast_to(jnp.arange(S), (B // M, S))
     mbs = x.reshape(M, B // M, S, cfg.dim)
 
@@ -455,7 +471,7 @@ def pipeline_forward(params, tokens, cfg: ModelConfig, mesh: Mesh,
         return x
 
     x = pipeline_apply(stage_fn, stacked, mbs, mesh).reshape(B, S, cfg.dim)
-    x = _rms_norm(x, params["norm"], cfg.norm_eps)
+    x = _rms_norm(x, params["norm"], cfg.norm_eps, cfg.rms_offset)
     w_lm = params.get("lm_head", params["embed"])
     return (x @ w_lm.T).astype(jnp.float32)
 
@@ -649,11 +665,13 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
     B = tokens.shape[0]
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], tokens, axis=0)  # (B, D)
+    if cfg.embed_scale:
+        x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
     pos = lengths  # this token's position
 
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps)
+        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
         q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
         q, k, v = (q.reshape(B, H, Dh), k.reshape(B, Hkv, Dh),
                    v.reshape(B, Hkv, Dh))
@@ -667,10 +685,10 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
                           page_table=page_table)
         x = x + linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
 
-        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps)
+        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
         x = x + _proj_mlp(h, layer, cfg)
 
-    x = _rms_norm(x, params["norm"], cfg.norm_eps)
+    x = _rms_norm(x, params["norm"], cfg.norm_eps, cfg.rms_offset)
     w_lm = params.get("lm_head", params["embed"])
     logits = (x @ w_lm.T).astype(jnp.float32)
     return logits, new_caches

@@ -35,9 +35,14 @@ from leetcuda_tpu.models.llama import ModelConfig, param_shardings
 
 
 def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
-    """Build a ModelConfig from a transformers LlamaConfig (or its dict)."""
+    """Build a ModelConfig from a transformers Llama/Qwen2/Gemma config (or
+    its dict). Gemma flips the family switches: GeGLU (gelu_tanh), (1+w)
+    RMS-norm, sqrt(D) embedding scaling, decoupled head_dim."""
     get = (hf_cfg.get if isinstance(hf_cfg, dict)
            else lambda k, d=None: getattr(hf_cfg, k, d))
+    is_gemma = "gemma" in str(get("model_type", "llama") or "llama")
+    head_dim = get("head_dim", None)
+    derived = get("hidden_size") // get("num_attention_heads")
     return ModelConfig(
         vocab_size=get("vocab_size"),
         dim=get("hidden_size"),
@@ -48,6 +53,11 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
         rope_theta=float(get("rope_theta", 10000.0)),
         norm_eps=float(get("rms_norm_eps", 1e-5)),
         dtype=dtype,
+        hidden_act="gelu_tanh" if is_gemma else "silu",
+        rms_offset=is_gemma,
+        embed_scale=is_gemma,
+        head_dim_override=(head_dim if head_dim and head_dim != derived
+                           else None),
     )
 
 
