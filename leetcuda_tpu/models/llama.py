@@ -150,6 +150,7 @@ class ModelConfig:
     # family switches (Gemma: gelu_tanh + (1+w) norm + sqrt(D) embed scaling
     # + decoupled head_dim; Llama/Qwen2 defaults otherwise)
     hidden_act: str = "silu"          # "silu" | "gelu_tanh"
+    sliding_window: int | None = None  # Mistral-style causal window
     rms_offset: bool = False          # normalize * (1 + w) instead of * w
     embed_scale: bool = False         # x = embed[tokens] * sqrt(dim)
     head_dim_override: int | None = None
@@ -294,13 +295,19 @@ def _rms_norm(x, w, eps, offset: bool = False):
         else xhat * w
 
 
-def _attention(q, k, v, mesh: Mesh | None, causal: bool):
+def _attention(q, k, v, mesh: Mesh | None, causal: bool,
+               window: int | None = None):
     """(B, H, N, D) attention: direct Pallas kernel single-chip; under a mesh,
     shard_map with batch->dp, heads->tp, sequence->sp. The sp axis uses the
     Ulysses all-to-all reshard (differentiable end to end — all_to_all has a
     transpose rule, so the FA-2 custom VJP is the only hand-written gradient);
     the ring/ppermute variant (parallel/ring.py) is the inference-path choice."""
-    fa = make_flash_attention_trainable(causal=causal)
+    if window:
+        # sliding window (Mistral): the windowed kernel is inference-only
+        # (the FA-2 custom VJP doesn't implement the band yet)
+        fa = make_flash_attention(causal=True, window=window)
+    else:
+        fa = make_flash_attention_trainable(causal=causal)
     if mesh is None:
         return fa(q, k, v)
 
@@ -346,7 +353,8 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     q = apply_rope_half(q, positions, cfg.rope_theta)
     k = apply_rope_half(k, positions, cfg.rope_theta)
     k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
-    o = _attention(q.transpose(0, 2, 1, 3), k, v, mesh, causal=True)
+    o = _attention(q.transpose(0, 2, 1, 3), k, v, mesh, causal=True,
+                   window=cfg.sliding_window)
     o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
     x = x + linear(o, layer["wo"])
 
@@ -616,7 +624,7 @@ def _cache_append(cache, k, v, pos, page_table=None):
 
 
 def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
-                  page_table=None):
+                  page_table=None, window: int | None = None):
     """Decode attention over the cache. Under a mesh the Pallas kernel is
     wrapped in shard_map (GSPMD cannot partition a custom call): batch on dp,
     heads on tp — each shard runs the kernel on its local head group."""
@@ -631,6 +639,8 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
         return make_paged_attention()(q, cache["k_pages"], cache["v_pages"],
                                       page_table, lengths)
     quantized = "k_scale" in cache
+    assert not (window and (quantized or "k_pages" in cache)), \
+        "sliding window + quantized/paged cache not wired yet"
     if quantized:
         da = make_decode_attention_quantized(block_k=block_k)
         args = (q, cache["k"], cache["v"], cache["k_scale"],
@@ -639,7 +649,7 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
                     P("dp", "tp", None, None), P("dp", None, "tp"),
                     P("dp", None, "tp"), P("dp"))
     else:
-        da = make_decode_attention(block_k=block_k)
+        da = make_decode_attention(block_k=block_k, window=window)
         args = (q, cache["k"], cache["v"], lengths)
         in_specs = (P("dp", "tp", None), P("dp", "tp", None, None),
                     P("dp", "tp", None, None), P("dp"))
@@ -682,7 +692,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
         cache = _cache_append(cache, k, v, pos, page_table=page_table)
         new_caches.append(cache)
         o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1, mesh=mesh,
-                          page_table=page_table)
+                          page_table=page_table, window=cfg.sliding_window)
         x = x + linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
 
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)

@@ -58,6 +58,8 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
         embed_scale=is_gemma,
         head_dim_override=(head_dim if head_dim and head_dim != derived
                            else None),
+        sliding_window=(get("sliding_window", None)
+                        if get("use_sliding_window", True) else None),
     )
 
 

@@ -164,3 +164,38 @@ def test_gemma_golden_parity():
         outs.append(np.asarray(lg))
         lengths = lengths + 1
     np.testing.assert_allclose(np.stack(outs, 1), want, atol=6e-3, rtol=6e-3)
+
+
+def test_mistral_golden_parity():
+    """Mistral = Llama + causal sliding window; parity with the window
+    actually active (window < sequence length)."""
+    hf_cfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5, rope_theta=10000.0,
+        sliding_window=8, tie_word_embeddings=True,
+    )
+    torch.manual_seed(3)
+    hf_cfg._attn_implementation = "eager"  # sliding window needs eager mask
+    model = transformers.MistralForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.sliding_window == 8
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (1, 24))  # 24 > window 8
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+    # decode path applies the window over the KV cache too
+    caches = init_kv_caches(cfg, 1, 128)
+    lengths = jnp.zeros((1,), jnp.int32)
+    outs = []
+    for t in range(24):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
