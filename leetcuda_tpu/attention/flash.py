@@ -248,6 +248,7 @@ def make_flash_attention_ragged(
     block_q: int | None = None,
     block_k: int | None = None,
     causal: bool = True,
+    window: int | None = None,
     sm_scale: float | None = None,
 ):
     """Length-masked flash attention: fn(q, k, v, lengths) with per-sequence
@@ -301,8 +302,8 @@ def make_flash_attention_ragged(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             )
         return pl.pallas_call(
-            functools.partial(_fa_ragged_kernel, causal, None, scale, bq, bk,
-                              False, H),
+            functools.partial(_fa_ragged_kernel, causal, window, scale, bq,
+                              bk, False, H),
             out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),

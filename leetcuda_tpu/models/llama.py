@@ -413,7 +413,8 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig):
     if cfg.embed_scale:
         x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
-    fa = make_flash_attention_ragged(causal=True)
+    fa = make_flash_attention_ragged(causal=True,
+                                     window=cfg.sliding_window)
 
     kvs = []
     for layer in params["layers"]:

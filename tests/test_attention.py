@@ -139,3 +139,26 @@ def test_ragged_flash_matches_per_sequence():
     # rows beyond a sequence's length attend only to its valid prefix —
     # well-defined and finite (callers slice them away)
     assert bool(jnp.all(jnp.isfinite(got)))
+
+
+def test_ragged_flash_with_window():
+    """Ragged + sliding window compose (the Mistral batched-prefill path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from leetcuda_tpu.attention.flash import (
+        make_flash_attention_ragged, mha_ref)
+
+    rng = np.random.default_rng(1)
+    B, H, N, D, W = 2, 2, 256, 64, 64
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    lengths = [100, 256]
+    fa = make_flash_attention_ragged(block_q=64, block_k=64, window=W)
+    got = fa(q, k, v, jnp.asarray(lengths, jnp.int32))
+    for b, L in enumerate(lengths):
+        want = mha_ref(q[b:b + 1, :, :L], k[b:b + 1, :, :L],
+                       v[b:b + 1, :, :L], causal=True, window=W)
+        np.testing.assert_allclose(np.asarray(got[b:b + 1, :, :L]),
+                                   np.asarray(want), atol=2e-3, rtol=2e-3)
