@@ -202,10 +202,12 @@ def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
     return fn
 
 
-def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None):
+def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
+                                    window: int | None = None):
     """Quantized-cache decode: caches int8/fp8, per-(b, head, pos) f32 scales.
 
     fn(q, k_cache_q, v_cache_q, k_scale, v_scale, lengths); scales (B, Hkv, S).
+    ``window``: sliding window, same semantics as make_decode_attention.
     """
 
     @jax.jit
@@ -220,9 +222,12 @@ def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None):
 
         def s_map(b, si, L):
             last = jnp.maximum(pl.cdiv(L[b], bk) - 1, 0)
-            return (b, 0, jnp.minimum(si, last))
+            first = 0
+            if window is not None:
+                first = jnp.maximum((L[b] - window) // bk, 0)
+            return (b, 0, jnp.clip(si, first, last))
 
-        cache_spec = pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk),
+        cache_spec = pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk, window),
                                   memory_space=pltpu.VMEM)
         scale_spec = pl.BlockSpec((1, Hkv, bk), s_map, memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -243,7 +248,7 @@ def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None):
         )
         return pl.pallas_call(
             functools.partial(_decode_kernel, scale, Hkv, group, bk, True,
-                              None, False),
+                              window, False),
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),

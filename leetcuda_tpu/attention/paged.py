@@ -34,7 +34,7 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
-def _paged_kernel(scale, Hkv, group, page, quantized, pt_ref, len_ref,
+def _paged_kernel(scale, Hkv, group, page, quantized, window, pt_ref, len_ref,
                   q_ref, k_ref, v_ref, *rest):
     if quantized:
         ks_ref, vs_ref, o_ref, m_sc, l_sc, acc_sc = rest
@@ -50,11 +50,17 @@ def _paged_kernel(scale, Hkv, group, page, quantized, pt_ref, len_ref,
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    @pl.when(si * page < seq_len)  # pages past the sequence end: skip
+    live = si * page < seq_len  # pages past the sequence end: skip
+    if window:  # sliding window: also skip pages entirely before it
+        live &= si * page + page > seq_len - window
+
+    @pl.when(live)
     def _():
         cols = si * page + jax.lax.broadcasted_iota(
             jnp.int32, (1, page), 1)
         valid = cols < seq_len
+        if window:
+            valid &= cols >= seq_len - window
 
         for kvh in range(Hkv):
             qg = q_ref[0, kvh * group:(kvh + 1) * group, :].astype(jnp.float32)
@@ -88,7 +94,8 @@ def _paged_kernel(scale, Hkv, group, page, quantized, pt_ref, len_ref,
                     ).astype(o_ref.dtype)
 
 
-def make_paged_attention(*, sm_scale=None, quantized: bool = False):
+def make_paged_attention(*, sm_scale=None, quantized: bool = False,
+                         window: int | None = None):
     """fn(q, k_pages, v_pages, [k_scales, v_scales,] page_table, lengths)
     -> (B, H, D).
 
@@ -96,7 +103,10 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False):
     physical page ids (entries past a sequence's last page are ignored);
     lengths (B,) valid token counts. ``quantized``: pages are int8/fp8 with
     per-(page, head, position) f32 scale pools (N_pages, Hkv, page); dequant
-    is folded past the dots like attention/decode.py."""
+    is folded past the dots like attention/decode.py. ``window``: Mistral-style
+    sliding window — only the last ``window`` positions are attended, and pages
+    entirely before the window are neither fetched nor computed (the index map
+    clamps them onto the window's first page so their DMA is elided)."""
 
     @jax.jit
     def fn(q, k_pages, v_pages, *rest):
@@ -110,15 +120,21 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False):
         group = H // Hkv
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
 
-        def kv_map(b, si, pt, L):
+        def _clamp(si, pt, b, L):
             # chase the block table; clamp past-the-end steps onto the last
-            # valid logical page so their DMA is elided (same physical index)
+            # valid logical page (and, with a window, pre-window steps onto
+            # the window's first page) so their DMA is elided
             last = jnp.maximum(pl.cdiv(L[b], page) - 1, 0)
-            return (pt[b, jnp.minimum(si, last)], 0, 0, 0)
+            first = 0
+            if window is not None:
+                first = jnp.maximum((L[b] - window) // page, 0)
+            return pt[b, jnp.clip(si, first, last)]
+
+        def kv_map(b, si, pt, L):
+            return (_clamp(si, pt, b, L), 0, 0, 0)
 
         def s_map(b, si, pt, L):
-            last = jnp.maximum(pl.cdiv(L[b], page) - 1, 0)
-            return (pt[b, jnp.minimum(si, last)], 0, 0)
+            return (_clamp(si, pt, b, L), 0, 0)
 
         page_spec = pl.BlockSpec((1, Hkv, page, D), kv_map,
                                  memory_space=pltpu.VMEM)
@@ -152,7 +168,7 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False):
                 vmem_limit_bytes=100 * 1024 * 1024)
         return pl.pallas_call(
             functools.partial(_paged_kernel, scale, Hkv, group, page,
-                              quantized),
+                              quantized, window),
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),

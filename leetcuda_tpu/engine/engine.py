@@ -249,9 +249,16 @@ class Engine:
             assert 0 < L < ec.max_seq, f"prompt length {L}"
             s_pad = L + (-L % ec.prefill_bucket)
             if self.pm is not None and not self.pm.ensure(slot, s_pad - 1):
-                # pool exhausted: put the request back, retry after frees
+                # pool exhausted: put the request back, retry after frees.
+                # If no ACTIVE sequence holds pages, nothing can ever free —
+                # fail loudly instead of livelocking run()'s while loop.
                 self.waiting.appendleft(req)
                 self.free.append(slot)
+                if not any(self.pm.used[s] for s in self.active):
+                    raise RuntimeError(
+                        f"prompt needs {s_pad // self.ec.page_size} pages but "
+                        f"only {len(self.pm.free)} are free and no active "
+                        f"sequence holds any to release; raise num_pages")
                 break
             batch.append((slot, req))
         if not batch:

@@ -30,9 +30,11 @@ from leetcuda_tpu.models.llama import (
 from leetcuda_tpu.engine.engine import _insert_kvs
 
 
-def _chunk_attend(q, cache, base_lengths):
+def _chunk_attend(q, cache, base_lengths, window=None):
     """q (B, T, H, Dh) at positions base+t; cache (B, Hkv, S, Dh).
-    Full-prefix + causal-within-chunk attention (small-T jnp path)."""
+    Full-prefix + causal-within-chunk attention (small-T jnp path); with
+    ``window``, the same sliding-window band decode_step applies — position
+    base+t sees cache cols in [base+t+1-window, base+t]."""
     B, T, H, Dh = q.shape
     Hkv = cache["k"].shape[1]
     S = cache["k"].shape[2]
@@ -45,7 +47,10 @@ def _chunk_attend(q, cache, base_lengths):
     # position t may see cache positions < base + t + 1
     limit = base_lengths[:, None, None, None] + jnp.arange(T)[None, None, :,
                                                              None] + 1
-    mask = jnp.arange(S)[None, None, None, :] < limit
+    cols = jnp.arange(S)[None, None, None, :]
+    mask = cols < limit
+    if window is not None:
+        mask &= cols >= limit - window
     s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhts,bhsd->bthd", p, v.astype(jnp.float32))
@@ -79,7 +84,8 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig):
         c["k"] = cache["k"].at[bidx, :, pos].set(k.astype(cache["k"].dtype))
         c["v"] = cache["v"].at[bidx, :, pos].set(v.astype(cache["v"].dtype))
         new_caches.append(c)
-        o = _chunk_attend(q, c, lengths)  # (B, T, H, Dh) f32
+        o = _chunk_attend(q, c, lengths,
+                          window=cfg.sliding_window)  # (B, T, H, Dh) f32
         x = x + linear(o.reshape(B, T, H * Dh).astype(x.dtype), layer["wo"])
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
         x = x + _proj_mlp(h, layer, cfg)

@@ -632,23 +632,33 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
     if "k_pages" in cache:
         from leetcuda_tpu.attention.paged import make_paged_attention
 
-        assert mesh is None, "paged attention is single-shard for now"
-        if "k_scales" in cache:
-            return make_paged_attention(quantized=True)(
-                q, cache["k_pages"], cache["v_pages"], cache["k_scales"],
-                cache["v_scales"], page_table, lengths)
-        return make_paged_attention()(q, cache["k_pages"], cache["v_pages"],
-                                      page_table, lengths)
+        quantized = "k_scales" in cache
+        pa = make_paged_attention(quantized=quantized, window=window)
+        if quantized:
+            args = (q, cache["k_pages"], cache["v_pages"], cache["k_scales"],
+                    cache["v_scales"], page_table, lengths)
+            in_specs = (P("dp", "tp", None), P(None, "tp", None, None),
+                        P(None, "tp", None, None), P(None, "tp", None),
+                        P(None, "tp", None), P("dp", None), P("dp"))
+        else:
+            args = (q, cache["k_pages"], cache["v_pages"], page_table,
+                    lengths)
+            in_specs = (P("dp", "tp", None), P(None, "tp", None, None),
+                        P(None, "tp", None, None), P("dp", None), P("dp"))
+        if mesh is None:
+            return pa(*args)
+        # page pools shard on tp (heads); the pool (no batch dim) is shared
+        # across dp shards, each attending its own slots' page-table rows
+        return shard_map(pa, mesh=mesh, in_specs=in_specs,
+                         out_specs=P("dp", "tp", None), check_vma=False)(*args)
     quantized = "k_scale" in cache
-    assert not (window and (quantized or "k_pages" in cache)), \
-        "sliding window + quantized/paged cache not wired yet"
     if quantized:
-        da = make_decode_attention_quantized(block_k=block_k)
+        da = make_decode_attention_quantized(block_k=block_k, window=window)
         args = (q, cache["k"], cache["v"], cache["k_scale"],
                 cache["v_scale"], lengths)
         in_specs = (P("dp", "tp", None), P("dp", "tp", None, None),
-                    P("dp", "tp", None, None), P("dp", None, "tp"),
-                    P("dp", None, "tp"), P("dp"))
+                    P("dp", "tp", None, None), P("dp", "tp", None),
+                    P("dp", "tp", None), P("dp"))
     else:
         da = make_decode_attention(block_k=block_k, window=window)
         args = (q, cache["k"], cache["v"], lengths)

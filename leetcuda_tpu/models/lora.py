@@ -10,6 +10,8 @@ adapter-free serving.
 
 from __future__ import annotations
 
+import zlib
+
 import jax
 import jax.numpy as jnp
 
@@ -32,8 +34,10 @@ def add_lora(params, key, rank: int = 8, alpha: float = 16.0,
                     K, N = w["q"].shape
                 else:
                     K, N = w.shape
+                # crc32, not hash(): str hashes are per-process randomized
+                # (PYTHONHASHSEED), which would make init non-reproducible
                 k1 = jax.random.fold_in(jax.random.fold_in(key, li),
-                                        hash(name) % (2 ** 31))
+                                        zlib.crc32(name.encode()) % (2 ** 31))
                 new[name] = {
                     "w": w,
                     "A": (jax.random.normal(k1, (K, rank), jnp.float32)

@@ -107,3 +107,25 @@ def test_context_parallel_decode(rng):
     want = decode_attention_ref(q, k, v, lengths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_decode_attention_quantized_window(rng):
+    """Sliding window through the quantized decode kernel (int8 cache +
+    window now compose; the window masks AND the pre-window DMA is clamped)."""
+    B, H, Hkv, D, S = 2, 4, 2, 64, 256
+    window = 48
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), jnp.float32)
+    ks = jnp.maximum(jnp.max(jnp.abs(k), axis=-1), 1e-8) / 127.0
+    vs = jnp.maximum(jnp.max(jnp.abs(v), axis=-1), 1e-8) / 127.0
+    kq = jnp.round(k / ks[..., None]).astype(jnp.int8)
+    vq = jnp.round(v / vs[..., None]).astype(jnp.int8)
+    lengths = jnp.asarray([100, 256], jnp.int32)
+    got = make_decode_attention_quantized(block_k=64, window=window)(
+        q, kq, vq, ks, vs, lengths)
+    want = decode_attention_ref(q, kq.astype(jnp.float32) * ks[..., None],
+                                vq.astype(jnp.float32) * vs[..., None],
+                                lengths, window=window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)

@@ -236,3 +236,24 @@ def test_batched_admission_matches_solo(setup):
     for uid, prompt in zip(sorted(eng.finished), prompts):
         assert eng.finished[uid].generated == solo_greedy(params, cfg,
                                                           prompt, 5)
+
+
+def test_tp_engine_quantized_kv_matches_solo(setup):
+    """TP mesh x int8 KV cache (the scale in_specs regression ADVICE r1
+    flagged: scales are (B, Hkv, S), so tp shards heads, not positions)."""
+    from leetcuda_tpu.parallel.mesh import make_mesh, MeshConfig
+
+    cfg, params = setup
+    mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
+    rng = np.random.default_rng(12)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (6, 11)]
+
+    eng = Engine(params, cfg, EngineConfig(slots=2, max_seq=256,
+                                           prefill_bucket=16,
+                                           kv_quant="int8"), mesh=mesh)
+    solo = Engine(params, cfg, EngineConfig(slots=2, max_seq=256,
+                                            prefill_bucket=16,
+                                            kv_quant="int8"))
+    got = eng.run(prompts, max_new=5)
+    want = solo.run(prompts, max_new=5)
+    assert list(got.values()) == list(want.values())

@@ -124,3 +124,22 @@ def test_speculative_engine_self_draft(models):
     (gen,) = got.values()
     assert gen == solo_greedy(params_t, cfg_t, prompt, 9)
     assert eng.acceptance_rate == 1.0
+
+
+def test_speculative_exactness_sliding_window():
+    """Windowed (Mistral-style) target: speculative output must still equal
+    the target's own greedy decode once context exceeds the window (the
+    verify chunk now applies the same band mask as decode_step; ADVICE r1)."""
+    cfg_t = tiny_config(sliding_window=12)
+    cfg_d = tiny_config(n_layers=1, dim=128, n_heads=2, n_kv_heads=1,
+                        ffn_dim=256, sliding_window=12)
+    params_t = init_params(jax.random.key(0), cfg_t)
+    params_d = init_params(jax.random.key(1), cfg_d)
+    rng = np.random.default_rng(3)
+    B, S, MAX_NEW = 2, 10, 14  # context reaches 24 = 2x window
+    prompts = jnp.asarray(rng.integers(0, cfg_t.vocab_size, (B, S)),
+                          jnp.int32)
+    want = generate_scan(params_t, cfg_t, prompts, MAX_NEW)
+    got, _ = speculative_generate(params_t, cfg_t, params_d, cfg_d,
+                                  prompts, MAX_NEW, k=3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
