@@ -151,10 +151,12 @@ class Engine:
     def __init__(self, params, cfg: ModelConfig, econfig: EngineConfig = None,
                  sample_fn: Callable = _greedy, mesh=None, seed: int = 0,
                  draft=None):
-        """``mesh``: serve tensor-parallel — a (dp=1, sp=1, tp=N) mesh; weights
-        and caches are sharded here (Megatron TP rules; kv-heads on tp).
-        dp>1 is unsupported in the Engine because admission prefills one
-        sequence at a time (use generate_scan for dp-sharded batch decode).
+        """``mesh``: serve data/tensor-parallel — a (dp, sp=1, tp) mesh;
+        weights and caches are sharded here (Megatron TP rules; kv-heads on
+        tp, slots on dp — dp must divide slots; admission prefills through
+        the ragged batch padded to a dp multiple). Every EngineConfig feature
+        composes with the mesh: paged pools shard heads on tp, speculative
+        verify runs the sharded chunk kernel.
 
         ``sample_fn(logits, key) -> tokens``: engine/sampling.py samplers
         (greedy default; make_sampler for temperature/top-k/top-p)."""
@@ -171,7 +173,6 @@ class Engine:
             from leetcuda_tpu.attention.paged import PageManager
             from leetcuda_tpu.models.llama import init_paged_kv_caches
 
-            assert mesh is None, "paged serving is single-shard for now"
             assert ec.prefill_bucket % ec.page_size == 0
             num_pages = ec.num_pages or (
                 ec.slots * ec.max_seq // ec.page_size + 1)
@@ -184,7 +185,13 @@ class Engine:
             caches = init_kv_caches(cfg, ec.slots, ec.max_seq,
                                     quant=ec.kv_quant)
         if mesh is not None:
-            assert mesh.shape.get("dp", 1) == 1, "Engine mesh must have dp=1"
+            n_dp = mesh.shape.get("dp", 1)
+            if n_dp > 1:
+                # dp>1 admission routes through the ragged-prefill batch
+                # padded to a dp multiple; sequence parallelism is a training/
+                # long-prefill axis, not a serving one
+                assert mesh.shape.get("sp", 1) == 1, "dp>1 requires sp=1"
+                assert ec.slots % n_dp == 0, (ec.slots, n_dp)
             params = shard_llama_params(params, cfg, mesh)
             caches = shard_kv_caches(caches, mesh)
         self.params = params
@@ -200,15 +207,26 @@ class Engine:
 
         self.draft = None
         if ec.spec_k:
+            from leetcuda_tpu.engine.speculative import decode_chunk
+
             assert draft is not None, "spec_k requires draft=(params, cfg)"
-            assert not ec.paged and ec.kv_quant is None and mesh is None, \
-                "speculative engine runs on plain slot caches for now"
             assert sample_fn is _greedy, "speculative decoding is greedy-exact"
             d_params, d_cfg = draft
             self.draft = (d_params, d_cfg)
+            # the draft always runs on plain slot caches, replicated (not
+            # sharded): it is small by construction, and paging/quantizing/
+            # sharding it would cost more in latency than its memory is worth
             self.caches_d = init_kv_caches(d_cfg, ec.slots, ec.max_seq)
             self._prefill_d = jax.jit(
                 functools.partial(forward, cfg=d_cfg, return_kv=True))
+            self._decode_d = jax.jit(decode_step_impl,
+                                     static_argnames=("cfg",),
+                                     donate_argnums=(2,))
+            # target verify: the chunk kernel composes with paged/quantized/
+            # windowed caches and the mesh (attention/chunk.py)
+            self._verify = jax.jit(
+                functools.partial(decode_chunk, mesh=mesh),
+                static_argnames=("cfg",), donate_argnums=(2,))
             self._accepted = self._proposed = 0
 
         self._hlen = np.zeros((ec.slots,), np.int64)  # host-side lengths
@@ -219,7 +237,7 @@ class Engine:
             functools.partial(forward, cfg=cfg, mesh=mesh, return_kv=True))
         from leetcuda_tpu.models.llama import forward_ragged
         self._prefill_ragged = jax.jit(
-            functools.partial(forward_ragged, cfg=cfg))
+            functools.partial(forward_ragged, cfg=cfg, mesh=mesh))
         self._insert = jax.jit(_insert_kvs, donate_argnums=(0,))
         self._insert_paged = jax.jit(_insert_kvs_paged, donate_argnums=(0,),
                                      static_argnums=(3,))
@@ -236,11 +254,17 @@ class Engine:
         return self._uid
 
     def _admit(self):
-        """Admit waiting requests. Without a mesh, all admissible requests
-        prefill in ONE ragged-flash batch (different lengths padded to a
-        common bucket); under a mesh (or with one request) the per-sequence
-        path runs (the sharded forward handles its own masking)."""
+        """Admit waiting requests. All admissible requests prefill in ONE
+        ragged-flash batch (different lengths padded to a common bucket) —
+        including paged and TP/dp-meshed engines (forward_ragged shards batch
+        on dp, heads on tp; under dp>1 the batch pads to a dp multiple with
+        dummy rows). Only the sp>1 mesh (whose sharded forward re-shards
+        sequence) and the single-request case use the per-sequence path."""
         ec = self.ec
+        n_dp = (self.mesh.shape.get("dp", 1)
+                if self.mesh is not None else 1)
+        ragged_ok = (self.mesh is None
+                     or self.mesh.shape.get("sp", 1) == 1)
         batch: list[tuple[int, Request]] = []
         while self.free and self.waiting:
             req = self.waiting.popleft()
@@ -264,11 +288,12 @@ class Engine:
         if not batch:
             return
 
-        if self.mesh is None and self.pm is None and len(batch) > 1:
+        if ragged_ok and (len(batch) > 1 or n_dp > 1):
             s_pad = max(len(r.prompt) for _, r in batch)
             s_pad = s_pad + (-s_pad % ec.prefill_bucket)
-            toks = np.zeros((len(batch), s_pad), np.int32)
-            lens = np.zeros((len(batch),), np.int32)
+            B_pad = -(-len(batch) // n_dp) * n_dp  # dp-divisible batch
+            toks = np.zeros((B_pad, s_pad), np.int32)
+            lens = np.ones((B_pad,), np.int32)  # dummy rows: 1 valid token
             for i, (_, req) in enumerate(batch):
                 toks[i, :len(req.prompt)] = req.prompt
                 lens[i] = len(req.prompt)
@@ -290,8 +315,12 @@ class Engine:
         for (slot, req), (logits_i, kvs_i) in zip(batch, per_seq):
             L = len(req.prompt)
             if self.pm is not None:
-                s_pad = kvs_i[0][0].shape[2]
-                n_pages = s_pad // self.ec.page_size
+                # slice the (possibly batch-wide) padded K/V down to this
+                # request's own bucket — only those pages were ensured
+                s_req = L + (-L % ec.prefill_bucket)
+                kvs_i = [(k[:, :, :s_req], v[:, :, :s_req])
+                         for k, v in kvs_i]
+                n_pages = s_req // self.ec.page_size
                 phys = jnp.asarray(self.pm.used[slot][:n_pages], jnp.int32)
                 self.caches = self._insert_paged(self.caches, kvs_i, phys,
                                                  self.ec.page_size)
@@ -395,11 +424,24 @@ class Engine:
     def _step_speculative(self) -> dict[int, int]:
         """One speculative tick: k draft proposals per slot, one (k+1)-chunk
         target verify, emit 1 + accepted tokens per live slot (greedy-exact:
-        identical stream to plain decoding)."""
-        from leetcuda_tpu.engine.speculative import _jit_chunk
-
+        identical stream to plain decoding). Composes with paged/quantized
+        caches and the mesh — only the draft stays on plain replicated slot
+        caches (see __init__)."""
         k = self.ec.spec_k
         d_params, d_cfg = self.draft
+
+        if self.pm is not None:
+            # the verify chunk appends at positions hlen..hlen+k: ensure
+            # pages cover them, preempting the youngest on pool exhaustion
+            for slot in sorted(self.active):
+                if slot not in self.active:
+                    continue
+                while (slot in self.active and not
+                       self.pm.ensure(slot, int(self._hlen[slot]) + k)):
+                    self._preempt_youngest()
+            if not self.active:
+                return {}
+
         live = np.zeros((self.ec.slots,), bool)
         for s in self.active:
             live[s] = True
@@ -410,17 +452,19 @@ class Engine:
         d_len = self.lengths
         tok = self.last_tokens
         for _ in range(k):
-            lg, self.caches_d = self._decode(d_params, tok, self.caches_d,
-                                             d_len, cfg=d_cfg)
+            lg, self.caches_d = self._decode_d(d_params, tok, self.caches_d,
+                                               d_len, cfg=d_cfg)
             tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
             d_tokens.append(tok)
             d_len = d_len + 1
-        _, self.caches_d = self._decode(d_params, tok, self.caches_d, d_len,
-                                        cfg=d_cfg)
+        _, self.caches_d = self._decode_d(d_params, tok, self.caches_d,
+                                          d_len, cfg=d_cfg)
         chunk = jnp.stack(d_tokens, axis=1)  # (slots, k+1)
 
-        logits, self.caches = _jit_chunk(self.params, chunk, self.caches,
-                                         self.lengths, self.cfg)
+        kw = ({"page_table": self.pm.device_table}
+              if self.pm is not None else {})
+        logits, self.caches = self._verify(self.params, chunk, self.caches,
+                                           self.lengths, cfg=self.cfg, **kw)
         target_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         proposals = chunk[:, 1:]
         match = proposals == target_next[:, :-1]

@@ -56,11 +56,107 @@ def _chunk_attend(q, cache, base_lengths, window=None):
     return jnp.einsum("bhts,bhsd->bthd", p, v.astype(jnp.float32))
 
 
-def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig):
+def _chunk_append(cache, k, v, pos, page_table=None):
+    """Append T tokens' K/V (B, T, Hkv, Dh) at positions ``pos`` (B, T) —
+    the T-token generalization of llama._cache_append, covering plain,
+    quantized (per-position scales) and paged (page-table scatter) caches."""
+    from leetcuda_tpu.models.llama import _quantize_token_kv
+
+    B, T = pos.shape
+    if "k_pages" in cache:
+        page = cache["k_pages"].shape[2]
+        bidx = jnp.arange(B)[:, None]
+        phys = page_table[bidx, pos // page]   # (B, T)
+        offs = pos % page                       # (B, T)
+        c = dict(cache)
+        if "k_scales" in cache:
+            kq, ks = _quantize_token_kv(k, cache["k_pages"].dtype)
+            vq, vs = _quantize_token_kv(v, cache["v_pages"].dtype)
+            c["k_pages"] = cache["k_pages"].at[phys, :, offs].set(kq)
+            c["v_pages"] = cache["v_pages"].at[phys, :, offs].set(vq)
+            c["k_scales"] = cache["k_scales"].at[phys, :, offs].set(ks)
+            c["v_scales"] = cache["v_scales"].at[phys, :, offs].set(vs)
+        else:
+            c["k_pages"] = cache["k_pages"].at[phys, :, offs].set(
+                k.astype(cache["k_pages"].dtype))
+            c["v_pages"] = cache["v_pages"].at[phys, :, offs].set(
+                v.astype(cache["v_pages"].dtype))
+        return c
+    bidx = jnp.arange(B)[:, None]
+    c = dict(cache)
+    # advanced indices (bidx, pos) around the ':' slice put their broadcast
+    # (B, T) dims in front: target shape (B, T, Hkv, Dh) == k's layout
+    if "k_scale" in cache:
+        kq, ks = _quantize_token_kv(k, cache["k"].dtype)  # ks (B, T, Hkv)
+        vq, vs = _quantize_token_kv(v, cache["v"].dtype)
+        c["k"] = cache["k"].at[bidx, :, pos].set(kq)
+        c["v"] = cache["v"].at[bidx, :, pos].set(vq)
+        c["k_scale"] = cache["k_scale"].at[bidx, :, pos].set(ks)
+        c["v_scale"] = cache["v_scale"].at[bidx, :, pos].set(vs)
+    else:
+        c["k"] = cache["k"].at[bidx, :, pos].set(k.astype(cache["k"].dtype))
+        c["v"] = cache["v"].at[bidx, :, pos].set(v.astype(cache["v"].dtype))
+    return c
+
+
+def _chunk_cache_attend(q, cache, base_lengths, cfg, mesh=None,
+                        page_table=None):
+    """Chunk attention over any cache layout via the attention/chunk.py
+    kernels; q (B, T, H, Dh) -> (B, T, H, Dh). Under a mesh: shard_map with
+    batch on dp, heads on tp (mirrors llama._cache_attend)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from leetcuda_tpu.attention.chunk import (
+        make_chunk_attention, make_paged_chunk_attention)
+
+    window = cfg.sliding_window
+    qk = q.transpose(0, 2, 1, 3).astype(cfg.dtype)  # (B, H, T, Dh)
+    if "k_pages" in cache:
+        quantized = "k_scales" in cache
+        fn = make_paged_chunk_attention(window=window, quantized=quantized)
+        if quantized:
+            args = (qk, cache["k_pages"], cache["v_pages"],
+                    cache["k_scales"], cache["v_scales"], page_table,
+                    base_lengths)
+            in_specs = (P("dp", "tp", None, None), P(None, "tp", None, None),
+                        P(None, "tp", None, None), P(None, "tp", None),
+                        P(None, "tp", None), P("dp", None), P("dp"))
+        else:
+            args = (qk, cache["k_pages"], cache["v_pages"], page_table,
+                    base_lengths)
+            in_specs = (P("dp", "tp", None, None), P(None, "tp", None, None),
+                        P(None, "tp", None, None), P("dp", None), P("dp"))
+    else:
+        quantized = "k_scale" in cache
+        fn = make_chunk_attention(window=window, quantized=quantized)
+        if quantized:
+            args = (qk, cache["k"], cache["v"], cache["k_scale"],
+                    cache["v_scale"], base_lengths)
+            in_specs = (P("dp", "tp", None, None), P("dp", "tp", None, None),
+                        P("dp", "tp", None, None), P("dp", "tp", None),
+                        P("dp", "tp", None), P("dp"))
+        else:
+            args = (qk, cache["k"], cache["v"], base_lengths)
+            in_specs = (P("dp", "tp", None, None), P("dp", "tp", None, None),
+                        P("dp", "tp", None, None), P("dp"))
+    if mesh is None:
+        o = fn(*args)
+    else:
+        o = shard_map(fn, mesh=mesh, in_specs=in_specs,
+                      out_specs=P("dp", "tp", None, None),
+                      check_vma=False)(*args)
+    return o.transpose(0, 2, 1, 3).astype(jnp.float32)
+
+
+def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
+                 mesh=None, page_table=None):
     """T-token decode step (chunked prefill / speculative verify).
 
     tokens (B, T) int32 at positions lengths..lengths+T-1. Returns
-    (logits (B, T, V), new caches with all T K/V appended)."""
+    (logits (B, T, V), new caches with all T K/V appended). Composes with
+    every cache layout the decode path serves: quantized (int8/fp8 + scales),
+    paged (``page_table``; the caller must have ensured pages cover
+    lengths+T-1), sliding window, and TP/dp meshes."""
     B, T = tokens.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], tokens, axis=0)  # (B, T, D)
@@ -76,16 +172,10 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig):
         q = apply_rope_half(q.reshape(B, T, H, Dh), pos, cfg.rope_theta)
         k = apply_rope_half(k.reshape(B, T, Hkv, Dh), pos, cfg.rope_theta)
         v = v.reshape(B, T, Hkv, Dh)
-        # append all T tokens at offsets lengths..lengths+T-1
-        bidx = jnp.arange(B)[:, None]
-        c = dict(cache)
-        # advanced indices (bidx, pos) around the ':' slice put their broadcast
-        # (B, T) dims in front: target shape (B, T, Hkv, Dh) == k's layout
-        c["k"] = cache["k"].at[bidx, :, pos].set(k.astype(cache["k"].dtype))
-        c["v"] = cache["v"].at[bidx, :, pos].set(v.astype(cache["v"].dtype))
+        c = _chunk_append(cache, k, v, pos, page_table=page_table)
         new_caches.append(c)
-        o = _chunk_attend(q, c, lengths,
-                          window=cfg.sliding_window)  # (B, T, H, Dh) f32
+        o = _chunk_cache_attend(q, c, lengths, cfg, mesh=mesh,
+                                page_table=page_table)  # (B, T, H, Dh) f32
         x = x + linear(o.reshape(B, T, H * Dh).astype(x.dtype), layer["wo"])
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
         x = x + _proj_mlp(h, layer, cfg)

@@ -275,11 +275,18 @@ def shard_llama_params(params, cfg: ModelConfig, mesh: Mesh):
 
 
 def shard_kv_caches(caches, mesh: Mesh):
-    """Caches onto the mesh: (slots, kv-heads, S, D) -> (dp, tp, -, -)."""
+    """Caches onto the mesh: slot caches (slots, kv-heads, S, D) ->
+    (dp, tp, -, -); paged pools (pages, kv-heads, page, D) shard heads on tp
+    and are shared across dp shards (the pool has no batch dim — each dp
+    shard attends its own slots' block-table rows into the common pool)."""
     cache_spec = {"k": P("dp", "tp", None, None),
                   "v": P("dp", "tp", None, None),
                   "k_scale": P("dp", "tp", None),
-                  "v_scale": P("dp", "tp", None)}
+                  "v_scale": P("dp", "tp", None),
+                  "k_pages": P(None, "tp", None, None),
+                  "v_pages": P(None, "tp", None, None),
+                  "k_scales": P(None, "tp", None),
+                  "v_scales": P(None, "tp", None)}
     return [
         {k: jax.device_put(v, NamedSharding(mesh, cache_spec[k]))
          for k, v in c.items()}
@@ -398,13 +405,18 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
     return (logits, kvs) if return_kv else logits
 
 
-def forward_ragged(params, tokens, lengths, cfg: ModelConfig):
+def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
+                   mesh: Mesh | None = None):
     """Batched-prefill forward over different-length prompts padded to a
     common S: logits (B, S, V) + per-layer K/V, with attention masked to each
     sequence's valid prefix (attention/flash.py ragged kernel). Rows past a
     sequence's length are garbage the engine never reads (it samples at
     lengths[b]-1 and inserts only [:lengths[b]] K/V positions... the padded
-    tail K/V is inserted too but masked by cache lengths)."""
+    tail K/V is inserted too but masked by cache lengths).
+
+    Under a ``mesh``: batch shards on dp (dp must divide B), heads on tp;
+    projections shard via GSPMD from the weight PartitionSpecs (sequence
+    stays unsharded — ragged admission runs on serving meshes, sp=1)."""
     from leetcuda_tpu.attention.flash import make_flash_attention_ragged
 
     B, S = tokens.shape
@@ -415,6 +427,12 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig):
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
     fa = make_flash_attention_ragged(causal=True,
                                      window=cfg.sliding_window)
+    if mesh is not None:
+        fa = shard_map(fa, mesh=mesh,
+                       in_specs=(P("dp", "tp", None, None),
+                                 P("dp", "tp", None, None),
+                                 P("dp", "tp", None, None), P("dp")),
+                       out_specs=P("dp", "tp", None, None), check_vma=False)
 
     kvs = []
     for layer in params["layers"]:

@@ -1,0 +1,103 @@
+"""Engine feature-composition matrix (VERDICT r1 #2).
+
+Every marquee feature must compose: paged x int8-KV x TP x dp x speculative x
+ragged admission x sliding window. Oracle: the engine under any configuration
+must emit exactly the tokens of the solo greedy decode (itself pinned against
+prefill logits in test_model.py). Reference analog: the composed feature
+matrices of kernels/flash-attn/README.md:5-14.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leetcuda_tpu.models.llama import tiny_config, init_params
+from leetcuda_tpu.engine import Engine, EngineConfig
+from leetcuda_tpu.parallel.mesh import make_mesh, MeshConfig
+from test_engine import solo_greedy
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+@pytest.fixture(scope="module")
+def draft(setup):
+    cfg_d = tiny_config(n_layers=1, dim=128, n_heads=2, n_kv_heads=1,
+                        ffn_dim=256)
+    return init_params(jax.random.key(1), cfg_d), cfg_d
+
+
+def run_matrix(cfg, params, ec, mesh=None, draft_model=None, n_prompts=3,
+               max_new=6, seed=0):
+    rng = np.random.default_rng(seed)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n))
+               for n in rng.integers(4, 14, n_prompts)]
+    eng = Engine(params, cfg, ec, mesh=mesh, draft=draft_model)
+    got = eng.run(prompts, max_new=max_new)
+    for uid, prompt in zip(sorted(got), prompts):
+        want = solo_greedy(params, cfg, prompt, max_new)
+        assert got[uid] == want, (uid, got[uid], want)
+    return eng
+
+
+def test_paged_int8kv_tp(setup):
+    """paged + int8 KV + tensor parallel — the realistic server config the
+    r1 asserts forbade."""
+    cfg, params = setup
+    mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
+    run_matrix(cfg, params, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        kv_quant="int8"), mesh=mesh)
+
+
+def test_spec_paged(setup, draft):
+    """speculative + paged caches."""
+    cfg, params = setup
+    run_matrix(cfg, params, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        spec_k=3), draft_model=draft)
+
+
+def test_spec_kv_quant(setup, draft):
+    """speculative + int8 KV (verify chunk reads the quantized cache)."""
+    cfg, params = setup
+    run_matrix(cfg, params, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, kv_quant="int8",
+        spec_k=3), draft_model=draft)
+
+
+def test_spec_tp(setup, draft):
+    """speculative + TP mesh (sharded verify, replicated draft)."""
+    cfg, params = setup
+    mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
+    run_matrix(cfg, params, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, spec_k=3),
+        mesh=mesh, draft_model=draft)
+
+
+def test_dp_tp_engine(setup):
+    """dp=2 x tp=2 serving: ragged admission pads the prefill batch to dp."""
+    cfg, params = setup
+    mesh = make_mesh(MeshConfig(dp=2, sp=1, tp=2), devices=jax.devices()[:4])
+    run_matrix(cfg, params, EngineConfig(
+        slots=4, max_seq=256, prefill_bucket=16), mesh=mesh)
+
+
+def test_everything_at_once(setup, draft):
+    """The full stack: paged + int8 KV + TP + dp + speculative + ragged
+    admission + sliding window, in one engine."""
+    cfg = tiny_config(sliding_window=24)
+    params = init_params(jax.random.key(0), cfg)
+    d_params, d_cfg0 = draft
+    d_cfg = tiny_config(n_layers=1, dim=128, n_heads=2, n_kv_heads=1,
+                        ffn_dim=256, sliding_window=24)
+    mesh = make_mesh(MeshConfig(dp=2, sp=1, tp=2), devices=jax.devices()[:4])
+    run_matrix(cfg, params, EngineConfig(
+        slots=4, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        kv_quant="int8", spec_k=2), mesh=mesh,
+        draft_model=(d_params, d_cfg), max_new=8)
