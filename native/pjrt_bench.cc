@@ -9,7 +9,17 @@
 //
 // Usage:
 //   pjrt_bench <plugin.so> <module.mlir> <manifest.txt> [iters] \
-//       [-o name=s:strval | -o name=i:intval ...]
+//       [-o name=s:strval | -o name=i:intval ...] \
+//       [--check <oracle.mlir> [--tol <max_abs_err>]]
+//
+// `--check` is the numeric-verification mode — the analog of the reference's
+// C++ gemm_error_check_{nn,tn} (/root/reference/kernels/hgemm/utils/
+// utils.h:93-152,216-278, run from the HGEMM_MMA_DEBUG-built main): compile a
+// SECOND module (the XLA oracle exported by tools/export_stablehlo.py
+// --oracle), execute both on the SAME input buffers (real [-1,1] values, not
+// the timing byte-fill), read every output back, and print max/mean abs
+// error; exit 1 if max_err > --tol + --rtol * max|oracle| (defaults 1e-3 +
+// 1e-2 — a few output-dtype ulps; bench/gemm_bench.py --check semantics).
 //
 // `-o` pairs become PJRT_NamedValue client-create options. When the plugin
 // path contains "axon" and no -o is given, the axon terminal defaults are
@@ -104,6 +114,95 @@ double NowSeconds() {
   return ts.tv_sec + 1e-9 * ts.tv_nsec;
 }
 
+// --- dtype decode for --check (host-side error math in f64) -------------------
+
+float HalfToFloat(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t man = h & 0x3FF;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;
+    } else {  // subnormal: normalize
+      int shift = 0;
+      while (!(man & 0x400)) { man <<= 1; ++shift; }
+      man &= 0x3FF;
+      bits = sign | ((127 - 15 - shift) << 23) | (man << 13);
+    }
+  } else if (exp == 0x1F) {
+    bits = sign | 0x7F800000u | (man << 13);
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float out;
+  memcpy(&out, &bits, sizeof(out));
+  return out;
+}
+
+double DecodeElem(const uint8_t* p, PJRT_Buffer_Type t) {
+  switch (t) {
+    case PJRT_Buffer_Type_F32: { float f; memcpy(&f, p, 4); return f; }
+    case PJRT_Buffer_Type_BF16: {
+      uint16_t u; memcpy(&u, p, 2);
+      uint32_t bits = (uint32_t)u << 16;
+      float f; memcpy(&f, &bits, 4); return f;
+    }
+    case PJRT_Buffer_Type_F16: {
+      uint16_t u; memcpy(&u, p, 2); return HalfToFloat(u);
+    }
+    case PJRT_Buffer_Type_S32: { int32_t v; memcpy(&v, p, 4); return v; }
+    case PJRT_Buffer_Type_S8: return (double)(int8_t)*p;
+    default:
+      fprintf(stderr, "FATAL: --check cannot decode dtype %d\n", (int)t);
+      exit(1);
+  }
+}
+
+size_t ElemBytes(PJRT_Buffer_Type t) {
+  switch (t) {
+    case PJRT_Buffer_Type_F32: case PJRT_Buffer_Type_S32: return 4;
+    case PJRT_Buffer_Type_BF16: case PJRT_Buffer_Type_F16: return 2;
+    case PJRT_Buffer_Type_S8: case PJRT_Buffer_Type_F8E4M3FN: return 1;
+    default: return 0;
+  }
+}
+
+uint16_t FloatToHalf(float f) {
+  uint32_t bits;
+  memcpy(&bits, &f, 4);
+  uint32_t sign = (bits >> 16) & 0x8000;
+  int32_t exp = (int32_t)((bits >> 23) & 0xFF) - 127 + 15;
+  uint32_t man = (bits >> 13) & 0x3FF;
+  if (exp <= 0) return (uint16_t)sign;          // flush tiny to zero
+  if (exp >= 0x1F) return (uint16_t)(sign | 0x7C00);
+  return (uint16_t)(sign | (exp << 10) | man);
+}
+
+// --check inputs: deterministic values in [-1, 1], encoded per dtype — the
+// reference's error-check fills (utils.h:97-103 rand [-1,1]); the bench
+// fill's raw byte pattern would put garbage exponents in float inputs.
+void FillCheckValue(uint8_t* p, PJRT_Buffer_Type t, uint32_t* state) {
+  *state = *state * 1664525u + 1013904223u;
+  float v = (float)((*state >> 8) & 0xFFFF) / 32768.0f - 1.0f;
+  switch (t) {
+    case PJRT_Buffer_Type_F32: memcpy(p, &v, 4); break;
+    case PJRT_Buffer_Type_BF16: {
+      uint32_t bits; memcpy(&bits, &v, 4);
+      uint16_t b = (uint16_t)(bits >> 16);  // truncate: fine for inputs
+      memcpy(p, &b, 2); break;
+    }
+    case PJRT_Buffer_Type_F16: {
+      uint16_t h = FloatToHalf(v); memcpy(p, &h, 2); break;
+    }
+    case PJRT_Buffer_Type_S32: {
+      int32_t i = (int32_t)(v * 100.0f); memcpy(p, &i, 4); break;
+    }
+    case PJRT_Buffer_Type_S8: *p = (uint8_t)(int8_t)(v * 100.0f); break;
+    default: *p = 0;
+  }
+}
+
 // Client-create options. Strings are stored in a deque to keep c_str()
 // pointers stable while the PJRT_NamedValue array is alive (a vector's
 // reallocation would move SSO strings and invalidate them).
@@ -182,6 +281,14 @@ int main(int argc, char** argv) {
   const char* mlir_path = argv[2];
   const char* manifest_path = argv[3];
   int iters = (argc > 4 && argv[4][0] != '-') ? atoi(argv[4]) : 50;
+
+  std::string check_path;
+  double tol = 1e-3, rtol = 1e-2;  // pass bar: max_err <= tol + rtol*max|want|
+  for (int i = 4; i < argc - 1; ++i) {
+    if (strcmp(argv[i], "--check") == 0) check_path = argv[i + 1];
+    if (strcmp(argv[i], "--tol") == 0) tol = atof(argv[i + 1]);
+    if (strcmp(argv[i], "--rtol") == 0) rtol = atof(argv[i + 1]);
+  }
 
   Options options;
   for (int i = 4; i < argc - 1; ++i) {
@@ -287,44 +394,53 @@ int main(int argc, char** argv) {
   }
 
   // --- compile --------------------------------------------------------------
-  std::string mlir;
-  {
-    std::ifstream f(mlir_path, std::ios::binary);
-    if (!f) { fprintf(stderr, "FATAL: cannot read %s\n", mlir_path); return 1; }
-    std::stringstream buf;
-    buf << f.rdbuf();
-    mlir = buf.str();
-  }
-  PJRT_Program program;
-  memset(&program, 0, sizeof(program));
-  program.struct_size = PJRT_Program_STRUCT_SIZE;
-  program.code = mlir.data();
-  program.code_size = mlir.size();
-  static const char kFormat[] = "mlir";
-  program.format = kFormat;
-  program.format_size = sizeof(kFormat) - 1;
+  std::string mlir_storage;  // must outlive compilation
+  auto compile_file = [&](const char* path) -> PJRT_LoadedExecutable* {
+    {
+      std::ifstream f(path, std::ios::binary);
+      if (!f) { fprintf(stderr, "FATAL: cannot read %s\n", path); exit(1); }
+      std::stringstream buf;
+      buf << f.rdbuf();
+      mlir_storage = buf.str();
+    }
+    PJRT_Program program;
+    memset(&program, 0, sizeof(program));
+    program.struct_size = PJRT_Program_STRUCT_SIZE;
+    program.code = mlir_storage.data();
+    program.code_size = mlir_storage.size();
+    static const char kFormat[] = "mlir";
+    program.format = kFormat;
+    program.format_size = sizeof(kFormat) - 1;
 
-  PJRT_Client_Compile_Args comp;
-  memset(&comp, 0, sizeof(comp));
-  comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
-  comp.client = client;
-  comp.program = &program;
-  comp.compile_options = copts_bytes.data();
-  comp.compile_options_size = copts_bytes.size();
-  double tc0 = NowSeconds();
-  Check(g_api->PJRT_Client_Compile(&comp), "compile");
-  PJRT_LoadedExecutable* exec = comp.executable;
-  fprintf(stderr, "compiled %s in %.1fs\n", mlir_path, NowSeconds() - tc0);
+    PJRT_Client_Compile_Args comp;
+    memset(&comp, 0, sizeof(comp));
+    comp.struct_size = PJRT_Client_Compile_Args_STRUCT_SIZE;
+    comp.client = client;
+    comp.program = &program;
+    comp.compile_options = copts_bytes.data();
+    comp.compile_options_size = copts_bytes.size();
+    double tc0 = NowSeconds();
+    Check(g_api->PJRT_Client_Compile(&comp), "compile");
+    fprintf(stderr, "compiled %s in %.1fs\n", path, NowSeconds() - tc0);
+    return comp.executable;
+  };
+  PJRT_LoadedExecutable* exec = compile_file(mlir_path);
 
   // --- input buffers -----------------------------------------------------------
   std::vector<PJRT_Buffer*> inputs;
+  uint32_t fill_state = 0x243F6A88u;
   for (const ArgSpec& spec : specs) {
     size_t n = spec.elem_bytes;
     for (int64_t d : spec.dims) n *= d;
-    // deterministic small-valued fill: avoids NaN/Inf bit patterns without
-    // needing a host-side RNG for every dtype
     std::vector<uint8_t> host(n);
-    for (size_t i = 0; i < n; ++i) host[i] = (uint8_t)(0x3C ^ (i * 29 % 64));
+    if (!check_path.empty()) {
+      // numeric mode: real [-1,1] values per dtype
+      for (size_t i = 0; i < n; i += spec.elem_bytes)
+        FillCheckValue(host.data() + i, spec.type, &fill_state);
+    } else {
+      // timing mode: deterministic small-valued byte fill (numerics unused)
+      for (size_t i = 0; i < n; ++i) host[i] = (uint8_t)(0x3C ^ (i * 29 % 64));
+    }
 
     PJRT_Client_BufferFromHostBuffer_Args bargs;
     memset(&bargs, 0, sizeof(bargs));
@@ -354,6 +470,107 @@ int main(int argc, char** argv) {
   no.executable = ge.executable;
   Check(g_api->PJRT_Executable_NumOutputs(&no), "num outputs");
   size_t num_outputs = no.num_outputs;
+
+  // --- numeric verification (--check) ----------------------------------------
+  // gemm_error_check analog: run module and oracle on the SAME inputs, read
+  // every output back, print max/mean abs error, fail past --tol.
+  if (!check_path.empty()) {
+    auto run_once = [&](PJRT_LoadedExecutable* e,
+                        size_t n_out) -> std::vector<PJRT_Buffer*> {
+      std::vector<PJRT_Buffer*> outs(n_out, nullptr);
+      PJRT_Buffer** out_list[1] = {outs.data()};
+      PJRT_Buffer* const* args_list[1] = {inputs.data()};
+      PJRT_ExecuteOptions eopts;
+      memset(&eopts, 0, sizeof(eopts));
+      eopts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+      PJRT_Event* ev = nullptr;
+      PJRT_LoadedExecutable_Execute_Args ex;
+      memset(&ex, 0, sizeof(ex));
+      ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+      ex.executable = e;
+      ex.options = &eopts;
+      ex.argument_lists = args_list;
+      ex.num_devices = 1;
+      ex.num_args = inputs.size();
+      ex.output_lists = out_list;
+      ex.device_complete_events = &ev;
+      Check(g_api->PJRT_LoadedExecutable_Execute(&ex), "execute (check)");
+      AwaitAndDestroy(ev, "execute await (check)");
+      return outs;
+    };
+    auto read_back = [&](PJRT_Buffer* b, PJRT_Buffer_Type* type_out)
+        -> std::vector<uint8_t> {
+      PJRT_Buffer_ElementType_Args et;
+      memset(&et, 0, sizeof(et));
+      et.struct_size = PJRT_Buffer_ElementType_Args_STRUCT_SIZE;
+      et.buffer = b;
+      Check(g_api->PJRT_Buffer_ElementType(&et), "element type");
+      *type_out = et.type;
+      PJRT_Buffer_ToHostBuffer_Args th;
+      memset(&th, 0, sizeof(th));
+      th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+      th.src = b;
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "readback size (check)");
+      std::vector<uint8_t> host(th.dst_size);
+      th.dst = host.data();
+      Check(g_api->PJRT_Buffer_ToHostBuffer(&th), "readback (check)");
+      AwaitAndDestroy(th.event, "readback await (check)");
+      return host;
+    };
+
+    PJRT_LoadedExecutable* oracle = compile_file(check_path.c_str());
+    PJRT_LoadedExecutable_GetExecutable_Args ge2;
+    memset(&ge2, 0, sizeof(ge2));
+    ge2.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+    ge2.loaded_executable = oracle;
+    Check(g_api->PJRT_LoadedExecutable_GetExecutable(&ge2), "get oracle");
+    PJRT_Executable_NumOutputs_Args no2;
+    memset(&no2, 0, sizeof(no2));
+    no2.struct_size = PJRT_Executable_NumOutputs_Args_STRUCT_SIZE;
+    no2.executable = ge2.executable;
+    Check(g_api->PJRT_Executable_NumOutputs(&no2), "oracle num outputs");
+    if (no2.num_outputs != num_outputs) {
+      fprintf(stderr, "FATAL: --check arity mismatch (%zu vs %zu outputs)\n",
+              num_outputs, no2.num_outputs);
+      return 1;
+    }
+
+    std::vector<PJRT_Buffer*> got = run_once(exec, num_outputs);
+    std::vector<PJRT_Buffer*> want = run_once(oracle, num_outputs);
+    double max_err = 0.0, sum_err = 0.0, wmax = 0.0;
+    size_t n_total = 0;
+    for (size_t oi = 0; oi < num_outputs; ++oi) {
+      PJRT_Buffer_Type tg, tw;
+      std::vector<uint8_t> hg = read_back(got[oi], &tg);
+      std::vector<uint8_t> hw = read_back(want[oi], &tw);
+      size_t eg = ElemBytes(tg), ew = ElemBytes(tw);
+      size_t n = hg.size() / eg;
+      if (n != hw.size() / ew) {
+        fprintf(stderr, "FATAL: --check output %zu size mismatch\n", oi);
+        return 1;
+      }
+      for (size_t i = 0; i < n; ++i) {
+        double g = DecodeElem(hg.data() + i * eg, tg);
+        double w = DecodeElem(hw.data() + i * ew, tw);
+        double ad = g > w ? g - w : w - g;
+        double aw = w < 0 ? -w : w;
+        if (ad > max_err) max_err = ad;
+        if (aw > wmax) wmax = aw;
+        sum_err += ad;
+      }
+      n_total += n;
+      DestroyBuffer(got[oi]);
+      DestroyBuffer(want[oi]);
+    }
+    double mean_err = n_total ? sum_err / n_total : 0.0;
+    double bar = tol + rtol * wmax;
+    bool ok = max_err <= bar;
+    printf("{\"check\": \"%s\", \"max_abs_err\": %.6g, \"mean_abs_err\": "
+           "%.6g, \"max_abs_ref\": %.6g, \"bar\": %.6g, \"elems\": %zu}\n",
+           ok ? "PASS" : "FAIL", max_err, mean_err, wmax, bar, n_total);
+    for (PJRT_Buffer* b : inputs) DestroyBuffer(b);
+    return ok ? 0 : 1;
+  }
 
   // --- execute loop ------------------------------------------------------------
   PJRT_ExecuteOptions opts;

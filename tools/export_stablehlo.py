@@ -16,6 +16,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -99,16 +103,29 @@ def main():
     ap.add_argument("--scan", type=int, default=0,
                     help="bake an N-iteration chained timing loop into the "
                          "module (recommended through the axon relay)")
+    ap.add_argument("--oracle", action="store_true",
+                    help="also export {out}_oracle.mlir — the XLA reference "
+                         "with the same signature, for pjrt_bench --check")
+    ap.add_argument("--inject-bug", action="store_true",
+                    help="scale the op's output by 1.05 (proves --check "
+                         "fails on a real numerics bug; 5%% is ~13 bf16 ulps "
+                         "— anything much smaller drowns in output rounding)")
     ap.add_argument("--out", default="/tmp/pjrt_bench_export")
     args = ap.parse_args()
+
+    def maybe_buggy(fn):
+        if not args.inject_bug:
+            return fn
+        return lambda *a: fn(*a) * 1.05
 
     M, N, K = args.m, args.n, args.k
     if args.op in ("hgemm", "sgemm", "xla_dot"):
         from leetcuda_tpu.gemm.matmul import hgemm, sgemm, matmul_ref
 
         dt = jnp.float32 if args.op == "sgemm" else jnp.bfloat16
-        fn = {"hgemm": hgemm, "sgemm": sgemm,
-              "xla_dot": jax.jit(matmul_ref)}[args.op]
+        fn = maybe_buggy({"hgemm": hgemm, "sgemm": sgemm,
+                          "xla_dot": jax.jit(matmul_ref)}[args.op])
+        oracle_fn = jax.jit(matmul_ref)
         a = jnp.zeros((M, K), dt)
         b = jnp.zeros((K, N), dt)
         flops = 2.0 * M * N * K
@@ -117,11 +134,14 @@ def main():
             fn = scanned(fn, 0, args.scan)
             flops *= args.scan
         paths = export(fn, (a, b), args.out, flops=flops)
+        if args.oracle:
+            paths += export(oracle_fn, (a, b), f"{args.out}_oracle")
     else:
-        from leetcuda_tpu.attention.flash import make_flash_attention
+        from leetcuda_tpu.attention.flash import (
+            make_flash_attention, flash_attention_ref)
 
         B, H, S, D = 1, 8, args.n, 128
-        fa = make_flash_attention(causal=True)
+        fa = maybe_buggy(make_flash_attention(causal=True))
         q = jnp.zeros((B, H, S, D), jnp.bfloat16)
         flops = 2.0 * 2 * B * H * S * S * D / 2  # causal half
         fn = fa
@@ -129,6 +149,11 @@ def main():
             fn = scanned(fa, 0, args.scan)  # chain out -> q
             flops *= args.scan
         paths = export(fn, (q, q, q), args.out, flops=flops)
+        if args.oracle:
+            import functools
+            paths += export(jax.jit(functools.partial(flash_attention_ref,
+                                                      causal=True)),
+                            (q, q, q), f"{args.out}_oracle")
 
     print("wrote", *paths)
 
