@@ -251,3 +251,96 @@ matmul = make_matmul(block=(2048, 2048, 512))
 sgemm = make_matmul(block=(512, 512, 512))
 hgemm = make_matmul(block=(2048, 2048, 512))
 hgemm_tn = make_matmul(block=(2048, 2048, 512), layout="tn")
+
+
+# --- VMEM-resident chained matmul (the 4096-cubed regime) -------------------------
+
+def make_matmul_resident(*, reps: int, block_m: int = 512,
+                         vmem_limit_mb: int = 100):
+    """Chained A <- cast(A @ B) repeated ``reps`` times inside ONE pallas
+    call, with both operands resident in VMEM throughout.
+
+    Why: at 4096-cubed the whole working set fits v5e's 128 MB VMEM, and
+    XLA times a chained scan with zero steady-state HBM traffic (operands
+    live in the loop body's VMEM); a per-call ``pallas_call`` streams blocks
+    from HBM every call and can't reach that regime (r1 PERF.md:32). This
+    kernel expresses the same loop the way the hardware runs it:
+
+    - B: whole-array VMEM input block, fetched once for the whole call;
+    - A: DMA'd once into a VMEM scratch, then updated IN PLACE — C's row
+      chunk i is A's row chunk i times B, so after computing chunk i those A
+      rows are dead and the cast result overwrites them (single buffer,
+      no ping-pong copy);
+    - grid (reps, M/block_m): row chunks sweep per rep; the only steady-state
+      HBM traffic is the final C row-chunk writes of each rep, overlapped by
+      the output pipeline.
+
+    Semantics match ``lax.scan`` of ``matmul_ref``'s chain (cast to the input
+    dtype each rep), which is the correctness oracle and the XLA timing bar.
+    VMEM budget at 4096-cubed bf16: A 32 + B 32 + f32 chunk 8 + out 2x4
+    = ~80 MB.
+    """
+
+    def kernel(a_any, b_ref, o_ref, a_buf, sem):
+        r = pl.program_id(0)
+        i = pl.program_id(1)
+        bm = block_m
+
+        @pl.when((r == 0) & (i == 0))
+        def _():
+            cp = pltpu.make_async_copy(a_any, a_buf, sem)
+            cp.start()
+            cp.wait()
+
+        rows = pl.ds(i * bm, bm)
+        c = jnp.dot(a_buf[rows, :], b_ref[:],
+                    preferred_element_type=jnp.float32)
+        c = c.astype(o_ref.dtype)
+        o_ref[:] = c
+        a_buf[rows, :] = c
+
+    @jax.jit
+    def fn(a, b):
+        M, K = a.shape
+        K2, N = b.shape
+        assert K == K2 and K == N, "chained matmul needs square-compatible B"
+        ni = cdiv(M, block_m)
+        a_scratch = pltpu.VMEM((M, K), a.dtype)
+
+        params = {}
+        if not interpret_default():
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+            )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((M, N), a.dtype),
+            grid=(reps, ni),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),      # A: manual DMA
+                pl.BlockSpec((K, N), lambda r, i: (0, 0),
+                             memory_space=pltpu.VMEM),      # B: resident
+            ],
+            out_specs=pl.BlockSpec((block_m, N), lambda r, i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[a_scratch, pltpu.SemaphoreType.DMA],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * reps * M * N * K,
+                bytes_accessed=(M * K + K * N + M * N) * a.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret_default(),
+            **params,
+        )(a, b)
+
+    return fn
+
+
+def matmul_chain_ref(a, b, reps: int):
+    """XLA oracle/bar for the resident chain: scan of dots, cast each rep."""
+    def body(c, _):
+        return matmul_ref(c, b), None
+
+    out, _ = jax.lax.scan(body, a, None, length=reps)
+    return out

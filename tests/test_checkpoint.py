@@ -7,6 +7,9 @@ import numpy as np
 
 from leetcuda_tpu.models.llama import tiny_config, init_params, make_train_step
 from leetcuda_tpu.models.checkpoint import save_checkpoint, restore_checkpoint
+import pytest
+
+pytestmark = pytest.mark.slow  # full engine/model runs; default run skips (-m) — CI covers
 
 
 def test_resume_matches_uninterrupted(tmp_path):

@@ -5,6 +5,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full engine/model runs; default run skips (-m) — CI covers
+
 
 def run_script(path, *args, timeout=600):
     r = subprocess.run(

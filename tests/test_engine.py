@@ -45,6 +45,7 @@ def solo_greedy(params, cfg, prompt, max_new):
     return out
 
 
+@pytest.mark.slow
 def test_engine_matches_solo_decode(setup):
     cfg, params = setup
     rng = np.random.default_rng(0)
@@ -60,6 +61,7 @@ def test_engine_matches_solo_decode(setup):
         assert got[uid] == want, (uid, got[uid], want)
 
 
+@pytest.mark.slow
 def test_engine_slot_reuse_staggered(setup):
     """More requests than slots + mid-flight submission: slot recycling must
     not corrupt surviving sequences."""
@@ -133,6 +135,7 @@ def test_fused_engine_matches_solo(setup):
     assert gen == solo_greedy(params, cfg, prompt, 4)
 
 
+@pytest.mark.slow
 def test_sharded_generate_scan_matches_unsharded(setup):
     """dp=2 x tp=2 decode over the virtual mesh — the >=2-host serving path.
     Tokens must be identical to the single-device scan."""
@@ -168,6 +171,7 @@ def test_tp_engine_matches_solo(setup):
         assert got[uid] == solo_greedy(params, cfg, prompt, 4)
 
 
+@pytest.mark.slow
 def test_quantized_forward_close_to_dense(setup):
     cfg, params = setup
     qparams = quantize_params(params, dtype="int8")
@@ -184,6 +188,7 @@ def test_quantized_forward_close_to_dense(setup):
     assert match > 0.8, match
 
 
+@pytest.mark.slow
 def test_recover_midflight_exact(setup):
     """Elastic recovery: a crash mid-decode (simulated via recover()) requeues
     in-flight requests for recompute — outputs stay token-exact."""
@@ -238,6 +243,7 @@ def test_batched_admission_matches_solo(setup):
                                                           prompt, 5)
 
 
+@pytest.mark.slow
 def test_tp_engine_quantized_kv_matches_solo(setup):
     """TP mesh x int8 KV cache (the scale in_specs regression ADVICE r1
     flagged: scales are (B, Hkv, S), so tp shards heads, not positions)."""

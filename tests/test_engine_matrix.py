@@ -17,6 +17,8 @@ from leetcuda_tpu.engine import Engine, EngineConfig
 from leetcuda_tpu.parallel.mesh import make_mesh, MeshConfig
 from test_engine import solo_greedy
 
+pytestmark = pytest.mark.slow  # full engine/model runs; default run skips (-m) — CI covers
+
 
 @pytest.fixture(scope="module")
 def setup():

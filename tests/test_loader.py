@@ -18,6 +18,8 @@ transformers = pytest.importorskip("transformers")
 from leetcuda_tpu.models.llama import forward, decode_step, init_kv_caches
 from leetcuda_tpu.models.loader import config_from_hf, params_from_hf_state_dict
 
+pytestmark = pytest.mark.slow  # full engine/model runs; default run skips (-m) — CI covers
+
 
 @pytest.fixture(scope="module")
 def hf_model():

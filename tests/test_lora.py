@@ -3,11 +3,15 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from leetcuda_tpu.models.llama import (
     tiny_config, init_params, forward, quantize_params)
 from leetcuda_tpu.models.lora import (
     add_lora, lora_params, set_lora_params, merge_lora, make_lora_train_step)
+
+pytestmark = pytest.mark.slow  # full engine/model run; default skips, CI (--runslow) covers
+
 
 
 def setup():
@@ -26,6 +30,7 @@ def test_zero_init_matches_base():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_adapter_training_moves_loss_base_frozen():
     cfg, params, tokens = setup()
     lp = add_lora(params, jax.random.key(1), rank=4)
@@ -70,6 +75,7 @@ def test_qlora_quantized_base_trains():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_engine_serves_lora_adapters():
     """The engine serves adapted weights transparently; with non-zero
     adapters, generation matches the merged-weight model exactly."""

@@ -70,6 +70,7 @@ def test_prefill_decode_consistency(setup):
                                atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_sharded_train_step():
     """dp=2, sp=2, tp=2 over the 8 virtual devices — the dryrun_multichip path."""
     from leetcuda_tpu.parallel.mesh import make_mesh, MeshConfig

@@ -7,7 +7,11 @@ import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from leetcuda_tpu.models.moe import (
+
     MoEConfig, init_moe_params, moe_ffn, moe_ffn_ref, shard_moe_params)
+
+pytestmark = pytest.mark.slow  # full engine/model run; default skips, CI (--runslow) covers
+
 
 
 @pytest.fixture(scope="module")

@@ -86,6 +86,7 @@ def test_page_manager_oom_and_release():
     pm.release(0)
     assert pm.ensure(1, 8)                         # freed pages reusable
 
+@pytest.mark.slow
 def test_paged_engine_matches_solo():
     """Paged engine (ample pool) == solo decode tokens."""
     from leetcuda_tpu.models.llama import tiny_config, init_params
@@ -104,6 +105,7 @@ def test_paged_engine_matches_solo():
         assert got[uid] == solo_greedy(params, cfg, prompt, 6), uid
 
 
+@pytest.mark.slow
 def test_paged_engine_preemption():
     """A pool too small for all sequences forces recompute preemption; every
     request must still produce exactly its solo tokens."""
@@ -154,6 +156,7 @@ def test_paged_quantized_matches_dequantized(rng):
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_paged_int8_engine_matches_slot_int8_engine():
     """Paged + int8 KV == slot-cache + int8 KV (same per-token scale
     granularity => identical numerics), exercising the full north-star combo:
@@ -224,6 +227,7 @@ def test_paged_window_quantized(rng):
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_windowed_paged_engine_matches_solo():
     """A Mistral-style config (sliding_window) served paged must emit exactly
     the solo decode tokens once context exceeds the window (the silent

@@ -9,6 +9,8 @@ from jax.sharding import Mesh
 from leetcuda_tpu.parallel.pipeline import (
     stack_stage_params, shard_stage_params, pipeline_apply)
 
+pytestmark = pytest.mark.slow  # full engine/model run; default skips, CI (--runslow) covers
+
 
 def mlp_stage(params, x):
     h = jnp.tanh(x @ params["w1"] + params["b1"])

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from leetcuda_tpu.engine.sampling import greedy, make_sampler
+import pytest
 
 
 def test_greedy_ignores_key():
@@ -46,6 +47,7 @@ def test_sampling_matches_softmax_frequencies():
     np.testing.assert_allclose(freq, probs, atol=0.03)
 
 
+@pytest.mark.slow
 def test_engine_stochastic_sampling_runs():
     from leetcuda_tpu.models.llama import tiny_config, init_params
     from leetcuda_tpu.engine import Engine, EngineConfig

@@ -11,6 +11,8 @@ from leetcuda_tpu.engine.speculative import (
     decode_chunk, speculative_generate)
 from leetcuda_tpu.models.llama import init_kv_caches, decode_step
 
+pytestmark = pytest.mark.slow  # full engine/model runs; default run skips (-m) — CI covers
+
 
 @pytest.fixture(scope="module")
 def models():
