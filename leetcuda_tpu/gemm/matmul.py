@@ -255,7 +255,7 @@ hgemm_tn = make_matmul(block=(2048, 2048, 512), layout="tn")
 
 # --- VMEM-resident chained matmul (the 4096-cubed regime) -------------------------
 
-def make_matmul_resident(*, reps: int, block_m: int = 512,
+def make_matmul_resident(*, reps: int, block_m: int = 1024,
                          vmem_limit_mb: int = 100):
     """Chained A <- cast(A @ B) repeated ``reps`` times inside ONE pallas
     call, with both operands resident in VMEM throughout.
@@ -267,37 +267,33 @@ def make_matmul_resident(*, reps: int, block_m: int = 512,
     kernel expresses the same loop the way the hardware runs it:
 
     - B: whole-array VMEM input block, fetched once for the whole call;
-    - A: DMA'd once into a VMEM scratch, then updated IN PLACE — C's row
-      chunk i is A's row chunk i times B, so after computing chunk i those A
-      rows are dead and the cast result overwrites them (single buffer,
-      no ping-pong copy);
-    - grid (reps, M/block_m): row chunks sweep per rep; the only steady-state
-      HBM traffic is the final C row-chunk writes of each rep, overlapped by
-      the output pipeline.
+    - because B is constant, A's row chunks evolve INDEPENDENTLY
+      (C[i] = A[i] @ B^reps), so the grid is (M/block_m, reps) with reps
+      innermost: chunk i loads once into a (block_m, K) VMEM scratch,
+      multiplies by B reps times in place, and writes out ONCE — total HBM
+      traffic for the whole call is A + B read and C written once, identical
+      to XLA's scan, with rep-to-rep chunk evolution at VMEM speed.
 
-    Semantics match ``lax.scan`` of ``matmul_ref``'s chain (cast to the input
-    dtype each rep), which is the correctness oracle and the XLA timing bar.
-    VMEM budget at 4096-cubed bf16: A 32 + B 32 + f32 chunk 8 + out 2x4
-    = ~80 MB.
+    Element-for-element the same math as ``matmul_chain_ref`` (lax.scan of
+    dots, cast to the input dtype each rep) — the correctness oracle and the
+    XLA timing bar. VMEM at 4096-cubed bf16, block_m=1024: B 32 + chunk 8 +
+    f32 intermediate 16 + in/out blocks ~24 = ~80 MB.
     """
 
-    def kernel(a_any, b_ref, o_ref, a_buf, sem):
-        r = pl.program_id(0)
-        i = pl.program_id(1)
-        bm = block_m
+    def kernel(a_ref, b_ref, o_ref, cur):
+        r = pl.program_id(1)
 
-        @pl.when((r == 0) & (i == 0))
+        @pl.when(r == 0)
         def _():
-            cp = pltpu.make_async_copy(a_any, a_buf, sem)
-            cp.start()
-            cp.wait()
+            cur[:] = a_ref[:]
 
-        rows = pl.ds(i * bm, bm)
-        c = jnp.dot(a_buf[rows, :], b_ref[:],
-                    preferred_element_type=jnp.float32)
-        c = c.astype(o_ref.dtype)
-        o_ref[:] = c
-        a_buf[rows, :] = c
+        c = jnp.dot(cur[:], b_ref[:],
+                    preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        cur[:] = c
+
+        @pl.when(r == reps - 1)
+        def _():
+            o_ref[:] = c
 
     @jax.jit
     def fn(a, b):
@@ -305,7 +301,6 @@ def make_matmul_resident(*, reps: int, block_m: int = 512,
         K2, N = b.shape
         assert K == K2 and K == N, "chained matmul needs square-compatible B"
         ni = cdiv(M, block_m)
-        a_scratch = pltpu.VMEM((M, K), a.dtype)
 
         params = {}
         if not interpret_default():
@@ -316,15 +311,16 @@ def make_matmul_resident(*, reps: int, block_m: int = 512,
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((M, N), a.dtype),
-            grid=(reps, ni),
+            grid=(ni, reps),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),      # A: manual DMA
-                pl.BlockSpec((K, N), lambda r, i: (0, 0),
+                pl.BlockSpec((block_m, K), lambda i, r: (i, 0),
+                             memory_space=pltpu.VMEM),      # chunk, per-i
+                pl.BlockSpec((K, N), lambda i, r: (0, 0),
                              memory_space=pltpu.VMEM),      # B: resident
             ],
-            out_specs=pl.BlockSpec((block_m, N), lambda r, i: (i, 0),
+            out_specs=pl.BlockSpec((block_m, N), lambda i, r: (i, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[a_scratch, pltpu.SemaphoreType.DMA],
+            scratch_shapes=[pltpu.VMEM((block_m, K), a.dtype)],
             cost_estimate=pl.CostEstimate(
                 flops=2 * reps * M * N * K,
                 bytes_accessed=(M * K + K * N + M * N) * a.dtype.itemsize,

@@ -122,3 +122,18 @@ def test_swizzled_matmul_awkward_shapes(rng):
         np.testing.assert_allclose(np.asarray(got),
                                    np.asarray(matmul_ref(a, b)),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_matmul_resident_chain(rng):
+    """VMEM-resident chained matmul == lax.scan of dots (the 4096-regime
+    kernel, tested at toy size)."""
+    from leetcuda_tpu.gemm.matmul import make_matmul_resident, matmul_chain_ref
+
+    M = 256
+    a = jnp.asarray(rng.standard_normal((M, M)) / np.sqrt(M), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((M, M)) / np.sqrt(M), jnp.float32)
+    for reps in (1, 4):
+        got = make_matmul_resident(reps=reps, block_m=128)(a, b)
+        want = matmul_chain_ref(a, b, reps)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)

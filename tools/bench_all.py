@@ -36,8 +36,26 @@ def main():
         return max(run_benchmark(fn, *a, iters=iters, flops=flops).tflops
                    for _ in range(reps))
 
+    def stats(xs):
+        xs = sorted(xs)
+        return {"best": round(xs[-1], 1),
+                "median": round(xs[len(xs) // 2], 1),
+                "spread_pct": round(100 * (xs[-1] - xs[0]) / xs[-1], 1)}
+
+    def duel(fn_a, fn_b, *a, flops, iters, reps=5):
+        """Interleave A/B timing reps so both sides sample the same tunnel
+        state (the variance protocol: across-session numbers drift, within-
+        run alternation is comparable; spread quantifies the drift)."""
+        ta, tb = [], []
+        for _ in range(reps):
+            ta.append(run_benchmark(fn_a, *a, iters=iters, flops=flops).tflops)
+            tb.append(run_benchmark(fn_b, *a, iters=iters, flops=flops).tflops)
+        return ta, tb
+
     # --- GEMM ----------------------------------------------------------------
-    from leetcuda_tpu.gemm.matmul import hgemm, matmul_ref
+    from leetcuda_tpu.gemm.matmul import (
+        hgemm, matmul_ref, make_matmul_resident, matmul_chain_ref)
+    import functools
 
     gemm = {}
     for n in ([4096] if args.quick else [4096, 8192]):
@@ -47,11 +65,45 @@ def main():
                               jnp.float32).astype(jnp.bfloat16)
         fl = 2.0 * n ** 3
         it = 150 if n == 4096 else 50
-        gemm[f"bf16_{n}"] = {
-            "pallas_tflops": round(best(hgemm, a, b, flops=fl, iters=it), 1),
-            "xla_tflops": round(best(jax.jit(matmul_ref), a, b, flops=fl,
-                                     iters=it), 1)}
+        tp, tx = duel(hgemm, jax.jit(matmul_ref), a, b, flops=fl, iters=it)
+        gemm[f"bf16_{n}_stream"] = {
+            "pallas": stats(tp), "xla": stats(tx),
+            "ratio": round(max(tp) / max(tx), 3)}
         del a, b
+    # resident regime (operands live in VMEM across the chain): the 4096-cubed
+    # comparison XLA's scan actually times. Two-length probe timing — the
+    # chain is baked into the kernel/scan, so per-dot = (t_hi - t_lo)/(hi-lo).
+    n = 4096
+    a = (jax.random.normal(jax.random.key(0), (n, n), jnp.float32)
+         / np.sqrt(n)).astype(jnp.bfloat16)
+    b = (jax.random.normal(jax.random.key(1), (n, n), jnp.float32)
+         / np.sqrt(n)).astype(jnp.bfloat16)
+    LO, HI = 16, 80
+
+    def mkprobe(fn):
+        g = jax.jit(lambda a, b: jnp.sum(fn(a, b)[:1, :8].astype(jnp.float32)))
+        float(g(a, b))
+        return g
+
+    probes = {
+        "xla_lo": mkprobe(functools.partial(matmul_chain_ref, reps=LO)),
+        "xla_hi": mkprobe(functools.partial(matmul_chain_ref, reps=HI)),
+        "pal_lo": mkprobe(make_matmul_resident(reps=LO)),
+        "pal_hi": mkprobe(make_matmul_resident(reps=HI)),
+    }
+    bestt = {k: 1e30 for k in probes}
+    for _ in range(5):  # interleaved best-of-5
+        for k, g in probes.items():
+            t0 = time.perf_counter()
+            float(g(a, b))
+            bestt[k] = min(bestt[k], time.perf_counter() - t0)
+    per_x = (bestt["xla_hi"] - bestt["xla_lo"]) / (HI - LO)
+    per_p = (bestt["pal_hi"] - bestt["pal_lo"]) / (HI - LO)
+    gemm["bf16_4096_resident"] = {
+        "pallas_tflops": round(2 * n ** 3 / per_p / 1e12, 1),
+        "xla_tflops": round(2 * n ** 3 / per_x / 1e12, 1),
+        "ratio": round(per_x / per_p, 3)}
+    del a, b
     report["gemm"] = gemm
     print("gemm:", gemm, flush=True)
 
@@ -93,10 +145,18 @@ def main():
 
     cfg = ModelConfig()
     params = init_params(jax.random.key(0), cfg)
-    dec = {"bf16": round(bench_one("bf16", params, cfg, 8, 128, 96, None), 0)}
     q8 = quantize_params(fuse_params(params), dtype="int8")
-    dec["int8_int8kv"] = round(
-        bench_one("int8+int8kv", q8, cfg, 8, 128, 96, "int8"), 0)
+
+    def dec_stats(tag, p, quant, reps=3):
+        """median +/- spread over repeats — the decode numbers swing with
+        tunnel state, so a single draw is not a number (VERDICT r1 weak #8)."""
+        xs = sorted(round(bench_one(tag, p, cfg, 8, 128, 96, quant), 0)
+                    for _ in range(reps))
+        return {"median": xs[len(xs) // 2], "min": xs[0], "max": xs[-1],
+                "spread_pct": round(100 * (xs[-1] - xs[0]) / xs[-1], 1)}
+
+    dec = {"bf16": dec_stats("bf16", params, None),
+           "int8_int8kv": dec_stats("int8+int8kv", q8, "int8")}
     report["decode_tok_s"] = dec
     del q8
 
