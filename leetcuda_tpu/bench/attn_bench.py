@@ -50,6 +50,16 @@ def main():
                     help="also run split-KV with this many splits (non-causal)")
     ap.add_argument("--bwd", action="store_true",
                     help="benchmark forward+backward (custom-VJP kernels)")
+    ap.add_argument("--no-rand-q", action="store_true",
+                    help="Q = ones (structured-input debug, "
+                         "flash_attn_mma.py --no-rand-q analog)")
+    ap.add_argument("--no-rand-k", action="store_true", help="K = ones")
+    ap.add_argument("--no-rand-v", action="store_true", help="V = ones")
+    ap.add_argument("--range-k", action="store_true",
+                    help="K ramps along the sequence (position/N) — makes "
+                         "attention output position-decodable for debugging")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help=">1: median/best/spread per variant")
     args = ap.parse_args()
 
     B, H, N, D = args.B, args.H, args.N, args.D
@@ -59,6 +69,16 @@ def main():
     q = jax.random.normal(keys[0], (B, H, N, D), jnp.float32).astype(dt)
     k = jax.random.normal(keys[1], (B, Hkv, N, D), jnp.float32).astype(dt)
     v = jax.random.normal(keys[2], (B, Hkv, N, D), jnp.float32).astype(dt)
+    if args.no_rand_q:
+        q = jnp.ones_like(q)
+    if args.no_rand_k:
+        k = jnp.ones_like(k)
+    if args.no_rand_v:
+        v = jnp.ones_like(v)
+    if args.range_k:
+        k = jnp.broadcast_to(
+            (jnp.arange(N, dtype=jnp.float32) / N)[None, None, :, None],
+            k.shape).astype(dt)
 
     flops = _fa_flops(q, k, v) / (2 if args.causal else 1)
     byts = (q.size + k.size + v.size + q.size) * dt.itemsize
@@ -78,8 +98,15 @@ def main():
             print(f"{name:>42}: skip (N={N} not divisible by blocks)")
             continue
         fa = make_flash_attention(block_q=bq, block_k=bk, causal=args.causal)
-        r = run_benchmark(fa, q, k, v, tag=name, iters=args.iters,
-                          flops=flops, bytes=byts, session=session)
+        reps = [run_benchmark(fa, q, k, v, tag=name, iters=args.iters,
+                              flops=flops, bytes=byts,
+                              session=session if i == 0 else None)
+                for i in range(args.repeats)]
+        if args.repeats > 1:
+            ts = sorted(x.tflops for x in reps)
+            print(f"{'':>42}  median {ts[len(ts) // 2]:.1f} best {ts[-1]:.1f}"
+                  f" spread {100 * (ts[-1] - ts[0]) / ts[-1]:.1f}%")
+        r = max(reps, key=lambda x: x.tflops or 0)
         best = r if best is None or r.mean_ms < best.mean_ms else best
         if args.check:
             out = fa(q, k, v).astype(jnp.float32)

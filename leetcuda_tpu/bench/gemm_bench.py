@@ -22,10 +22,49 @@ import leetcuda_tpu.gemm.matmul  # noqa: F401  (registers the variants)
 from leetcuda_tpu.gemm.matmul import matmul_ref, matmul_tn_ref
 
 
-def bench_size(M, N, K, variants, dtype, iters, session, check=False):
-    ka, kb = jax.random.split(jax.random.key(0))
-    a = jax.random.normal(ka, (M, K), jnp.float32).astype(dtype)
-    b_nn = jax.random.normal(kb, (K, N), jnp.float32).astype(dtype)
+class Pool:
+    """Pre-allocated max-size operand pool, sliced per shape — the
+    reference's buffer hygiene (hgemm.py:440-452: allocate MAX once, slice
+    per MNK, so the sweep never reallocates device memory). ``fill``
+    supports the structured-input debug modes (flash_attn_mma.py
+    --no-rand-q / --range-k analogs): rand | ones | ramp."""
+
+    def __init__(self, max_m, max_n, max_k, dtype, fill="rand", seed=0):
+        ka, kb = jax.random.split(jax.random.key(seed))
+        if fill == "rand":
+            self.a = jax.random.normal(ka, (max_m, max_k),
+                                       jnp.float32).astype(dtype)
+            self.b = jax.random.normal(kb, (max_k, max_n),
+                                       jnp.float32).astype(dtype)
+        elif fill == "ones":
+            self.a = jnp.ones((max_m, max_k), dtype)
+            self.b = jnp.ones((max_k, max_n), dtype)
+        else:  # ramp: row-major position / size, the --range-k analog
+            self.a = (jnp.arange(max_m * max_k, dtype=jnp.float32)
+                      .reshape(max_m, max_k) / (max_m * max_k)).astype(dtype)
+            self.b = (jnp.arange(max_k * max_n, dtype=jnp.float32)
+                      .reshape(max_k, max_n) / (max_k * max_n)).astype(dtype)
+        self._slice = jax.jit(
+            lambda x, m, n: x[:m, :n], static_argnums=(1, 2))
+
+    def get(self, M, N, K):
+        return self._slice(self.a, M, K), self._slice(self.b, K, N)
+
+
+def _spread(tflops_list):
+    xs = sorted(t for t in tflops_list if t)
+    if not xs:
+        return ""
+    spread = 100.0 * (xs[-1] - xs[0]) / xs[-1] if len(xs) > 1 else 0.0
+    return (f" median {xs[len(xs) // 2]:.1f} best {xs[-1]:.1f} "
+            f"spread {spread:.1f}%")
+
+
+def bench_size(M, N, K, variants, dtype, iters, session, check=False,
+               pool=None, repeats=1):
+    if pool is None:
+        pool = Pool(M, N, K, dtype)
+    a, b_nn = pool.get(M, N, K)
     b_tn = b_nn.T.copy()
     flops = 2.0 * M * N * K
     byts = (M * K + K * N + M * N) * jnp.dtype(dtype).itemsize
@@ -35,10 +74,14 @@ def bench_size(M, N, K, variants, dtype, iters, session, check=False):
         spec = OPS[name]
         tn = "tn" in spec.tags
         b = b_tn if tn else b_nn
-        r = run_benchmark(spec.fn, a, b,
-                          tag=f"{name} {M}x{N}x{K}", iters=iters,
-                          flops=flops, bytes=byts, session=session)
-        results.append(r)
+        reps = [run_benchmark(spec.fn, a, b,
+                              tag=f"{name} {M}x{N}x{K}", iters=iters,
+                              flops=flops, bytes=byts,
+                              session=session if i == 0 else None)
+                for i in range(repeats)]
+        if repeats > 1:
+            print(f"    {name}:{_spread([r.tflops for r in reps])}")
+        results.append(max(reps, key=lambda r: r.tflops or 0))
         if check:
             ref = (matmul_tn_ref if tn else matmul_ref)(a, b)
             err = float(jnp.max(jnp.abs(
@@ -49,11 +92,15 @@ def bench_size(M, N, K, variants, dtype, iters, session, check=False):
                 jnp.max(jnp.abs(ref.astype(jnp.float32)))), name
     xla_ref = matmul_ref if not all("tn" in OPS[v].tags for v in variants) \
         else matmul_tn_ref
-    r = run_benchmark(jax.jit(xla_ref), a,
-                      b_nn if xla_ref is matmul_ref else b_tn,
-                      tag=f"xla_dot {M}x{N}x{K}", iters=iters,
-                      flops=flops, bytes=byts, session=session)
-    results.append(r)
+    reps = [run_benchmark(jax.jit(xla_ref), a,
+                          b_nn if xla_ref is matmul_ref else b_tn,
+                          tag=f"xla_dot {M}x{N}x{K}", iters=iters,
+                          flops=flops, bytes=byts,
+                          session=session if i == 0 else None)
+            for i in range(repeats)]
+    if repeats > 1:
+        print(f"    xla_dot:{_spread([r.tflops for r in reps])}")
+    results.append(max(reps, key=lambda r: r.tflops or 0))
     best = max((x for x in results if x.tflops), key=lambda x: x.tflops)
     print(" ", roofline(flops, byts, best.mean_ms / 1e3,
                         compute_dtype=dtype))
@@ -93,12 +140,28 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mnk", type=int, nargs="*", default=None,
                     help="square sizes to run (default: 2048 4096 8192)")
+    ap.add_argument("--m", type=int, nargs="*", default=None,
+                    help="non-square: M values (zipped with --n/--k; a "
+                         "single value broadcasts — hgemm.py --M analog)")
+    ap.add_argument("--n", type=int, nargs="*", default=None)
+    ap.add_argument("--k", type=int, nargs="*", default=None)
     ap.add_argument("--sweep", type=int, nargs=3, metavar=("LO", "HI", "STEP"),
                     help="sweep M=N=K over a range (reference-style)")
     ap.add_argument("--variants", nargs="*", default=None,
                     help="registered gemm op names (default: bf16 ladder)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="timing repeats per variant; >1 reports "
+                         "median/best/spread (variance protocol)")
+    ap.add_argument("--fill", choices=("rand", "ones", "ramp"),
+                    default="rand",
+                    help="structured inputs for debugging (--no-rand/"
+                         "--range-k analogs)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-prealloc", action="store_true",
+                    help="allocate per size instead of slicing one "
+                         "max-size pool")
     ap.add_argument("--check", action="store_true",
                     help="verify numerics vs XLA per size")
     ap.add_argument("--plot", nargs="?", const="/tmp/gemm_tflops.png",
@@ -107,20 +170,39 @@ def main():
     ap.add_argument("--markdown", action="store_true")
     args = ap.parse_args()
 
-    sizes = (list(range(args.sweep[0], args.sweep[1] + 1, args.sweep[2]))
-             if args.sweep else (args.mnk or [2048, 4096, 8192]))
+    if args.m or args.n or args.k:
+        ms, ns, ks = (args.m or [4096]), (args.n or [4096]), (args.k or [4096])
+        L = max(len(ms), len(ns), len(ks))
+        bc = lambda xs: xs * L if len(xs) == 1 else xs  # noqa: E731
+        shapes = list(zip(bc(ms), bc(ns), bc(ks)))
+    elif args.sweep:
+        shapes = [(n, n, n) for n in range(args.sweep[0], args.sweep[1] + 1,
+                                           args.sweep[2])]
+    else:
+        shapes = [(n, n, n) for n in (args.mnk or [2048, 4096, 8192])]
     variants = args.variants or [
         n for n, s in OPS.items()
         if s.family == "gemm" and "f16" in s.tags]
     dtype = jnp.dtype(args.dtype)
 
+    pool = None
+    if not args.no_prealloc:
+        pool = Pool(max(m for m, _, _ in shapes),
+                    max(n for _, n, _ in shapes),
+                    max(k for _, _, k in shapes), dtype,
+                    fill=args.fill, seed=args.seed)
+
     session = Session()
     all_results = []
-    for n in sizes:
-        print(f"--- M=N=K={n} ---")
+    for (M, N, K) in shapes:
+        print(f"--- M={M} N={N} K={K} ---")
+        shape_pool = pool or Pool(M, N, K, dtype, fill=args.fill,
+                                  seed=args.seed)
         all_results.append(
-            (n, bench_size(n, n, n, variants, dtype, args.iters, session,
-                           check=args.check)))
+            (max(M, N, K),
+             bench_size(M, N, K, variants, dtype, args.iters, session,
+                        check=args.check, pool=shape_pool,
+                        repeats=args.repeats)))
     print(session.summary())
     if args.markdown:
         flat = [r for _, rs in all_results for r in rs]

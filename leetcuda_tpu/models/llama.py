@@ -708,16 +708,37 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
         x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
     pos = lengths  # this token's position
 
+    # fused norm->QKV->rope entry block (gemm/fused_decode.py): one weight
+    # stream instead of norm + matmul + rope round-trips. Applies to dense
+    # fused-QKV layers without biases, single-shard (GSPMD cannot partition
+    # the custom call; the mesh path keeps the unfused projections).
+    fused_qkv = None
+    if mesh is None:
+        from leetcuda_tpu.gemm.fused_decode import make_fused_norm_qkv_rope
+
+        fused_qkv = make_fused_norm_qkv_rope(
+            n_heads=H, n_kv_heads=Hkv, head_dim=Dh, eps=cfg.norm_eps,
+            theta=cfg.rope_theta, rms_offset=cfg.rms_offset)
+
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
-        q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
-        q, k, v = (q.reshape(B, H, Dh), k.reshape(B, Hkv, Dh),
-                   v.reshape(B, Hkv, Dh))
-        q = apply_rope_half(q[:, None], pos[:, None],
-                            cfg.rope_theta)[:, 0]
-        k = apply_rope_half(k[:, None], pos[:, None],
-                            cfg.rope_theta)[:, 0]
+        if (fused_qkv is not None and "wqkv" in layer
+                and not isinstance(layer["wqkv"], dict)
+                and "bq" not in layer):
+            qkv = fused_qkv(x, layer["attn_norm"], layer["wqkv"], pos)
+            q, k, v = jnp.split(qkv, [H * Dh, (H + Hkv) * Dh], axis=-1)
+            q, k, v = (q.reshape(B, H, Dh), k.reshape(B, Hkv, Dh),
+                       v.reshape(B, Hkv, Dh))
+        else:
+            h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps,
+                          cfg.rms_offset)
+            q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+            q, k, v = (q.reshape(B, H, Dh), k.reshape(B, Hkv, Dh),
+                       v.reshape(B, Hkv, Dh))
+            q = apply_rope_half(q[:, None], pos[:, None],
+                                cfg.rope_theta)[:, 0]
+            k = apply_rope_half(k[:, None], pos[:, None],
+                                cfg.rope_theta)[:, 0]
         cache = _cache_append(cache, k, v, pos, page_table=page_table)
         new_caches.append(cache)
         o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1, mesh=mesh,

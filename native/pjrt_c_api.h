@@ -1,4 +1,9 @@
 /* Copyright 2022 The OpenXLA Authors.
+//
+// VENDORED third-party header: the standard PJRT C API from openxla/xla
+// (https://github.com/openxla/xla/blob/main/xla/pjrt/c/pjrt_c_api.h).
+// Not authored in this repo; kept verbatim so native/pjrt_bench.cc builds
+// without a bazel checkout — the analog of the reference vendoring CUTLASS.
 
 Licensed under the Apache License, Version 2.0 (the "License");
 you may not use this file except in compliance with the License.

@@ -129,3 +129,44 @@ def test_decode_attention_quantized_window(rng):
                                 lengths, window=window)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_fused_norm_qkv_rope_matches_unfused(rng):
+    """Fused decode entry block (norm->QKV->rope in one kernel) == the
+    composed unfused ops (gemm/fused_decode.py)."""
+    from leetcuda_tpu.gemm.fused_decode import (
+        make_fused_norm_qkv_rope, fused_norm_qkv_rope_ref)
+
+    B, D, H, Hkv, Dh = 4, 256, 4, 2, 64
+    X = (H + 2 * Hkv) * Dh
+    x = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    nw = jnp.asarray(rng.standard_normal(D) * 0.2 + 1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((D, X)) / np.sqrt(D), jnp.float32)
+    pos = jnp.asarray([0, 5, 100, 31], jnp.int32)
+    got = make_fused_norm_qkv_rope(n_heads=H, n_kv_heads=Hkv, head_dim=Dh)(
+        x, nw, w, pos)
+    want = fused_norm_qkv_rope_ref(x, nw, w, pos, n_heads=H, n_kv_heads=Hkv,
+                                   head_dim=Dh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_fused_decode_step_matches_unfused_params():
+    """decode_step with fused wqkv (-> the fused Pallas block) tracks the
+    split-projection path to matmul-reduction-order noise."""
+    import jax
+    from leetcuda_tpu.models.llama import (
+        tiny_config, init_params, fuse_params, init_kv_caches,
+        decode_step)
+
+    cfg = tiny_config()
+    params = init_params(jax.random.key(0), cfg)
+    fused = fuse_params(params)
+    toks = jnp.asarray([3, 7], jnp.int32)
+    caches_a = init_kv_caches(cfg, 2, 64)
+    caches_b = init_kv_caches(cfg, 2, 64)
+    lengths = jnp.zeros((2,), jnp.int32)
+    la, _ = decode_step(params, toks, caches_a, lengths, cfg)
+    lb, _ = decode_step(fused, toks, caches_b, lengths, cfg)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               atol=1e-4, rtol=1e-4)

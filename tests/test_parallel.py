@@ -112,3 +112,19 @@ def test_ring_all_gather_pallas():
     x = jnp.arange(8 * 16 * 128, dtype=jnp.float32).reshape(8 * 16, 128)
     out = np.asarray(ring_all_gather_pallas(x, mesh))
     np.testing.assert_array_equal(out, np.asarray(x))
+
+
+def test_multihost_object_collectives():
+    """Object broadcast/all-gather (the reference's object-collective
+    scripts) — single-process degenerate case must round-trip exactly."""
+    from leetcuda_tpu.parallel.multihost import (
+        broadcast_object, all_gather_objects, demo_all_gather_objects,
+        demo_broadcast_object, sync_processes)
+
+    obj = {"rank": 0, "nested": [1, "two", (3.0,)]}
+    assert broadcast_object(obj) == obj
+    got = all_gather_objects(obj)
+    assert got == [obj]
+    assert demo_all_gather_objects(verbose=False)[0]["devices"] >= 1
+    assert demo_broadcast_object(verbose=False)["config"]["steps"] == 1000
+    sync_processes("test")

@@ -7,6 +7,11 @@ configs checked against the SDPA oracle, on whatever backend is active
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 

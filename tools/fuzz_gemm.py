@@ -6,6 +6,11 @@ sizes (exercising the ragged-K masking path), dtypes, layouts, swizzle.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 

@@ -12,6 +12,11 @@ Exit code 0 iff every op matches within its declared tolerance.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import importlib
 import sys
