@@ -107,16 +107,21 @@ def make_fused_norm_qkv_rope(*, n_heads: int, n_kv_heads: int, head_dim: int,
         B, D = x.shape
         D2, X = wqkv.shape
         assert D == D2 and X == (H + 2 * Hkv) * Dh, (x.shape, wqkv.shape)
+        # only constraints: no block straddles the q|k -> v boundary
+        # (rope_end % bx == 0) and whole heads per block (bx % Dh == 0);
+        # a partial tail block past X is fine (Pallas clips edge blocks)
         bx = block_x or max(Dh, 512 // Dh * Dh)
-        while rope_end % bx or (X - rope_end) % bx:
-            bx //= 2
+        bx = bx // Dh * Dh
+        while rope_end % bx:
+            bx -= Dh
         assert bx % Dh == 0 and bx >= Dh, (bx, Dh)
         odt = out_dtype or x.dtype
 
         params = {}
         if not interpret_default():
             params["compiler_params"] = pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",))
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024)
         return pl.pallas_call(
             functools.partial(_fused_kernel, eps, rope_end, Dh, bx, theta,
                               rms_offset),
@@ -160,7 +165,8 @@ def make_fused_norm_matmul(*, eps: float = 1e-5, rms_offset: bool = False,
         params = {}
         if not interpret_default():
             params["compiler_params"] = pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",))
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024)
         dummy_pos = jnp.zeros((B, 1), jnp.float32)
         return pl.pallas_call(
             functools.partial(_fused_kernel, eps, 0, 1, bx, 10000.0,

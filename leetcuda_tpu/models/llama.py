@@ -712,8 +712,18 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
     # stream instead of norm + matmul + rope round-trips. Applies to dense
     # fused-QKV layers without biases, single-shard (GSPMD cannot partition
     # the custom call; the mesh path keeps the unfused projections).
+    # Measured policy (PERF.md): the kernel streams weights ~25% faster in
+    # isolation (987 vs 736 GB/s) but a custom call forfeits XLA's cross-op
+    # weight prefetch, which dominates at short context — same-session A/B:
+    # -26% at S=128, +8.8% at S=2048. Gate on cache capacity >= 2048.
+    import os
+    if "k" in caches[0]:
+        s_cap = caches[0]["k"].shape[2]
+    else:
+        s_cap = page_table.shape[1] * caches[0]["k_pages"].shape[2]
     fused_qkv = None
-    if mesh is None:
+    if (mesh is None and s_cap >= 2048
+            and not os.environ.get("LEETCUDA_NO_FUSED_DECODE")):
         from leetcuda_tpu.gemm.fused_decode import make_fused_norm_qkv_rope
 
         fused_qkv = make_fused_norm_qkv_rope(

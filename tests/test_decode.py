@@ -163,8 +163,10 @@ def test_fused_decode_step_matches_unfused_params():
     params = init_params(jax.random.key(0), cfg)
     fused = fuse_params(params)
     toks = jnp.asarray([3, 7], jnp.int32)
-    caches_a = init_kv_caches(cfg, 2, 64)
-    caches_b = init_kv_caches(cfg, 2, 64)
+    # capacity >= 2048 so the fused Pallas entry block engages (the
+    # policy gate in decode_step_impl)
+    caches_a = init_kv_caches(cfg, 2, 2048)
+    caches_b = init_kv_caches(cfg, 2, 2048)
     lengths = jnp.zeros((2,), jnp.int32)
     la, _ = decode_step(params, toks, caches_a, lengths, cfg)
     lb, _ = decode_step(fused, toks, caches_b, lengths, cfg)
