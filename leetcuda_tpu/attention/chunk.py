@@ -277,3 +277,27 @@ def chunk_attention_ref(q, k_cache, v_cache, base_lengths, sm_scale=None,
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhts,bhsd->bhtd", p,
                       v_cache.astype(jnp.float32)).astype(q.dtype)
+
+
+# --- registry ---------------------------------------------------------------------
+
+from leetcuda_tpu.core.registry import register_op  # noqa: E402
+
+
+def _chunk_flops(q, k, v, *rest):
+    B, H, T, D = q.shape
+    S = k.shape[2]
+    return float(2 * 2 * B * H * T * S * D)
+
+
+for _name, _kw in [
+    ("chunk_attn_verify", {}),
+    ("chunk_attn_verify_window", {"window": 64}),
+]:
+    register_op(
+        _name,
+        ref=functools.partial(chunk_attention_ref, window=_kw.get("window")),
+        flops=_chunk_flops, atol=2e-2, rtol=2e-2,
+        family="chunk-attn", tags=("decode", "speculative")
+        + (("window",) if _kw else ()),
+    )(make_chunk_attention(block_k=128, **_kw))

@@ -95,3 +95,45 @@ def make_args(spec, rng):
     return None
 
 
+
+
+def _extra_args(spec, rng):
+    """Families added in r2 (chunk verify, fused decode block, resident
+    chain)."""
+    import numpy as np
+
+    def randn(shape, dtype=jnp.float32, scale=1.0):
+        return jnp.asarray(rng.standard_normal(shape) * scale, dtype=dtype)
+
+    if spec.family == "chunk-attn":
+        B, H, Hkv, T, S, D = 2, 4, 2, 4, 256, 64
+        q = randn((B, H, T, D), jnp.float32, 0.5)
+        k = randn((B, Hkv, S, D), jnp.float32, 0.5)
+        v = randn((B, Hkv, S, D), jnp.float32, 0.5)
+        base = jnp.asarray([100, 200], jnp.int32)
+        return (q, k, v, base)
+    if spec.family == "fused-decode":
+        B, D, H, Hkv, Dh = 4, 256, 4, 2, 64
+        x = randn((B, D), jnp.float32)
+        nw = jnp.asarray(rng.standard_normal(D) * 0.2 + 1, jnp.float32)
+        if "rope" in spec.tags:
+            w = randn((D, (H + 2 * Hkv) * Dh), jnp.float32,
+                      1 / np.sqrt(D))
+            pos = jnp.asarray(rng.integers(0, 1000, (B,)), jnp.int32)
+            return (x, nw, w, pos)
+        w = randn((D, 512), jnp.float32, 1 / np.sqrt(D))
+        return (x, nw, w)
+    if spec.family == "gemm-resident":
+        M = 128
+        a = randn((M, M), jnp.bfloat16, 1 / np.sqrt(M))
+        b = randn((M, M), jnp.bfloat16, 1 / np.sqrt(M))
+        return (a, b)
+    return None
+
+
+_base_make_args = make_args
+
+
+def make_args(spec, rng):  # noqa: F811 — extend the family table
+    out = _base_make_args(spec, rng)
+    return out if out is not None else _extra_args(spec, rng)

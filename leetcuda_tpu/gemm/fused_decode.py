@@ -212,3 +212,42 @@ def fused_norm_qkv_rope_ref(x, norm_w, wqkv, positions, *, n_heads,
     k = apply_rope_half(k.reshape(B, 1, Hkv, Dh), positions[:, None],
                         theta).reshape(B, Hkv * Dh)
     return jnp.concatenate([q, k, v], axis=-1)
+
+
+# --- registry ---------------------------------------------------------------------
+
+from leetcuda_tpu.core.registry import register_op  # noqa: E402
+
+_REG_H, _REG_HKV, _REG_DH = 4, 2, 64
+
+
+def _fd_flops(x, nw, w, *rest):
+    return float(2 * x.shape[0] * w.shape[0] * w.shape[1])
+
+
+def _fd_bytes(x, nw, w, *rest):
+    return float(w.size * w.dtype.itemsize)
+
+
+register_op(
+    "fused_norm_qkv_rope_decode",
+    ref=functools.partial(fused_norm_qkv_rope_ref, n_heads=_REG_H,
+                          n_kv_heads=_REG_HKV, head_dim=_REG_DH),
+    flops=_fd_flops, bytes=_fd_bytes, atol=3e-2, rtol=3e-2,
+    family="fused-decode", tags=("decode", "rope"),
+)(make_fused_norm_qkv_rope(n_heads=_REG_H, n_kv_heads=_REG_HKV,
+                           head_dim=_REG_DH))
+
+
+def _fnm_ref(x, nw, w):
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = (xf * jax.lax.rsqrt(ms + 1e-5)).astype(x.dtype) * nw
+    return (xn.astype(w.dtype) @ w).astype(x.dtype)
+
+
+register_op(
+    "fused_norm_matmul_decode",
+    ref=_fnm_ref, flops=_fd_flops, bytes=_fd_bytes, atol=3e-2, rtol=3e-2,
+    family="fused-decode", tags=("decode", "plain"),
+)(make_fused_norm_matmul())

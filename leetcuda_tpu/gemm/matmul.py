@@ -340,3 +340,12 @@ def matmul_chain_ref(a, b, reps: int):
 
     out, _ = jax.lax.scan(body, a, None, length=reps)
     return out
+
+
+register_op(
+    "hgemm_resident_chain",
+    ref=functools.partial(matmul_chain_ref, reps=3),
+    flops=lambda a, b: float(2 * 3 * a.shape[0] * a.shape[1] * b.shape[1]),
+    atol=2e-2, rtol=2e-2,
+    family="gemm-resident", tags=("f16", "resident"),
+)(make_matmul_resident(reps=3, block_m=64))

@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 
 import leetcuda_tpu.ops  # noqa: F401  (registers the corpus)
+import leetcuda_tpu.attention.chunk  # noqa: F401  (chunk-verify family)
+import leetcuda_tpu.gemm.fused_decode  # noqa: F401  (fused decode block)
 from leetcuda_tpu.core.registry import OPS
 from leetcuda_tpu.core.testing import make_args as _make_args
 
