@@ -162,3 +162,19 @@ def test_ragged_flash_with_window():
                        v[b:b + 1, :, :L], causal=True, window=W)
         np.testing.assert_allclose(np.asarray(got[b:b + 1, :, :L]),
                                    np.asarray(want), atol=2e-3, rtol=2e-3)
+
+
+def test_ragged_rows_past_length_are_zero():
+    """Misuse of the ragged primitive (reading rows past lengths[b]) yields
+    zeros, not plausible prefix-attention values."""
+    from leetcuda_tpu.attention.flash import make_flash_attention_ragged
+
+    rng = np.random.default_rng(0)
+    B, H, N, D = 2, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    lengths = jnp.asarray([40, 128], jnp.int32)
+    out = make_flash_attention_ragged()(q, k, v, lengths)
+    assert float(jnp.max(jnp.abs(out[0, :, 40:]))) == 0.0
+    assert float(jnp.max(jnp.abs(out[0, :, :40]))) > 0.0
