@@ -64,22 +64,27 @@ def _fused_kernel(eps, rope_end, Dh, bx, theta, offset,
     B = out.shape[0]
 
     def rope(vals):
-        nh = bx // Dh
+        # reshape-free rotate_half on the flat (B, bx) block: the partner of
+        # lane c is c +/- Dh/2 within its head, reached by two lane-rolls and
+        # a select — no (B, nh, Dh) reshape (splitting the lane dim crashes
+        # Mosaic when Dh < 128, found by hw_sweep at the Dh=64 shape)
         half = Dh // 2
-        g = vals.reshape(B, nh, Dh).astype(jnp.float32)
+        vf = vals.astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, bx), 1)
+        in_first = (col % Dh) < half
+        partner = jnp.where(in_first, jnp.roll(vf, -half, axis=-1),
+                            jnp.roll(vf, half, axis=-1))
+        i = col % Dh
+        i = jnp.where(in_first, i, i - half).astype(jnp.float32)
         pos = pos_ref[:].astype(jnp.float32)                 # (B, 1)
-        dim = jax.lax.broadcasted_iota(jnp.int32, (B, half), 1
-                                       ).astype(jnp.float32)
         # theta ** (-i/half), spelled exactly like ops/rope.apply_rope_half
         # so the angles round identically (token-exact vs the unfused path)
-        inv_freq = theta ** (-dim / half)
-        ang = pos * inv_freq                                 # (B, half)
-        c = jnp.cos(ang)[:, None, :]
-        s = jnp.sin(ang)[:, None, :]
-        x1 = g[..., :half]
-        x2 = g[..., half:]
-        g = jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
-        return g.reshape(B, bx)
+        inv_freq = theta ** (-i / half)
+        ang = pos * inv_freq                                 # (B, bx)
+        c = jnp.cos(ang)
+        s = jnp.sin(ang)
+        return jnp.where(in_first, vf * c - partner * s,
+                         vf * c + partner * s)
 
     if rope_end == 0:          # plain norm->matmul variant: no rope anywhere
         o_ref[:] = out
