@@ -198,30 +198,138 @@ class PageManager:
     """Host-side physical-page allocator for the paged cache.
 
     Page 0 is reserved as the null page (block-table filler), so fresh table
-    entries are always valid physical indices."""
+    entries are always valid physical indices.
+
+    With ``prefix_cache=True`` the manager also keeps a refcounted prefix
+    trie: full pages of a finished-prefill prompt are registered keyed by
+    (parent page, that page's tokens), so a later request whose prompt starts
+    with the same page chain ADOPTS the physical pages (refcount++) and only
+    its suffix needs prefilling (vLLM-style automatic prefix caching; valid
+    because the chain always starts at position 0, so the cached post-rope
+    K/V has the right absolute positions). Pages whose refcount drops to 0
+    stay in the trie on a reclaimable LRU list and are evicted only when the
+    free pool runs dry."""
 
     def __init__(self, num_pages: int, page_size: int, max_pages_per_seq: int,
-                 n_slots: int):
+                 n_slots: int, prefix_cache: bool = False):
         self.page_size = page_size
         self.free = list(range(num_pages - 1, 0, -1))  # pool; 0 reserved
         self.table = np.zeros((n_slots, max_pages_per_seq), np.int32)
         self.used: dict[int, list[int]] = {i: [] for i in range(n_slots)}
+        self.prefix_cache = prefix_cache
+        # trie: (parent_uid or -1, tokens tuple) -> page id. Keys chain by
+        # UID, not physical id: physical ids are reused after eviction, and a
+        # stale child keyed by a reused parent id would match wrong content.
+        # A uid is never reused, so orphaned children become unreachable (and
+        # their pages drain via the reclaimable LRU). trie_inv: page -> key;
+        # page_uid: page -> uid; refs: refcount; reclaimable: LRU of
+        # refcount-0 cached pages.
+        self.trie: dict[tuple, int] = {}
+        self.trie_inv: dict[int, tuple] = {}
+        self.page_uid: dict[int, int] = {}
+        self._next_uid = 0
+        self.refs: dict[int, int] = {}
+        self.reclaimable: dict[int, None] = {}  # ordered set (LRU)
+        self.hits = self.misses = 0  # pages adopted / prefilled
+
+    def _alloc(self) -> int | None:
+        if self.free:
+            return self.free.pop()
+        if self.reclaimable:  # evict the LRU cached-but-unreferenced page
+            p = next(iter(self.reclaimable))
+            del self.reclaimable[p]
+            key = self.trie_inv.pop(p)
+            del self.trie[key]
+            self.page_uid.pop(p, None)
+            self.refs.pop(p, None)
+            return p
+        return None
 
     def ensure(self, slot: int, length: int) -> bool:
         """Make sure pages cover positions [0, length]; returns False on OOM."""
         need = length // self.page_size + 1
         while len(self.used[slot]) < need:
-            if not self.free:
+            p = self._alloc()
+            if p is None:
                 return False
-            p = self.free.pop()
+            self.refs[p] = self.refs.get(p, 0) + 1
             self.table[slot, len(self.used[slot])] = p
             self.used[slot].append(p)
         return True
 
     def release(self, slot: int):
-        self.free.extend(reversed(self.used[slot]))
+        for p in reversed(self.used[slot]):
+            n = self.refs.get(p, 1) - 1
+            if n > 0:
+                self.refs[p] = n
+            elif p in self.trie_inv:   # cached: keep, reclaimable
+                self.refs[p] = 0
+                self.reclaimable[p] = None
+            else:                      # private page: straight back to pool
+                self.refs.pop(p, None)
+                self.free.append(p)
         self.used[slot] = []
         self.table[slot] = 0
+
+    # --- prefix caching -------------------------------------------------------
+
+    def match_prefix(self, tokens: list[int]) -> list[int]:
+        """Longest cached chain of FULL pages covering a strict prefix of
+        ``tokens`` (at least one token is always left to prefill so admission
+        has logits to sample from). Returns the physical page ids."""
+        if not self.prefix_cache:
+            return []
+        pages = []
+        parent = -1
+        ps = self.page_size
+        # strict prefix: the last token never comes from the cache
+        max_full = (len(tokens) - 1) // ps
+        for i in range(max_full):
+            key = (parent, tuple(tokens[i * ps:(i + 1) * ps]))
+            p = self.trie.get(key)
+            if p is None:
+                break
+            pages.append(p)
+            parent = self.page_uid[p]
+        return pages
+
+    def adopt(self, slot: int, pages: list[int]):
+        """Attach cached prefix pages to a slot (refcount++)."""
+        assert not self.used[slot]
+        for i, p in enumerate(pages):
+            self.refs[p] = self.refs.get(p, 0) + 1
+            if self.refs[p] == 1:
+                self.reclaimable.pop(p, None)
+            self.table[slot, i] = p
+            self.used[slot].append(p)
+        self.hits += len(pages)
+
+    def register_prefix(self, slot: int, tokens: list[int],
+                        skip_pages: int = 0):
+        """After prefill: publish the slot's full prompt pages into the trie
+        (idempotent; pages already cached — e.g. adopted — are skipped via
+        ``skip_pages``)."""
+        if not self.prefix_cache:
+            return
+        ps = self.page_size
+        parent = (self.page_uid[self.used[slot][skip_pages - 1]]
+                  if skip_pages else -1)
+        n_full = len(tokens) // ps
+        for i in range(skip_pages, n_full):
+            p = self.used[slot][i]
+            key = (parent, tuple(tokens[i * ps:(i + 1) * ps]))
+            if key in self.trie:
+                # chain continues through the canonical page for this key
+                parent = self.page_uid[self.trie[key]]
+            elif p not in self.trie_inv:
+                self.trie[key] = p
+                self.trie_inv[p] = key
+                self.page_uid[p] = self._next_uid
+                parent = self._next_uid
+                self._next_uid += 1
+            else:
+                break  # p already cached under another chain; stop publishing
+        self.misses += n_full - skip_pages
 
     @property
     def device_table(self):

@@ -59,6 +59,12 @@ class EngineConfig:
     # (k+1)-position target chunk (engine/speculative.py mechanics); requires
     # Engine(draft=(draft_params, draft_cfg)) and greedy sampling
     spec_k: int = 0
+    # automatic prefix caching (requires paged=True, single-shard): full
+    # prompt pages are published to a refcounted trie; a request whose prompt
+    # starts with a cached page chain adopts those pages and only its suffix
+    # prefills (chunked prefill via attention/chunk.py). Evicts LRU when the
+    # pool runs dry.
+    prefix_cache: bool = False
 
 
 @dataclasses.dataclass
@@ -162,6 +168,8 @@ class Engine:
         (greedy default; make_sampler for temperature/top-k/top-p)."""
         self.cfg = cfg
         self.ec = econfig or EngineConfig()
+        assert not self.ec.prefix_cache or self.ec.paged, \
+            "prefix_cache requires paged=True"
         self.sample_fn = jax.jit(sample_fn)
         self._key = jax.random.key(seed)
         self.mesh = mesh
@@ -176,8 +184,11 @@ class Engine:
             assert ec.prefill_bucket % ec.page_size == 0
             num_pages = ec.num_pages or (
                 ec.slots * ec.max_seq // ec.page_size + 1)
+            if ec.prefix_cache:
+                assert mesh is None, "prefix caching is single-shard for now"
             self.pm = PageManager(num_pages, ec.page_size,
-                                  ec.max_seq // ec.page_size, ec.slots)
+                                  ec.max_seq // ec.page_size, ec.slots,
+                                  prefix_cache=ec.prefix_cache)
             self._num_pages = num_pages
             caches = init_paged_kv_caches(cfg, num_pages, ec.page_size,
                                           quant=ec.kv_quant)
@@ -241,6 +252,12 @@ class Engine:
         self._insert = jax.jit(_insert_kvs, donate_argnums=(0,))
         self._insert_paged = jax.jit(_insert_kvs_paged, donate_argnums=(0,),
                                      static_argnums=(3,))
+        if ec.paged and ec.prefix_cache:
+            from leetcuda_tpu.engine.speculative import decode_chunk
+
+            # suffix-only admission against adopted prefix pages
+            self._chunk_prefill = jax.jit(
+                decode_chunk, static_argnames=("cfg",), donate_argnums=(2,))
 
     # --- public API -----------------------------------------------------------
 
@@ -265,83 +282,128 @@ class Engine:
                 if self.mesh is not None else 1)
         ragged_ok = (self.mesh is None
                      or self.mesh.shape.get("sp", 1) == 1)
-        batch: list[tuple[int, Request]] = []
+        batch: list[tuple[int, Request, int]] = []  # (slot, req, n_cached)
         while self.free and self.waiting:
             req = self.waiting.popleft()
             slot = self.free.pop()
             L = len(req.prompt)
             assert 0 < L < ec.max_seq, f"prompt length {L}"
             s_pad = L + (-L % ec.prefill_bucket)
-            if self.pm is not None and not self.pm.ensure(slot, s_pad - 1):
-                # pool exhausted: put the request back, retry after frees.
-                # If no ACTIVE sequence holds pages, nothing can ever free —
-                # fail loudly instead of livelocking run()'s while loop.
-                self.waiting.appendleft(req)
-                self.free.append(slot)
-                if not any(self.pm.used[s] for s in self.active):
-                    raise RuntimeError(
-                        f"prompt needs {s_pad // self.ec.page_size} pages but "
-                        f"only {len(self.pm.free)} are free and no active "
-                        f"sequence holds any to release; raise num_pages")
-                break
-            batch.append((slot, req))
+            n_cached = 0
+            if self.pm is not None:
+                if ec.prefix_cache:
+                    pages = self.pm.match_prefix(req.prompt)
+                    if pages:
+                        self.pm.adopt(slot, pages)
+                        n_cached = len(pages) * ec.page_size
+                # room for the padded prompt; the chunked suffix path may
+                # append up to n_cached + pad(L - n_cached) positions
+                t_pad = (L - n_cached) + (-(L - n_cached) % ec.prefill_bucket)
+                need = max(s_pad, n_cached + t_pad)
+                if not self.pm.ensure(slot, need - 1):
+                    # pool exhausted: put the request back, retry after
+                    # frees (release also drops any adopted prefix refs).
+                    # If no ACTIVE sequence holds pages, nothing can ever
+                    # free — fail loudly instead of livelocking run().
+                    self.pm.release(slot)
+                    self.waiting.appendleft(req)
+                    self.free.append(slot)
+                    if not any(self.pm.used[s] for s in self.active):
+                        raise RuntimeError(
+                            f"prompt needs {need // ec.page_size} pages but "
+                            f"only {len(self.pm.free)} are free and no "
+                            f"active sequence holds any to release; raise "
+                            f"num_pages")
+                    break
+            batch.append((slot, req, n_cached))
         if not batch:
             return
 
-        if ragged_ok and (len(batch) > 1 or n_dp > 1):
-            s_pad = max(len(r.prompt) for _, r in batch)
-            s_pad = s_pad + (-s_pad % ec.prefill_bucket)
-            B_pad = -(-len(batch) // n_dp) * n_dp  # dp-divisible batch
-            toks = np.zeros((B_pad, s_pad), np.int32)
-            lens = np.ones((B_pad,), np.int32)  # dummy rows: 1 valid token
-            for i, (_, req) in enumerate(batch):
-                toks[i, :len(req.prompt)] = req.prompt
-                lens[i] = len(req.prompt)
-            logits, kvs = self._prefill_ragged(
-                self.params, jnp.asarray(toks), jnp.asarray(lens))
-            per_seq = [(logits[i], [(k[i:i + 1], v[i:i + 1])
-                                    for k, v in kvs])
-                       for i in range(len(batch))]
-        else:
-            per_seq = []
-            for _, req in batch:
-                L = len(req.prompt)
-                s_pad = L + (-L % ec.prefill_bucket)
-                toks = np.zeros((1, s_pad), np.int32)
-                toks[0, :L] = req.prompt
-                lg, kvs = self._prefill(self.params, jnp.asarray(toks))
-                per_seq.append((lg[0], kvs))
+        fresh = [(s, r) for s, r, c in batch if c == 0]
+        chunked = [(s, r, c) for s, r, c in batch if c > 0]
 
-        for (slot, req), (logits_i, kvs_i) in zip(batch, per_seq):
-            L = len(req.prompt)
-            if self.pm is not None:
-                # slice the (possibly batch-wide) padded K/V down to this
-                # request's own bucket — only those pages were ensured
-                s_req = L + (-L % ec.prefill_bucket)
-                kvs_i = [(k[:, :, :s_req], v[:, :, :s_req])
-                         for k, v in kvs_i]
-                n_pages = s_req // self.ec.page_size
-                phys = jnp.asarray(self.pm.used[slot][:n_pages], jnp.int32)
-                self.caches = self._insert_paged(self.caches, kvs_i, phys,
-                                                 self.ec.page_size)
+        if fresh:
+            if ragged_ok and (len(fresh) > 1 or n_dp > 1):
+                s_pad = max(len(r.prompt) for _, r in fresh)
+                s_pad = s_pad + (-s_pad % ec.prefill_bucket)
+                B_pad = -(-len(fresh) // n_dp) * n_dp  # dp-divisible batch
+                toks = np.zeros((B_pad, s_pad), np.int32)
+                lens = np.ones((B_pad,), np.int32)  # dummy rows: 1 token
+                for i, (_, req) in enumerate(fresh):
+                    toks[i, :len(req.prompt)] = req.prompt
+                    lens[i] = len(req.prompt)
+                logits, kvs = self._prefill_ragged(
+                    self.params, jnp.asarray(toks), jnp.asarray(lens))
+                per_seq = [(logits[i], [(k[i:i + 1], v[i:i + 1])
+                                        for k, v in kvs])
+                           for i in range(len(fresh))]
             else:
-                self.caches = self._insert(self.caches, kvs_i,
-                                           jnp.int32(slot), jnp.int32(L))
-            if self.draft is not None:
-                d_params, d_cfg = self.draft
-                s_pad = kvs_i[0][0].shape[2]
-                toks = np.zeros((1, s_pad), np.int32)
-                toks[0, :L] = req.prompt
-                _, dkvs = self._prefill_d(d_params, jnp.asarray(toks))
-                self.caches_d = self._insert(self.caches_d, dkvs,
-                                             jnp.int32(slot), jnp.int32(L))
-            first = self.sample_fn(logits_i[L - 1], self._next_key())
-            self.lengths = self.lengths.at[slot].set(L)
-            self._hlen[slot] = L
-            self.last_tokens = self.last_tokens.at[slot].set(first)
-            req.generated.append(int(first))
-            self.active[slot] = req
-            self._maybe_finish(slot, int(first))
+                per_seq = []
+                for _, req in fresh:
+                    L = len(req.prompt)
+                    s_pad = L + (-L % ec.prefill_bucket)
+                    toks = np.zeros((1, s_pad), np.int32)
+                    toks[0, :L] = req.prompt
+                    lg, kvs = self._prefill(self.params, jnp.asarray(toks))
+                    per_seq.append((lg[0], kvs))
+
+            for (slot, req), (logits_i, kvs_i) in zip(fresh, per_seq):
+                L = len(req.prompt)
+                if self.pm is not None:
+                    # slice the (possibly batch-wide) padded K/V down to this
+                    # request's own bucket — only those pages were ensured
+                    s_req = L + (-L % ec.prefill_bucket)
+                    kvs_i = [(k[:, :, :s_req], v[:, :, :s_req])
+                             for k, v in kvs_i]
+                    n_pages = s_req // ec.page_size
+                    phys = jnp.asarray(self.pm.used[slot][:n_pages],
+                                       jnp.int32)
+                    self.caches = self._insert_paged(self.caches, kvs_i,
+                                                     phys, ec.page_size)
+                    self.pm.register_prefix(slot, req.prompt)
+                else:
+                    self.caches = self._insert(self.caches, kvs_i,
+                                               jnp.int32(slot), jnp.int32(L))
+                self._finish_admission(slot, req, logits_i[L - 1])
+
+        for slot, req, n_cached in chunked:
+            # adopted prefix pages hold positions [0, n_cached); chunk-prefill
+            # ONLY the suffix against them (chunked prefill — the same
+            # attention/chunk.py kernel speculative verify uses)
+            L = len(req.prompt)
+            suffix = req.prompt[n_cached:]
+            T = len(suffix)
+            t_pad = T + (-T % ec.prefill_bucket)
+            toks = np.zeros((1, t_pad), np.int32)
+            toks[0, :T] = suffix
+            base = jnp.full((1,), n_cached, jnp.int32)
+            row = jnp.asarray(self.pm.table[slot:slot + 1], jnp.int32)
+            logits, self.caches = self._chunk_prefill(
+                self.params, jnp.asarray(toks), self.caches, base,
+                cfg=self.cfg, page_table=row)
+            self.pm.register_prefix(slot, req.prompt,
+                                    skip_pages=n_cached // ec.page_size)
+            self._finish_admission(slot, req, logits[0, T - 1])
+
+    def _finish_admission(self, slot: int, req: Request, last_logits):
+        """Common admission tail: draft prefill (speculative), first-token
+        sampling, slot bookkeeping."""
+        L = len(req.prompt)
+        if self.draft is not None:
+            d_params, d_cfg = self.draft
+            s_pad = L + (-L % self.ec.prefill_bucket)
+            toks = np.zeros((1, s_pad), np.int32)
+            toks[0, :L] = req.prompt
+            _, dkvs = self._prefill_d(d_params, jnp.asarray(toks))
+            self.caches_d = self._insert(self.caches_d, dkvs,
+                                         jnp.int32(slot), jnp.int32(L))
+        first = self.sample_fn(last_logits, self._next_key())
+        self.lengths = self.lengths.at[slot].set(L)
+        self._hlen[slot] = L
+        self.last_tokens = self.last_tokens.at[slot].set(first)
+        req.generated.append(int(first))
+        self.active[slot] = req
+        self._maybe_finish(slot, int(first))
 
     def _maybe_finish(self, slot, token):
         req = self.active.get(slot)
@@ -521,6 +583,10 @@ class Engine:
             s["pages_used"] = used
             s["pages_free"] = len(self.pm.free)
             s["page_utilization"] = used / max(used + len(self.pm.free), 1)
+            if self.pm.prefix_cache:
+                s["prefix_pages_hit"] = self.pm.hits
+                s["prefix_pages_prefilled"] = self.pm.misses
+                s["prefix_pages_cached"] = len(self.pm.trie)
         return s
 
     def recover(self):
@@ -544,7 +610,8 @@ class Engine:
 
             self.pm = PageManager(self._num_pages, self.ec.page_size,
                                   self.ec.max_seq // self.ec.page_size,
-                                  self.ec.slots)
+                                  self.ec.slots,
+                                  prefix_cache=self.ec.prefix_cache)
             self.caches = init_paged_kv_caches(self.cfg, self._num_pages,
                                                self.ec.page_size,
                                                quant=self.ec.kv_quant)
