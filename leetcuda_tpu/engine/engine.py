@@ -65,6 +65,12 @@ class EngineConfig:
     # prefills (chunked prefill via attention/chunk.py). Evicts LRU when the
     # pool runs dry.
     prefix_cache: bool = False
+    # bounded chunked prefill (requires paged=True): at most this many prompt
+    # tokens are prefilled per engine tick (rounded up to prefill_bucket), so
+    # a long prompt streams in across ticks instead of stalling every live
+    # sequence's decode for one huge prefill — the vLLM chunked-prefill
+    # latency control. None = whole-prompt admission.
+    prefill_chunk: int | None = None
 
 
 @dataclasses.dataclass
@@ -75,6 +81,7 @@ class Request:
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
     orig_prompt_len: int = 0  # fixed at submit; prompt grows on preemption
+    n_filled: int = 0         # prompt tokens already in cache (chunked fill)
 
     def __post_init__(self):
         if not self.orig_prompt_len:
@@ -212,9 +219,16 @@ class Engine:
 
         self.free: list[int] = list(range(ec.slots))
         self.active: dict[int, Request] = {}   # slot -> request
+        self.filling: dict[int, Request] = {}  # slot -> request mid-prefill
+        self._fill_cached: dict[int, int] = {}  # slot -> adopted page count
         self.waiting: deque[Request] = deque()
         self.finished: dict[int, Request] = {}
         self._uid = 0
+        if ec.prefill_chunk is not None:
+            assert ec.paged, "prefill_chunk requires paged=True"
+            assert mesh is None, "chunked prefill is single-shard for now"
+            assert ec.prefill_chunk % ec.prefill_bucket == 0, \
+                "prefill_chunk must be a multiple of prefill_bucket"
 
         self.draft = None
         if ec.spec_k:
@@ -252,10 +266,10 @@ class Engine:
         self._insert = jax.jit(_insert_kvs, donate_argnums=(0,))
         self._insert_paged = jax.jit(_insert_kvs_paged, donate_argnums=(0,),
                                      static_argnums=(3,))
-        if ec.paged and ec.prefix_cache:
+        if ec.paged and (ec.prefix_cache or ec.prefill_chunk is not None):
             from leetcuda_tpu.engine.speculative import decode_chunk
 
-            # suffix-only admission against adopted prefix pages
+            # suffix-only / incremental admission against existing pages
             self._chunk_prefill = jax.jit(
                 decode_chunk, static_argnames=("cfg",), donate_argnums=(2,))
 
@@ -296,6 +310,24 @@ class Engine:
                     if pages:
                         self.pm.adopt(slot, pages)
                         n_cached = len(pages) * ec.page_size
+                if ec.prefill_chunk is not None:
+                    # bounded chunked prefill: the request streams in over
+                    # ticks via _advance_filling; reserve only the first
+                    # chunk's pages now. lengths tracks n_filled so a dead-
+                    # slot decode append can never touch an adopted page.
+                    first = min(ec.prefill_chunk, L - n_cached)
+                    first += -first % ec.prefill_bucket
+                    if not self.pm.ensure(slot, n_cached + first - 1):
+                        self.pm.release(slot)
+                        self.waiting.appendleft(req)
+                        self.free.append(slot)
+                        break
+                    req.n_filled = n_cached
+                    self._fill_cached[slot] = n_cached // ec.page_size
+                    self.lengths = self.lengths.at[slot].set(n_cached)
+                    self._hlen[slot] = n_cached
+                    self.filling[slot] = req
+                    continue
                 # room for the padded prompt; the chunked suffix path may
                 # append up to n_cached + pad(L - n_cached) positions
                 t_pad = (L - n_cached) + (-(L - n_cached) % ec.prefill_bucket)
@@ -405,6 +437,40 @@ class Engine:
         self.active[slot] = req
         self._maybe_finish(slot, int(first))
 
+    def _advance_filling(self):
+        """Advance mid-prefill slots by at most ``prefill_chunk`` prompt
+        tokens TOTAL this tick (admission order), via the B=1 chunk-prefill.
+        A request whose last prompt token lands this tick samples its first
+        output and becomes active."""
+        ec = self.ec
+        budget = ec.prefill_chunk
+        for slot in sorted(self.filling, key=lambda s: self.filling[s].uid):
+            if budget <= 0:
+                break
+            req = self.filling[slot]
+            L = len(req.prompt)
+            t_real = min(budget, L - req.n_filled)
+            t_pad = t_real + (-t_real % ec.prefill_bucket)
+            if not self.pm.ensure(slot, req.n_filled + t_pad - 1):
+                continue  # pool pressure: this slot stalls a tick
+            toks = np.zeros((1, t_pad), np.int32)
+            toks[0, :t_real] = req.prompt[req.n_filled:req.n_filled + t_real]
+            base = jnp.full((1,), req.n_filled, jnp.int32)
+            row = jnp.asarray(self.pm.table[slot:slot + 1], jnp.int32)
+            logits, self.caches = self._chunk_prefill(
+                self.params, jnp.asarray(toks), self.caches, base,
+                cfg=self.cfg, page_table=row)
+            req.n_filled += t_real
+            budget -= t_real
+            self.lengths = self.lengths.at[slot].set(req.n_filled)
+            self._hlen[slot] = req.n_filled
+            if req.n_filled == L:
+                del self.filling[slot]
+                self.pm.register_prefix(
+                    slot, req.prompt,
+                    skip_pages=self._fill_cached.pop(slot, 0))
+                self._finish_admission(slot, req, logits[0, t_real - 1])
+
     def _maybe_finish(self, slot, token):
         req = self.active.get(slot)
         if req is None:
@@ -421,25 +487,33 @@ class Engine:
 
     def _preempt_youngest(self):
         """Page pool exhausted mid-decode: evict the most recently admitted
-        sequence — release its pages and requeue it for recompute with its
-        generated tokens folded into the prompt (vLLM-style recompute
-        preemption). On re-admission, prefill rebuilds the cache over
-        prompt+generated and sampling continues from the next position;
-        ``context_len`` uses the original prompt length so budgets are
-        unaffected."""
-        slot = max(self.active, key=lambda s: self.active[s].uid)
-        req = self.active.pop(slot)
+        sequence (mid-prefill slots included) — release its pages and requeue
+        it for recompute with its generated tokens folded into the prompt
+        (vLLM-style recompute preemption). On re-admission, prefill rebuilds
+        the cache over prompt+generated and sampling continues from the next
+        position; ``context_len`` uses the original prompt length so budgets
+        are unaffected."""
+        pool = {**self.active, **self.filling}
+        slot = max(pool, key=lambda s: pool[s].uid)
+        if slot in self.filling:
+            req = self.filling.pop(slot)
+            req.n_filled = 0
+            self._fill_cached.pop(slot, None)
+        else:
+            req = self.active.pop(slot)
+            req.prompt = req.prompt + req.generated
         self.pm.release(slot)
         self.free.append(slot)
-        req.prompt = req.prompt + req.generated
         self.waiting.appendleft(req)
         return slot
 
     def step(self) -> dict[int, int]:
-        """Admit waiting requests, then advance every live slot one token
-        (or up to 1 + spec_k tokens in speculative mode).
-        Returns {uid: last new token} for this tick."""
+        """Admit waiting requests, advance chunked prefills, then advance
+        every live slot one token (or up to 1 + spec_k tokens in speculative
+        mode). Returns {uid: last new token} for this tick."""
         self._admit()
+        if self.filling:
+            self._advance_filling()
         if not self.active:
             return {}
         if self.draft is not None:
@@ -573,6 +647,8 @@ class Engine:
         s = {
             "waiting": len(self.waiting),
             "active": len(self.active),
+            "filling": {s_: f"{r.n_filled}/{len(r.prompt)}"
+                        for s_, r in self.filling.items()},
             "finished": len(self.finished),
             "free_slots": len(self.free),
             "context_lens": {req.uid: req.context_len
@@ -599,7 +675,12 @@ class Engine:
         for slot, req in list(self.active.items()):
             req.prompt = req.prompt + req.generated
             self.waiting.appendleft(req)
+        for slot, req in list(self.filling.items()):
+            req.n_filled = 0
+            self.waiting.appendleft(req)
         self.active.clear()
+        self.filling.clear()
+        self._fill_cached.clear()
         self.free = list(range(self.ec.slots))
         self.lengths = jnp.zeros((self.ec.slots,), jnp.int32)
         self.last_tokens = jnp.zeros((self.ec.slots,), jnp.int32)
@@ -632,9 +713,25 @@ class Engine:
         times before re-raising."""
         uids = [self.submit(p, max_new) for p in prompts]
         failures = 0
-        while self.waiting or self.active:
+        stalls = 0
+        while self.waiting or self.active or self.filling:
+            fill_mark = (len(self.waiting),
+                         sum(r.n_filled for r in self.filling.values()),
+                         len(self.active))
             try:
-                self.step()
+                out = self.step()
+                if (not out and self.filling
+                        and fill_mark == (len(self.waiting),
+                                          sum(r.n_filled
+                                              for r in self.filling.values()),
+                                          len(self.active))):
+                    stalls += 1  # nothing decoded, nothing filled, no admit
+                    if stalls > 2:
+                        raise RuntimeError(
+                            "chunked prefill stalled: page pool too small "
+                            "for the in-flight prefills; raise num_pages")
+                else:
+                    stalls = 0
             except jax.errors.JaxRuntimeError:
                 failures += 1
                 if failures > max_recoveries:
