@@ -154,3 +154,13 @@ def test_prefix_cache_survives_slot_churn(setup):
         assert g == solo_greedy(params, cfg, p, 4), uid
     held = sum(len(v) for v in eng.pm.used.values())
     assert held == 0
+
+
+def test_page_manager_fuzz_invariants():
+    """500-op randomized interleaving holds the allocator invariants
+    (tools/fuzz_pages.py, short CI slice)."""
+    import pathlib
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from tools.fuzz_pages import run
+    run(500, seed=42)
