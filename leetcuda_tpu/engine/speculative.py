@@ -169,8 +169,13 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
     for layer, cache in zip(params["layers"], caches):
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
         q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
-        q = apply_rope_half(q.reshape(B, T, H, Dh), pos, cfg.rope_theta)
-        k = apply_rope_half(k.reshape(B, T, Hkv, Dh), pos, cfg.rope_theta)
+        q = q.reshape(B, T, H, Dh)
+        k = k.reshape(B, T, Hkv, Dh)
+        if cfg.qk_norm:
+            q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
+            k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
+        q = apply_rope_half(q, pos, cfg.rope_theta)
+        k = apply_rope_half(k, pos, cfg.rope_theta)
         v = v.reshape(B, T, Hkv, Dh)
         c = _chunk_append(cache, k, v, pos, page_table=page_table)
         new_caches.append(c)

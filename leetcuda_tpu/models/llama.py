@@ -68,7 +68,7 @@ def fuse_params(params):
     for layer in params["layers"]:
         fused = {k: v for k, v in layer.items()
                  if k in ("attn_norm", "mlp_norm", "wo", "w_down",
-                          "bq", "bk", "bv")}
+                          "bq", "bk", "bv", "q_norm", "k_norm")}
         fused["wqkv"] = jnp.concatenate(
             [layer["wq"], layer["wk"], layer["wv"]], axis=1)
         fused["w_gate_up"] = jnp.concatenate(
@@ -154,6 +154,7 @@ class ModelConfig:
     rms_offset: bool = False          # normalize * (1 + w) instead of * w
     embed_scale: bool = False         # x = embed[tokens] * sqrt(dim)
     head_dim_override: int | None = None
+    qk_norm: bool = False             # Qwen3: per-head RMS norm on q/k pre-rope
 
     @property
     def head_dim(self):
@@ -197,6 +198,9 @@ def init_params(key, cfg: ModelConfig):
             "wo": dense(ks[3], H * Dh, (H * Dh, D)),
             "mlp_norm": jnp.ones((D,), cfg.dtype),
         }
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.ones((Dh,), cfg.dtype)
+            layer["k_norm"] = jnp.ones((Dh,), cfg.dtype)
         if cfg.n_experts:
             from leetcuda_tpu.models.moe import init_moe_params
 
@@ -224,6 +228,7 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh):
         "wq": P(None, "tp"), "wk": P(None, "tp"), "wv": P(None, "tp"),
         "wo": P("tp", None),
         "mlp_norm": P(None),
+        "q_norm": P(None), "k_norm": P(None),
         "w_gate": P(None, "tp"), "w_up": P(None, "tp"),
         "w_down": P("tp", None),
     }
@@ -357,6 +362,9 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     q = q.reshape(B, S, H, Dh)
     k = k.reshape(B, S, Hkv, Dh)
     v = v.reshape(B, S, Hkv, Dh)
+    if cfg.qk_norm:  # Qwen3: per-head RMS norm before rope
+        q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
+        k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
     q = apply_rope_half(q, positions, cfg.rope_theta)
     k = apply_rope_half(k, positions, cfg.rope_theta)
     k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
@@ -438,9 +446,13 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
     for layer in params["layers"]:
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
         q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
-        q = apply_rope_half(q.reshape(B, S, H, Dh), positions, cfg.rope_theta)
-        k = apply_rope_half(k.reshape(B, S, Hkv, Dh), positions,
-                            cfg.rope_theta)
+        q = q.reshape(B, S, H, Dh)
+        k = k.reshape(B, S, Hkv, Dh)
+        if cfg.qk_norm:
+            q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
+            k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
+        q = apply_rope_half(q, positions, cfg.rope_theta)
+        k = apply_rope_half(k, positions, cfg.rope_theta)
         v = v.reshape(B, S, Hkv, Dh)
         k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
         kvs.append((k, v))
@@ -734,7 +746,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
     for layer, cache in zip(params["layers"], caches):
         if (fused_qkv is not None and "wqkv" in layer
                 and not isinstance(layer["wqkv"], dict)
-                and "bq" not in layer):
+                and "bq" not in layer and "q_norm" not in layer):
             qkv = fused_qkv(x, layer["attn_norm"], layer["wqkv"], pos)
             q, k, v = jnp.split(qkv, [H * Dh, (H + Hkv) * Dh], axis=-1)
             q, k, v = (q.reshape(B, H, Dh), k.reshape(B, Hkv, Dh),
@@ -745,6 +757,9 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
             q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
             q, k, v = (q.reshape(B, H, Dh), k.reshape(B, Hkv, Dh),
                        v.reshape(B, Hkv, Dh))
+            if cfg.qk_norm:
+                q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
+                k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
             q = apply_rope_half(q[:, None], pos[:, None],
                                 cfg.rope_theta)[:, 0]
             k = apply_rope_half(k[:, None], pos[:, None],

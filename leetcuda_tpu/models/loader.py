@@ -40,7 +40,8 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
     RMS-norm, sqrt(D) embedding scaling, decoupled head_dim."""
     get = (hf_cfg.get if isinstance(hf_cfg, dict)
            else lambda k, d=None: getattr(hf_cfg, k, d))
-    is_gemma = "gemma" in str(get("model_type", "llama") or "llama")
+    mtype = str(get("model_type", "llama") or "llama")
+    is_gemma = "gemma" in mtype
     head_dim = get("head_dim", None)
     derived = get("hidden_size") // get("num_attention_heads")
     return ModelConfig(
@@ -60,6 +61,7 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
                            else None),
         sliding_window=(get("sliding_window", None)
                         if get("use_sliding_window", True) else None),
+        qk_norm="qwen3" in mtype,  # per-head q/k RMS norm before rope
     )
 
 
@@ -103,6 +105,13 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
             "w_up": mat(pre + "mlp.up_proj.weight", lspec["w_up"]),
             "w_down": mat(pre + "mlp.down_proj.weight", lspec["w_down"]),
         }
+        if pre + "self_attn.q_norm.weight" in sd:  # Qwen3 QK-norm
+            layer["q_norm"] = put(
+                _to_np(sd[pre + "self_attn.q_norm.weight"]),
+                P(None) if mesh else None)
+            layer["k_norm"] = put(
+                _to_np(sd[pre + "self_attn.k_norm.weight"]),
+                P(None) if mesh else None)
         if pre + "self_attn.q_proj.bias" in sd:  # Qwen2-style QKV bias
             for ours, theirs in (("bq", "q_proj"), ("bk", "k_proj"),
                                  ("bv", "v_proj")):

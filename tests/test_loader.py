@@ -201,3 +201,39 @@ def test_mistral_golden_parity():
         outs.append(np.asarray(lg))
         lengths = lengths + 1
     np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
+
+
+def test_qwen3_golden_parity():
+    """Qwen3 = Llama + per-head QK RMS-norm before rope (+ decoupled
+    head_dim): transformers golden parity on forward AND decode."""
+    hf_cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True, attention_bias=False,
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(2)
+    model = transformers.Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.qk_norm and cfg.head_dim == 32
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    assert "q_norm" in params["layers"][0]
+
+    rng = np.random.default_rng(6)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+    # KV-decode path applies the same q/k norms
+    caches = init_kv_caches(cfg, 2, 128)
+    lengths = jnp.zeros((2,), jnp.int32)
+    outs = []
+    for t in range(12):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
