@@ -69,6 +69,11 @@ def make_args(spec, rng):
     if fam == "gemm-quant":
         import numpy as _np
         x = randn((64, 256), jnp.bfloat16, 0.3)
+        if "int4" in tags:
+            from leetcuda_tpu.gemm.quant import quantize_groupwise_int4
+            w = randn((256, 128), jnp.float32, 0.3)
+            packed, scales = quantize_groupwise_int4(w, group=128)
+            return (x, packed, scales)
         if "a8w8" in tags:
             xi = jnp.asarray(rng.integers(-8, 8, (64, 256)), jnp.int8)
             w = jnp.asarray(rng.integers(-8, 8, (256, 128)), jnp.int8)

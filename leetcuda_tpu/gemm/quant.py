@@ -211,3 +211,161 @@ register_op(
     flops=lambda x, w: float(2 * x.shape[0] * x.shape[1] * w.shape[1]),
     atol=0, rtol=0, family="gemm-quant", tags=("int8", "a8w8"),
 )(make_matmul_i8i8i32())
+
+
+# --- int4 weight-only (w4a16): 2x the weight bandwidth of int8 ---------------------
+
+def quantize_groupwise_int4(w, group: int = 128):
+    """Symmetric int4 quantization of w (K, N) with per-(K-group, column)
+    scales. Returns (packed (K/2, N) int8, scales (K/group, N) f32).
+
+    Packing is SPLIT-HALVES, not interleaved: packed[i] holds original row i
+    in the low nibble and row i + K/2 in the high nibble, so the kernel
+    unpacks with two arithmetic shifts and needs NO sublane interleave (a
+    (bk/2, 2, bn) -> (bk, bn) reshape would relayout across sublanes)."""
+    K, N = w.shape
+    assert K % (2 * group) == 0, (K, group)
+    wf = w.astype(jnp.float32)
+    g = wf.reshape(K // group, group, N)
+    amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(g / scale), -7, 7).astype(jnp.int8)
+    q = q.reshape(K, N)
+    lo = q[: K // 2] & 0xF
+    hi = q[K // 2:] << 4
+    return (lo | hi).astype(jnp.int8), scale[:, 0, :]
+
+
+def dequantize_int4(packed, scales, group: int = 128):
+    """Inverse of quantize_groupwise_int4 (reference/VJP path)."""
+    Kh, N = packed.shape
+    K = 2 * Kh
+    lo = jnp.left_shift(packed, 4)
+    lo = jnp.right_shift(lo, 4)          # arithmetic: sign-extended low nibble
+    hi = jnp.right_shift(packed, 4)      # sign-extended high nibble
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # (K, N)
+    s = jnp.repeat(scales.astype(jnp.float32), group, axis=0)  # (K, N)
+    return q * s
+
+
+def _w4_mm_kernel(compute_dtype, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
+                  s_hi_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # unpack WITHOUT int8 shifts (Mosaic cannot legalize arith.shli on i8
+    # vectors): widen to i32, then 4 VPU ops total — signed int8 value is
+    # exactly hi4*16 + lo4 (lo4 in [0,16), hi4 in [-8,8)), so an arithmetic
+    # i32 shift recovers hi directly, and the xor-bias trick sign-extends lo
+    wp = w_ref[:].astype(jnp.int32)                 # (bk, bn)
+    lo = jnp.bitwise_xor(jnp.bitwise_and(wp, 15), 8) - 8   # rows k.. (x-lo)
+    hi = jnp.right_shift(wp, 4)                     # rows K/2+k .. (x-hi)
+    a = jnp.dot(x_lo_ref[:].astype(compute_dtype), lo.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    b = jnp.dot(x_hi_ref[:].astype(compute_dtype), hi.astype(compute_dtype),
+                preferred_element_type=jnp.float32)
+    # group == block_k: one scale row per (half, step), folded past the dots
+    acc_ref[:] += (a * s_lo_ref[0].astype(jnp.float32)
+                   + b * s_hi_ref[0].astype(jnp.float32))
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def make_matmul_w4a16(
+    *,
+    block_n: int = 1024,
+    block_m: int = 512,
+    group: int = 128,
+    compute_dtype=jnp.bfloat16,
+    out_dtype=None,
+):
+    """x (M, K) bf16 @ dequant(packed (K/2, N) int4-pairs, scales
+    (K/group, N)) -> (M, N). block_k == group (one scale row per step);
+    differentiable wrt x like make_matmul_w8a16 (frozen weights)."""
+    bk = group
+
+    @jax.jit
+    def fn(x, packed, scales):
+        M, K = x.shape
+        Kh, N = packed.shape
+        assert K == 2 * Kh and scales.shape == (K // group, N), (
+            x.shape, packed.shape, scales.shape)
+        assert (K // 2) % bk == 0
+        bm, bn = min(block_m, M), min(block_n, N)
+        half_groups = (K // 2) // group
+        odt = out_dtype or x.dtype
+        params = {}
+        if not interpret_default():
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            )
+        return pl.pallas_call(
+            functools.partial(_w4_mm_kernel, compute_dtype),
+            out_shape=jax.ShapeDtypeStruct((M, N), odt),
+            grid=(cdiv(M, bm), cdiv(N, bn), (K // 2) // bk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),     # x cols [0, K/2)
+                pl.BlockSpec(
+                    (bm, bk),
+                    lambda i, j, k, hg=half_groups: (i, k + hg),
+                    memory_space=pltpu.VMEM),              # x cols [K/2, K)
+                pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),     # packed block
+                # scales go in as (G, 1, N): a (1, 1, bn) block keeps the
+                # last-two dims Mosaic-legal (1 == array dim, bn | 128)
+                pl.BlockSpec((1, 1, bn), lambda i, j, k: (k, 0, j),
+                             memory_space=pltpu.VMEM),     # lo-half scales
+                pl.BlockSpec(
+                    (1, 1, bn),
+                    lambda i, j, k, hg=half_groups: (k + hg, 0, j),
+                    memory_space=pltpu.VMEM),              # hi-half scales
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * K,
+                bytes_accessed=M * K * x.dtype.itemsize + K * N // 2 + M * N * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret_default(),
+            **params,
+        )(x, x, packed, scales.reshape(-1, 1, N), scales.reshape(-1, 1, N))
+
+    @jax.custom_vjp
+    def op(x, packed, scales):
+        return fn(x, packed, scales)
+
+    def op_fwd(x, packed, scales):
+        return fn(x, packed, scales), (packed, scales,
+                                       jnp.zeros((0,), x.dtype))
+
+    def op_bwd(res, g):
+        packed, scales, xtok = res
+        w = dequantize_int4(packed, scales, group)        # (K, N) f32
+        dx = jax.lax.dot_general(
+            g.astype(jnp.float32), w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(xtok.dtype)
+        return (dx, np.zeros((), jax.dtypes.float0),
+                jnp.zeros_like(scales))
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def matmul_w4a16_ref(x, packed, scales, group: int = 128):
+    w = dequantize_int4(packed, scales, group)
+    return jnp.dot(x.astype(jnp.float32), w).astype(x.dtype)
+
+
+register_op(
+    "hgemm_w4a16_dequant",
+    ref=matmul_w4a16_ref, flops=_wq_flops,
+    atol=5e-2, rtol=5e-2, family="gemm-quant", tags=("int4", "weight-only"),
+)(make_matmul_w4a16())

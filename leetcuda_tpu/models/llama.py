@@ -34,10 +34,11 @@ from leetcuda_tpu.attention.flash import make_flash_attention
 from leetcuda_tpu.attention.flash_bwd import make_flash_attention_trainable
 from leetcuda_tpu.attention.decode import (
     make_decode_attention, make_decode_attention_quantized)
-from leetcuda_tpu.gemm.quant import make_matmul_w8a16
+from leetcuda_tpu.gemm.quant import make_matmul_w8a16, make_matmul_w4a16
 from leetcuda_tpu.ops.rope import apply_rope_half
 
 _w8a16 = make_matmul_w8a16()
+_w4a16 = make_matmul_w4a16()
 
 
 def linear(x, w):
@@ -52,7 +53,10 @@ def linear(x, w):
             delta = (x.astype(jnp.float32) @ w["A"]) @ w["B"] * w["scale"]
             return base + delta.astype(base.dtype)
         lead = x.shape[:-1]
-        out = _w8a16(x.reshape(-1, x.shape[-1]), w["q"], w["s"])
+        if "q4" in w:  # int4 pack: {"q4": (K/2, N) nibble pairs, "s4": (G, N)}
+            out = _w4a16(x.reshape(-1, x.shape[-1]), w["q4"], w["s4"])
+        else:
+            out = _w8a16(x.reshape(-1, x.shape[-1]), w["q"], w["s"])
         return out.reshape(*lead, out.shape[-1])
     return x @ w
 
@@ -113,14 +117,23 @@ def _proj_mlp(h, layer, cfg=None):
 def quantize_params(params, dtype="fp8"):
     """Weight-only quantization of every projection matrix (embed/norms stay
     high-precision — the reference north star is FP8 *weights*, BASELINE.json).
-    dtype: "fp8" (e4m3) or "int8", per-output-channel symmetric scales."""
+    dtype: "fp8" (e4m3) / "int8" (per-output-channel symmetric scales) /
+    "int4" (group-128 scales, nibble-packed — half int8's weight bandwidth;
+    single-shard serving: the split-halves packing does not row-shard)."""
     from leetcuda_tpu.gemm.quant import (
-        quantize_rowwise_fp8, quantize_rowwise_int8)
-    quant = quantize_rowwise_fp8 if dtype == "fp8" else quantize_rowwise_int8
+        quantize_rowwise_fp8, quantize_rowwise_int8, quantize_groupwise_int4)
 
-    def qmat(w):
-        q, s = quant(w, axis=0)
-        return {"q": q, "s": s}
+    if dtype == "int4":
+        def qmat(w):
+            packed, scales = quantize_groupwise_int4(w, group=128)
+            return {"q4": packed, "s4": scales}
+    else:
+        quant = (quantize_rowwise_fp8 if dtype == "fp8"
+                 else quantize_rowwise_int8)
+
+        def qmat(w):
+            q, s = quant(w, axis=0)
+            return {"q": q, "s": s}
 
     out = {k: v for k, v in params.items() if k != "layers"}
     out["layers"] = []
@@ -262,6 +275,10 @@ def shard_llama_params(params, cfg: ModelConfig, mesh: Mesh):
     def put(x, s):
         if isinstance(s, dict):  # nested spec tree (moe)
             return {k: put(x[k], s[k]) for k in s}
+        if isinstance(x, dict) and "q4" in x:
+            raise NotImplementedError(
+                "int4 packs don't TP-shard (split-halves packing breaks "
+                "contiguous K sharding); serve int4 single-chip or use int8")
         if isinstance(x, dict):  # quantized pack
             s_scale = P("tp") if s[1] == "tp" else P(None)
             return {"q": jax.device_put(x["q"], NamedSharding(mesh, s)),

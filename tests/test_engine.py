@@ -263,3 +263,25 @@ def test_tp_engine_quantized_kv_matches_solo(setup):
     got = eng.run(prompts, max_new=5)
     want = solo.run(prompts, max_new=5)
     assert list(got.values()) == list(want.values())
+
+
+def test_int4_engine_matches_int4_solo(setup):
+    """int4 weight-only serving: engine == solo decode with the same int4
+    params (and forward logits stay close to dense)."""
+    cfg, params = setup
+    q4 = quantize_params(params, dtype="int4")
+    tokens = jnp.asarray(np.random.default_rng(13).integers(
+        0, cfg.vocab_size, (1, 16)), jnp.int32)
+    dense = forward(params, tokens, cfg)
+    quant = forward(q4, tokens, cfg)
+    match = float(jnp.mean(
+        (jnp.argmax(dense, -1) == jnp.argmax(quant, -1)).astype(jnp.float32)))
+    assert match > 0.6, match  # 4-bit: looser than int8's 0.8 bar
+
+    rng = np.random.default_rng(14)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (6, 10)]
+    eng = Engine(q4, cfg, EngineConfig(slots=2, max_seq=256,
+                                       prefill_bucket=16))
+    got = eng.run(prompts, max_new=5)
+    for uid, prompt in zip(sorted(got), prompts):
+        assert got[uid] == solo_greedy(q4, cfg, prompt, 5)
