@@ -103,3 +103,20 @@ def test_everything_at_once(setup, draft):
         slots=4, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
         kv_quant="int8", spec_k=2), mesh=mesh,
         draft_model=(d_params, d_cfg), max_new=8)
+
+
+def test_int4_paged_spec(setup, draft):
+    """int4 weights x paged KV x speculative decoding."""
+    from leetcuda_tpu.models.llama import quantize_params
+
+    cfg, params = setup
+    q4 = quantize_params(params, dtype="int4")
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (6, 12)]
+    eng = Engine(q4, cfg, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        spec_k=2), draft=draft)
+    got = eng.run(prompts, max_new=5)
+    for uid, prompt in zip(sorted(got), prompts):
+        want = solo_greedy(q4, cfg, prompt, 5)
+        assert got[uid] == want, (uid, got[uid], want)

@@ -158,7 +158,9 @@ def main():
 
     cfg = ModelConfig()
     params = init_params(jax.random.key(0), cfg)
-    q8 = quantize_params(fuse_params(params), dtype="int8")
+    fused = fuse_params(params)
+    q8 = quantize_params(fused, dtype="int8")
+    q4 = quantize_params(fused, dtype="int4")
 
     def dec_stats(tag, p, quant, reps=3):
         """median +/- spread over repeats — the decode numbers swing with
@@ -169,9 +171,10 @@ def main():
                 "spread_pct": round(100 * (xs[-1] - xs[0]) / xs[-1], 1)}
 
     dec = {"bf16": dec_stats("bf16", params, None),
-           "int8_int8kv": dec_stats("int8+int8kv", q8, "int8")}
+           "int8_int8kv": dec_stats("int8+int8kv", q8, "int8"),
+           "int4_int8kv": dec_stats("int4+int8kv", q4, "int8")}
     report["decode_tok_s"] = dec
-    del q8
+    del q8, q4
 
     # --- training ------------------------------------------------------------
     if not args.quick:
