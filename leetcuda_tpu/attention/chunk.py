@@ -170,7 +170,7 @@ def make_chunk_attention(*, block_k: int = 512, sm_scale=None,
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, S // bk),
+            grid=(B, pl.cdiv(S, bk)),
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, H, T, D),
                                    lambda b, si, L: (b, 0, 0, 0),

@@ -121,12 +121,13 @@ def _clamped_kv_map(bk, window=None):
 
 
 def _pick_bk(S, block_k):
-    """Largest power-of-two block <= block_k dividing S (v5e sweep: 1024 best
-    at long contexts — 603 GB/s vs 570 at 512; 2048+ exceeds scoped VMEM)."""
-    bk = min(block_k, S)
-    while S % bk:
-        bk //= 2
-    return max(bk, 128) if S % max(bk, 128) == 0 else S
+    """KV block size: min(block_k, S) — v5e sweep says 1024 is best at long
+    contexts (603 GB/s vs 570 at 512; 2048+ exceeds scoped VMEM). S need NOT
+    divide: the grid is cdiv(S, bk) and Pallas clips the partial edge block
+    (the col < seq_len mask already covers the tail). The old
+    must-divide rule silently fell back to 128-wide blocks for caches like
+    S=2176 — a 5x attention slowdown measured by tools/ablate_decode.py."""
+    return min(block_k, S)
 
 
 def _vmem_params():
@@ -154,12 +155,11 @@ def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
         _, Hkv, S, _ = k_cache.shape
         group = H // Hkv
         bk = _pick_bk(S, block_k)
-        assert S % bk == 0
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, S // bk),
+            grid=(B, cdiv(S, bk)),
             in_specs=[
                 pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -216,7 +216,6 @@ def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
         _, Hkv, S, _ = k_cache.shape
         group = H // Hkv
         bk = _pick_bk(S, block_k)
-        assert S % bk == 0
         assert k_scale.shape == (B, Hkv, S), "scales must be (B, Hkv, S)"
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
 
@@ -232,7 +231,7 @@ def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
         scale_spec = pl.BlockSpec((1, Hkv, bk), s_map, memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, S // bk),
+            grid=(B, cdiv(S, bk)),
             in_specs=[
                 pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
                              memory_space=pltpu.VMEM),

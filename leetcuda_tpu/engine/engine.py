@@ -177,6 +177,17 @@ class Engine:
         self.ec = econfig or EngineConfig()
         assert not self.ec.prefix_cache or self.ec.paged, \
             "prefix_cache requires paged=True"
+        if (not self.ec.paged and self.ec.max_seq >= 1024
+                and self.ec.max_seq % 1024):
+            import warnings
+
+            # attention/decode._pick_bk needs bk | max_seq: a 2176-slot cache
+            # decodes with 128-wide KV blocks (~5x slower attention) where a
+            # 3072-slot one uses 1024-wide blocks
+            warnings.warn(
+                f"max_seq={self.ec.max_seq} is not a multiple of 1024; "
+                "decode attention falls back to small KV blocks — round the "
+                "cache capacity up for full bandwidth", stacklevel=2)
         self.sample_fn = jax.jit(sample_fn)
         self._key = jax.random.key(seed)
         self.mesh = mesh

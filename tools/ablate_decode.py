@@ -48,7 +48,10 @@ def main():
     cfg = ModelConfig()
     params = fuse_params(init_params(jax.random.key(0), cfg))
     B, S = args.batch, args.ctx
-    S_max = S + 128
+    # cache capacity MUST stay 1024-divisible: _pick_bk falls back to tiny
+    # KV blocks otherwise (S_max=2176 -> bk=128 -> 5x slower attention;
+    # measured by an earlier run of this very script)
+    S_max = ((S + 128 + 1023) // 1024) * 1024
     caches = init_kv_caches(cfg, B, S_max)
     lengths = jnp.full((B,), S, jnp.int32)
     toks = jnp.zeros((B,), jnp.int32)
@@ -76,7 +79,11 @@ def main():
         real = L._cache_attend
 
         def stub(q, cache, lengths, **kw):
-            return jnp.zeros_like(q)
+            # NOT zeros: dot(zeros, w) constant-folds and XLA then DCEs the
+            # whole QKV projection chain, making "rest" beat the weight
+            # floor (observed). Scaling q keeps every projection live while
+            # skipping the attention kernel and its cache reads.
+            return q * jnp.asarray(1e-6, q.dtype)
 
         with mock.patch.object(L, "_cache_attend", stub):
             fn = build()
