@@ -125,17 +125,28 @@ def _insert_kvs(caches, kvs, slot, length):
 
 
 def _insert_kvs_paged(caches, kvs, phys_pages, page):
-    """Scatter one sequence's prefill K/V ((1, Hkv, S_pad, Dh) per layer) into
-    its physical pages (phys_pages (S_pad/page,) ids, same table all layers).
-    Quantized pools also get their per-position scale chunks."""
+    """Write one sequence's prefill K/V ((1, Hkv, S_pad, Dh) per layer) into
+    its physical pages (phys_pages (S_pad/page,) ids, same table all layers)
+    as a per-page dynamic-update-slice chain — a pool-indexed scatter copies
+    the whole pool per admission on TPU (see llama._dus_token). Quantized
+    pools also get their per-position scale chunks."""
+
+    def dus_pages(pool, per_page):
+        # per_page (n, Hkv, page[, D]); one in-place DUS per physical page
+        per_page = per_page.astype(pool.dtype)
+        for j in range(per_page.shape[0]):
+            pool = jax.lax.dynamic_update_slice(
+                pool, per_page[j:j + 1],
+                (phys_pages[j], 0, 0, 0)[: pool.ndim])
+        return pool
+
     new = []
     for cache, (k, v) in zip(caches, kvs):
         _, Hkv, S_pad, D = k.shape
         n = S_pad // page
 
         def chunks(x):
-            return (x[0].reshape(Hkv, n, page, D).transpose(1, 0, 2, 3)
-                    .astype(cache["k_pages"].dtype))
+            return x[0].reshape(Hkv, n, page, D).transpose(1, 0, 2, 3)
 
         c = {}
         if "k_scales" in cache:
@@ -145,15 +156,13 @@ def _insert_kvs_paged(caches, kvs, phys_pages, page):
             def schunks(s):  # (1, Hkv, S_pad) -> (n, Hkv, page)
                 return s[0].reshape(Hkv, n, page).transpose(1, 0, 2)
 
-            c["k_pages"] = cache["k_pages"].at[phys_pages].set(
-                kq[0].reshape(Hkv, n, page, D).transpose(1, 0, 2, 3))
-            c["v_pages"] = cache["v_pages"].at[phys_pages].set(
-                vq[0].reshape(Hkv, n, page, D).transpose(1, 0, 2, 3))
-            c["k_scales"] = cache["k_scales"].at[phys_pages].set(schunks(ks))
-            c["v_scales"] = cache["v_scales"].at[phys_pages].set(schunks(vs))
+            c["k_pages"] = dus_pages(cache["k_pages"], chunks(kq))
+            c["v_pages"] = dus_pages(cache["v_pages"], chunks(vq))
+            c["k_scales"] = dus_pages(cache["k_scales"], schunks(ks))
+            c["v_scales"] = dus_pages(cache["v_scales"], schunks(vs))
         else:
-            c["k_pages"] = cache["k_pages"].at[phys_pages].set(chunks(k))
-            c["v_pages"] = cache["v_pages"].at[phys_pages].set(chunks(v))
+            c["k_pages"] = dus_pages(cache["k_pages"], chunks(k))
+            c["v_pages"] = dus_pages(cache["v_pages"], chunks(v))
         new.append(c)
     return new
 
@@ -281,8 +290,12 @@ class Engine:
             from leetcuda_tpu.engine.speculative import decode_chunk
 
             # suffix-only / incremental admission against existing pages
+            # (page_aligned: admission chunks start page-aligned with
+            # page-multiple lengths -> whole-page in-place writes)
+            import functools as _ft
             self._chunk_prefill = jax.jit(
-                decode_chunk, static_argnames=("cfg",), donate_argnums=(2,))
+                _ft.partial(decode_chunk, page_aligned=True),
+                static_argnames=("cfg",), donate_argnums=(2,))
 
     # --- public API -----------------------------------------------------------
 

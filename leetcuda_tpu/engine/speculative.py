@@ -56,46 +56,91 @@ def _chunk_attend(q, cache, base_lengths, window=None):
     return jnp.einsum("bhts,bhsd->bthd", p, v.astype(jnp.float32))
 
 
-def _chunk_append(cache, k, v, pos, page_table=None):
-    """Append T tokens' K/V (B, T, Hkv, Dh) at positions ``pos`` (B, T) —
-    the T-token generalization of llama._cache_append, covering plain,
-    quantized (per-position scales) and paged (page-table scatter) caches."""
+def _dus_chunk(cache_arr, vals, rows, pos0):
+    """In-place T-token append: vals (B, Hkv, T[, D]) land at contiguous
+    positions pos0[b].. in row rows[b] via a per-b dynamic_update_slice
+    chain — scatters copy the whole cache on TPU (llama._dus_token)."""
+    vals = vals.astype(cache_arr.dtype)
+    B = vals.shape[0]
+    c = cache_arr
+    for b in range(B):
+        c = jax.lax.dynamic_update_slice(
+            c, vals[b:b + 1], (rows[b], 0, pos0[b], 0)[: c.ndim])
+    return c
+
+
+def _chunk_append(cache, k, v, pos, page_table=None, page_aligned=False):
+    """Append T tokens' K/V (B, T, Hkv, Dh) at CONTIGUOUS positions ``pos``
+    (B, T) — the T-token generalization of llama._cache_append (plain,
+    quantized, paged), all via in-place dynamic-update-slice chains.
+
+    Paged: ``page_aligned=True`` (chunked prefill admission — pos[b, 0] is
+    page-aligned and T is a page multiple) writes whole pages; otherwise
+    (speculative verify, small T) one DUS per (b, t)."""
     from leetcuda_tpu.models.llama import _quantize_token_kv
 
     B, T = pos.shape
     if "k_pages" in cache:
         page = cache["k_pages"].shape[2]
-        bidx = jnp.arange(B)[:, None]
-        phys = page_table[bidx, pos // page]   # (B, T)
-        offs = pos % page                       # (B, T)
         c = dict(cache)
-        if "k_scales" in cache:
+        quant = "k_scales" in cache
+        if quant:
             kq, ks = _quantize_token_kv(k, cache["k_pages"].dtype)
             vq, vs = _quantize_token_kv(v, cache["v_pages"].dtype)
-            c["k_pages"] = cache["k_pages"].at[phys, :, offs].set(kq)
-            c["v_pages"] = cache["v_pages"].at[phys, :, offs].set(vq)
-            c["k_scales"] = cache["k_scales"].at[phys, :, offs].set(ks)
-            c["v_scales"] = cache["v_scales"].at[phys, :, offs].set(vs)
         else:
-            c["k_pages"] = cache["k_pages"].at[phys, :, offs].set(
-                k.astype(cache["k_pages"].dtype))
-            c["v_pages"] = cache["v_pages"].at[phys, :, offs].set(
-                v.astype(cache["v_pages"].dtype))
+            kq, vq = k, v
+        kq = kq.transpose(0, 2, 1, 3)   # (B, Hkv, T, D)
+        vq = vq.transpose(0, 2, 1, 3)
+        if page_aligned:
+            assert T % page == 0, (T, page)
+            n = T // page
+            for j in range(n):
+                sl = slice(j * page, (j + 1) * page)
+                phys = page_table[jnp.arange(B), pos[:, 0] // page + j]
+                zero = jnp.zeros_like(phys)
+                c["k_pages"] = _dus_chunk(c["k_pages"], kq[:, :, sl], phys,
+                                          zero)
+                c["v_pages"] = _dus_chunk(c["v_pages"], vq[:, :, sl], phys,
+                                          zero)
+                if quant:
+                    c["k_scales"] = _dus_chunk(
+                        c["k_scales"], ks.transpose(0, 2, 1)[:, :, sl],
+                        phys, zero)
+                    c["v_scales"] = _dus_chunk(
+                        c["v_scales"], vs.transpose(0, 2, 1)[:, :, sl],
+                        phys, zero)
+        else:
+            bidx = jnp.arange(B)
+            for t in range(T):
+                phys = page_table[bidx, pos[:, t] // page]
+                offs = pos[:, t] % page
+                c["k_pages"] = _dus_chunk(c["k_pages"], kq[:, :, t:t + 1],
+                                          phys, offs)
+                c["v_pages"] = _dus_chunk(c["v_pages"], vq[:, :, t:t + 1],
+                                          phys, offs)
+                if quant:
+                    c["k_scales"] = _dus_chunk(
+                        c["k_scales"], ks[:, t:t + 1].transpose(0, 2, 1),
+                        phys, offs)
+                    c["v_scales"] = _dus_chunk(
+                        c["v_scales"], vs[:, t:t + 1].transpose(0, 2, 1),
+                        phys, offs)
         return c
-    bidx = jnp.arange(B)[:, None]
     c = dict(cache)
-    # advanced indices (bidx, pos) around the ':' slice put their broadcast
-    # (B, T) dims in front: target shape (B, T, Hkv, Dh) == k's layout
+    bidx = jnp.arange(B)
+    pos0 = pos[:, 0]
     if "k_scale" in cache:
         kq, ks = _quantize_token_kv(k, cache["k"].dtype)  # ks (B, T, Hkv)
         vq, vs = _quantize_token_kv(v, cache["v"].dtype)
-        c["k"] = cache["k"].at[bidx, :, pos].set(kq)
-        c["v"] = cache["v"].at[bidx, :, pos].set(vq)
-        c["k_scale"] = cache["k_scale"].at[bidx, :, pos].set(ks)
-        c["v_scale"] = cache["v_scale"].at[bidx, :, pos].set(vs)
+        c["k"] = _dus_chunk(cache["k"], kq.transpose(0, 2, 1, 3), bidx, pos0)
+        c["v"] = _dus_chunk(cache["v"], vq.transpose(0, 2, 1, 3), bidx, pos0)
+        c["k_scale"] = _dus_chunk(cache["k_scale"], ks.transpose(0, 2, 1),
+                                  bidx, pos0)
+        c["v_scale"] = _dus_chunk(cache["v_scale"], vs.transpose(0, 2, 1),
+                                  bidx, pos0)
     else:
-        c["k"] = cache["k"].at[bidx, :, pos].set(k.astype(cache["k"].dtype))
-        c["v"] = cache["v"].at[bidx, :, pos].set(v.astype(cache["v"].dtype))
+        c["k"] = _dus_chunk(cache["k"], k.transpose(0, 2, 1, 3), bidx, pos0)
+        c["v"] = _dus_chunk(cache["v"], v.transpose(0, 2, 1, 3), bidx, pos0)
     return c
 
 
@@ -149,7 +194,7 @@ def _chunk_cache_attend(q, cache, base_lengths, cfg, mesh=None,
 
 
 def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
-                 mesh=None, page_table=None):
+                 mesh=None, page_table=None, page_aligned=False):
     """T-token decode step (chunked prefill / speculative verify).
 
     tokens (B, T) int32 at positions lengths..lengths+T-1. Returns
@@ -177,7 +222,8 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
         q = apply_rope_half(q, pos, cfg.rope_theta)
         k = apply_rope_half(k, pos, cfg.rope_theta)
         v = v.reshape(B, T, Hkv, Dh)
-        c = _chunk_append(cache, k, v, pos, page_table=page_table)
+        c = _chunk_append(cache, k, v, pos, page_table=page_table,
+                          page_aligned=page_aligned)
         new_caches.append(c)
         o = _chunk_cache_attend(q, c, lengths, cfg, mesh=mesh,
                                 page_table=page_table)  # (B, T, H, Dh) f32

@@ -638,36 +638,64 @@ def init_paged_kv_caches(cfg: ModelConfig, num_pages: int, page_size: int,
             for _ in range(cfg.n_layers)]
 
 
+def _dus_token(cache_arr, vals, rows, pos):
+    """In-place one-token append: per-row dynamic_update_slice chain.
+
+    A batched scatter (``at[bidx, :, pos].set``) does NOT alias on TPU — XLA
+    materializes a full-cache copy per call, which at 16 layers x k+v made
+    the appends ~33% of a 2k-ctx decode step (time scaled with cache
+    CAPACITY at fixed context; tools/ablate_decode.py found it). A chain of
+    per-sequence dynamic-update-slices is XLA's guaranteed in-place pattern.
+    ``rows``: row index per sequence (slot id, or physical page id for page
+    pools); ``pos``: position within the row."""
+    vals = vals.astype(cache_arr.dtype)
+    B = vals.shape[0]
+    c = cache_arr
+    for b in range(B):  # static unroll: a straight DUS chain aliases best
+        upd = vals[b:b + 1]
+        c = jax.lax.dynamic_update_slice(
+            c, upd[:, :, None] if c.ndim == 4 else upd,
+            (rows[b], 0, pos[b], 0)[: c.ndim])
+    return c
+
+
 def _cache_append(cache, k, v, pos, page_table=None):
     """Write this token's k/v (B, Hkv, Dh) at position ``pos`` (B,), quantizing
-    when the cache is quantized; paged caches route through paged_append."""
+    when the cache is quantized; paged caches index through the block table.
+    All writes are dynamic-update-slice chains (in place — see _dus_token)."""
+    B = k.shape[0]
+    bidx = jnp.arange(B)
     if "k_pages" in cache:
-        from leetcuda_tpu.attention.paged import paged_append, paged_append_quantized
-
+        page = cache["k_pages"].shape[2]
+        phys = page_table[bidx, pos // page]
+        offs = pos % page
+        out = dict(cache)
         if "k_scales" in cache:
             kq, ks = _quantize_token_kv(k, cache["k_pages"].dtype)
             vq, vs = _quantize_token_kv(v, cache["v_pages"].dtype)
-            kp, vp, kss, vss = paged_append_quantized(
-                cache["k_pages"], cache["v_pages"], cache["k_scales"],
-                cache["v_scales"], kq, vq, ks, vs, page_table, pos)
-            return {"k_pages": kp, "v_pages": vp,
-                    "k_scales": kss, "v_scales": vss}
-        kp, vp = paged_append(cache["k_pages"], cache["v_pages"],
-                              k, v, page_table, pos)
-        return {"k_pages": kp, "v_pages": vp}
-    B = k.shape[0]
-    bidx = jnp.arange(B)
+            out["k_pages"] = _dus_token(cache["k_pages"], kq, phys, offs)
+            out["v_pages"] = _dus_token(cache["v_pages"], vq, phys, offs)
+            out["k_scales"] = _dus_token(cache["k_scales"], ks[..., None],
+                                         phys, offs)
+            out["v_scales"] = _dus_token(cache["v_scales"], vs[..., None],
+                                         phys, offs)
+        else:
+            out["k_pages"] = _dus_token(cache["k_pages"], k, phys, offs)
+            out["v_pages"] = _dus_token(cache["v_pages"], v, phys, offs)
+        return out
     out = dict(cache)
     if "k_scale" in cache:
         kq, ks = _quantize_token_kv(k, cache["k"].dtype)
         vq, vs = _quantize_token_kv(v, cache["v"].dtype)
-        out["k"] = cache["k"].at[bidx, :, pos].set(kq)
-        out["v"] = cache["v"].at[bidx, :, pos].set(vq)
-        out["k_scale"] = cache["k_scale"].at[bidx, :, pos].set(ks)
-        out["v_scale"] = cache["v_scale"].at[bidx, :, pos].set(vs)
+        out["k"] = _dus_token(cache["k"], kq, bidx, pos)
+        out["v"] = _dus_token(cache["v"], vq, bidx, pos)
+        out["k_scale"] = _dus_token(cache["k_scale"], ks[..., None], bidx,
+                                    pos)
+        out["v_scale"] = _dus_token(cache["v_scale"], vs[..., None], bidx,
+                                    pos)
     else:
-        out["k"] = cache["k"].at[bidx, :, pos].set(k.astype(cache["k"].dtype))
-        out["v"] = cache["v"].at[bidx, :, pos].set(v.astype(cache["v"].dtype))
+        out["k"] = _dus_token(cache["k"], k, bidx, pos)
+        out["v"] = _dus_token(cache["v"], v, bidx, pos)
     return out
 
 
