@@ -17,8 +17,10 @@ module is that composition, TPU-style:
 - **Quantization.** Weights may be weight-only fp8/int8 (models/llama.py
   ``quantize_params`` -> fused-dequant Pallas matmuls) and the KV cache may be
   int8/fp8 with per-(slot, head, position) scales (attention/decode.py).
-- **In-place caches.** The hot jits donate the cache pytree, so token appends
-  are true scatters, not full-cache copies.
+- **In-place caches.** The hot jits donate the cache pytree AND every append
+  is a dynamic-update-slice chain — donation alone is not enough: a batched
+  scatter still copies the whole cache inside the step (docs/profiling.md
+  §4b; fixing this was +62% decode throughput).
 
 ``generate_scan`` is the benchmark path: the whole greedy decode loop inside
 one jit (lax.scan), removing the host round-trip per token — on the axon
