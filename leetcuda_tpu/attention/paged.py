@@ -178,6 +178,18 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
     return fn
 
 
+def _dus_pool(pool, vals, phys, offs):
+    """Per-sequence dynamic-update-slice chain into the page pool — batched
+    scatters copy the whole pool on TPU (docs/profiling.md 4b)."""
+    vals = vals.astype(pool.dtype)
+    for b in range(vals.shape[0]):
+        upd = vals[b:b + 1]
+        pool = jax.lax.dynamic_update_slice(
+            pool, upd[:, :, None] if pool.ndim == 4 else upd,
+            (phys[b], 0, offs[b], 0)[: pool.ndim])
+    return pool
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def paged_append(k_pages, v_pages, k, v, page_table, lengths):
     """Append one token's k/v (B, Hkv, D) at each sequence's current position.
@@ -186,12 +198,10 @@ def paged_append(k_pages, v_pages, k, v, page_table, lengths):
     B = k.shape[0]
     page = k_pages.shape[2]
     bidx = jnp.arange(B)
-    logical = lengths // page
-    phys = page_table[bidx, logical]          # (B,)
+    phys = page_table[bidx, lengths // page]  # (B,)
     offs = lengths % page                      # (B,)
-    k_pages = k_pages.at[phys, :, offs].set(k.astype(k_pages.dtype))
-    v_pages = v_pages.at[phys, :, offs].set(v.astype(v_pages.dtype))
-    return k_pages, v_pages
+    return (_dus_pool(k_pages, k, phys, offs),
+            _dus_pool(v_pages, v, phys, offs))
 
 
 class PageManager:
@@ -347,8 +357,7 @@ def paged_append_quantized(k_pages, v_pages, k_scales, v_scales,
     bidx = jnp.arange(B)
     phys = page_table[bidx, lengths // page]
     offs = lengths % page
-    k_pages = k_pages.at[phys, :, offs].set(kq.astype(k_pages.dtype))
-    v_pages = v_pages.at[phys, :, offs].set(vq.astype(v_pages.dtype))
-    k_scales = k_scales.at[phys, :, offs].set(ks)
-    v_scales = v_scales.at[phys, :, offs].set(vs)
-    return k_pages, v_pages, k_scales, v_scales
+    return (_dus_pool(k_pages, kq, phys, offs),
+            _dus_pool(v_pages, vq, phys, offs),
+            _dus_pool(k_scales, ks[..., None], phys, offs),
+            _dus_pool(v_scales, vs[..., None], phys, offs))
