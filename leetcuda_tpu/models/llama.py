@@ -241,10 +241,12 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh):
         "wq": P(None, "tp"), "wk": P(None, "tp"), "wv": P(None, "tp"),
         "wo": P("tp", None),
         "mlp_norm": P(None),
-        "q_norm": P(None), "k_norm": P(None),
         "w_gate": P(None, "tp"), "w_up": P(None, "tp"),
         "w_down": P("tp", None),
     }
+    if cfg.qk_norm:
+        layer["q_norm"] = P(None)
+        layer["k_norm"] = P(None)
     if cfg.n_experts:
         for k in ("w_gate", "w_up", "w_down"):
             del layer[k]
