@@ -172,3 +172,20 @@ def test_fused_decode_step_matches_unfused_params():
     lb, _ = decode_step(fused, toks, caches_b, lengths, cfg)
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_fuzz_decode_family_cpu():
+    """Short randomized sweep of the decode/quant/paged/chunk kernels vs
+    oracles (tools/fuzz_decode.py CI slice; full run targets the chip)."""
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    r = subprocess.run(
+        [_sys.executable, str(root / "tools/fuzz_decode.py"), "--iters", "6",
+         "--seed", "7"],
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-500:]
