@@ -118,12 +118,18 @@ def main():
     kv_bytes = 2 * B * cfg.n_kv_heads * S * cfg.head_dim * 2
     w_floor = wbytes / (chip.hbm_gbps * 1e9)
     kv_floor = kv_bytes / (chip.hbm_gbps * 1e9)
-    print(f"\nattention share: {attn * 1e6:.1f} us/step "
-          f"(KV floor {kv_floor * 1e6:.1f} us -> "
-          f"{100 * kv_floor / max(attn, 1e-12):.0f}% of floor)")
+    per_layer = attn / cfg.n_layers
+    print(f"\nattention+append share: {attn * 1e6:.1f} us/step = "
+          f"{per_layer * 1e6:.1f} us/layer "
+          f"(per-layer KV-read floor {kv_floor * 1e6:.1f} us; the remainder "
+          f"is kernel fixed cost + append — compare against the ISOLATED "
+          f"kernel time at this shape, not the floor)")
     print(f"rest: {rows['rest (attention stubbed)'] * 1e6:.1f} us/step "
           f"(weight floor {w_floor * 1e6:.1f} us -> "
-          f"{100 * w_floor / rows['rest (attention stubbed)']:.0f}% of floor)")
+          f"{100 * w_floor / rows['rest (attention stubbed)']:.0f}% of floor)"
+          )
+    print("NOTE: 'rest' excludes appends too (they feed only the stubbed "
+          "attention and get DCE'd); the share line carries both.")
 
 
 if __name__ == "__main__":
