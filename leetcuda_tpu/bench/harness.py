@@ -138,20 +138,28 @@ def _build_timed(fn, args, iters: int):
 
         return timed, False
 
-    # fallback: scalar carry, perturb the first float array input (one extra pass)
+    # fallback: scalar carry, perturb the first float array input (one extra
+    # pass); pytree args (e.g. a params dict) perturb their first float leaf
     pi = next((i for i, a in enumerate(args)
-               if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.inexact)),
-              0)
+               if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                         jnp.inexact)),
+              None)
 
     @jax.jit
     def timed(*args_):
         def body(carry, _):
             new_args = list(args_)
-            a = new_args[pi]
-            if jnp.issubdtype(a.dtype, jnp.inexact):
+            if pi is not None:
+                a = new_args[pi]
                 new_args[pi] = a + (carry * 0).astype(a.dtype)
             else:
-                new_args[pi] = a + (carry * 0).astype(a.dtype)
+                leaves, treedef = jax.tree_util.tree_flatten(new_args[0])
+                for j, leaf in enumerate(leaves):
+                    if (hasattr(leaf, "dtype")
+                            and jnp.issubdtype(leaf.dtype, jnp.inexact)):
+                        leaves[j] = leaf + (carry * 0).astype(leaf.dtype)
+                        break
+                new_args[0] = jax.tree_util.tree_unflatten(treedef, leaves)
             out = fn(*new_args)
             return _tiny_probe(out), None
 

@@ -170,6 +170,23 @@ def main():
         return {"median": xs[len(xs) // 2], "min": xs[0], "max": xs[-1],
                 "spread_pct": round(100 * (xs[-1] - xs[0]) / xs[-1], 1)}
 
+    # prefill throughput: one forward at (8, 2048) — the serving admission
+    # cost (MFU model: 6P-style 2P per token + causal attention FLOPs)
+    from leetcuda_tpu.models.llama import forward as _fwd
+    import functools as _ft
+    ptoks = jnp.asarray(np.random.default_rng(1).integers(
+        0, cfg.vocab_size, (8, 2048)), jnp.int32)
+    n_par = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    pf_flops = (2 * n_par + 2 * 2 * cfg.n_layers * cfg.n_heads
+                * cfg.head_dim * 2048 / 2) * 8 * 2048
+    pf = [run_benchmark(jax.jit(_ft.partial(_fwd, cfg=cfg)), params, ptoks,
+                        iters=8, flops=pf_flops).tflops for _ in range(3)]
+    report["prefill"] = {
+        "tok_s": round(8 * 2048 * max(pf) / (pf_flops / 1e12) / 1e12, 0),
+        "mfu_pct": round(100 * max(pf) / 197, 1),
+        "tflops": stats(pf)}
+    print("prefill:", report["prefill"], flush=True)
+
     dec = {"bf16": dec_stats("bf16", params, None),
            "int8_int8kv": dec_stats("int8+int8kv", q8, "int8"),
            "int4_int8kv": dec_stats("int4+int8kv", q4, "int8")}
