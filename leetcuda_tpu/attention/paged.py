@@ -337,9 +337,11 @@ class PageManager:
                 self.page_uid[p] = self._next_uid
                 parent = self._next_uid
                 self._next_uid += 1
+                self.misses += 1  # a page actually published fresh — pages
+                # that chain through existing canonical entries or hit the
+                # early break below were never prefilled anew
             else:
                 break  # p already cached under another chain; stop publishing
-        self.misses += n_full - skip_pages
 
     @property
     def device_table(self):

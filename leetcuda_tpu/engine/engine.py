@@ -96,6 +96,11 @@ class Request:
 
 from leetcuda_tpu.engine.sampling import greedy as _greedy
 
+# Max suffix tokens per _chunk_prefill call during prefix-cache admission
+# (VMEM scratch in attention/chunk.py scales with H*T; 1024 keeps the
+# worst realistic config, H=32 D=128, near ~35MB of scratch).
+_SUFFIX_T_CAP = 1024
+
 
 def _insert_kvs(caches, kvs, slot, length):
     """Scatter prefill K/V ((Bp, Hkv, S_pad, Dh) per layer) into the stacked
@@ -188,17 +193,6 @@ class Engine:
         self.ec = econfig or EngineConfig()
         assert not self.ec.prefix_cache or self.ec.paged, \
             "prefix_cache requires paged=True"
-        if (not self.ec.paged and self.ec.max_seq >= 1024
-                and self.ec.max_seq % 1024):
-            import warnings
-
-            # attention/decode._pick_bk needs bk | max_seq: a 2176-slot cache
-            # decodes with 128-wide KV blocks (~5x slower attention) where a
-            # 3072-slot one uses 1024-wide blocks
-            warnings.warn(
-                f"max_seq={self.ec.max_seq} is not a multiple of 1024; "
-                "decode attention falls back to small KV blocks — round the "
-                "cache capacity up for full bandwidth", stacklevel=2)
         self.sample_fn = jax.jit(sample_fn)
         self._key = jax.random.key(seed)
         self.mesh = mesh
@@ -427,21 +421,29 @@ class Engine:
         for slot, req, n_cached in chunked:
             # adopted prefix pages hold positions [0, n_cached); chunk-prefill
             # ONLY the suffix against them (chunked prefill — the same
-            # attention/chunk.py kernel speculative verify uses)
+            # attention/chunk.py kernel speculative verify uses). The suffix
+            # streams in bounded pieces: the chunk kernel's VMEM scratch
+            # ((H*T,128) f32 m/l + (H*T,D) acc + the q block) scales with
+            # H*T, so one monolithic call over a long suffix can exceed the
+            # ~100MB VMEM budget at realistic H — cap T per call.
             L = len(req.prompt)
-            suffix = req.prompt[n_cached:]
-            T = len(suffix)
-            t_pad = T + (-T % ec.prefill_bucket)
-            toks = np.zeros((1, t_pad), np.int32)
-            toks[0, :T] = suffix
-            base = jnp.full((1,), n_cached, jnp.int32)
+            cap = max(ec.prefill_bucket,
+                      _SUFFIX_T_CAP - _SUFFIX_T_CAP % ec.prefill_bucket)
             row = jnp.asarray(self.pm.table[slot:slot + 1], jnp.int32)
-            logits, self.caches = self._chunk_prefill(
-                self.params, jnp.asarray(toks), self.caches, base,
-                cfg=self.cfg, page_table=row)
+            pos = n_cached
+            while pos < L:
+                t_real = min(cap, L - pos)
+                t_pad = t_real + (-t_real % ec.prefill_bucket)
+                toks = np.zeros((1, t_pad), np.int32)
+                toks[0, :t_real] = req.prompt[pos:pos + t_real]
+                base = jnp.full((1,), pos, jnp.int32)
+                logits, self.caches = self._chunk_prefill(
+                    self.params, jnp.asarray(toks), self.caches, base,
+                    cfg=self.cfg, page_table=row)
+                pos += t_real
             self.pm.register_prefix(slot, req.prompt,
                                     skip_pages=n_cached // ec.page_size)
-            self._finish_admission(slot, req, logits[0, T - 1])
+            self._finish_admission(slot, req, logits[0, t_real - 1])
 
     def _finish_admission(self, slot: int, req: Request, last_logits):
         """Common admission tail: draft prefill (speculative), first-token
@@ -476,6 +478,17 @@ class Engine:
             req = self.filling[slot]
             L = len(req.prompt)
             t_real = min(budget, L - req.n_filled)
+            if req.n_filled + t_real < L:
+                # NON-final chunk: keep the next chunk's base page-aligned.
+                # _chunk_prefill is jitted page_aligned=True (whole-page
+                # writes from pos//page); handing a later tick an unaligned
+                # base would clobber already-filled tokens in the straddled
+                # page. The budget leftover after a final chunk is the only
+                # way t_real goes non-multiple here.
+                t_real -= t_real % ec.prefill_bucket
+                if t_real == 0:
+                    continue  # leftover below one bucket; a later slot may
+                              # still fit a small FINAL chunk
             t_pad = t_real + (-t_real % ec.prefill_bucket)
             if not self.pm.ensure(slot, req.n_filled + t_pad - 1):
                 continue  # pool pressure: this slot stalls a tick

@@ -80,3 +80,64 @@ def test_chunked_prefill_stall_raises(setup):
         prefill_chunk=16, num_pages=3))  # 2 usable pages
     with pytest.raises(RuntimeError, match="stall|pages"):
         eng.run([list(range(1, 60))], max_new=4)
+
+
+def test_two_filling_slots_unaligned_budget(setup):
+    """Regression (ADVICE r2 high): when a finishing slot's final chunk
+    leaves a non-bucket-multiple budget remainder, the next filling slot
+    must NOT consume it raw — an unaligned n_filled makes its next chunk's
+    page-aligned writes clobber already-filled tokens. Two concurrent fills
+    where A's final chunk is 8 tokens (budget 32, bucket 16) force the case:
+    B would get t_real=24."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    pa = list(rng.integers(0, cfg.vocab_size, 40))  # chunks 32 then final 8
+    pb = list(rng.integers(0, cfg.vocab_size, 64))
+    eng = Engine(params, cfg, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        prefill_chunk=32))
+    got = eng.run([pa, pb], max_new=6)
+    outs = list(got.values())
+    assert outs[0] == solo_greedy(params, cfg, pa, 6)
+    assert outs[1] == solo_greedy(params, cfg, pb, 6)
+    # filling bases stayed page-aligned throughout (the property the fix
+    # restores); n_filled is gone by now, but token-exactness above is the
+    # observable: pre-fix, B's output is corrupted.
+
+
+def test_suffix_admission_is_bounded(setup, monkeypatch):
+    """Regression (ADVICE r2 medium): prefix-cache suffix admission must cap
+    tokens per chunk call (VMEM scratch scales with H*T). With the cap
+    monkeypatched to one bucket, a 100-token suffix takes multiple calls and
+    stays token-exact."""
+    import leetcuda_tpu.engine.engine as eng_mod
+    cfg, params = setup
+    monkeypatch.setattr(eng_mod, "_SUFFIX_T_CAP", 16)
+    rng = np.random.default_rng(4)
+    common = list(rng.integers(0, cfg.vocab_size, 32))  # 2 pages
+    p1 = common + list(rng.integers(0, cfg.vocab_size, 100))
+    eng = Engine(params, cfg, EngineConfig(
+        slots=1, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        prefix_cache=True))
+    eng.run([common + [1, 2, 3]], max_new=2)     # publish the prefix
+    got = eng.run([p1], max_new=5)
+    assert eng.stats()["prefix_pages_hit"] == 2
+    assert list(got.values())[0] == solo_greedy(params, cfg, p1, 5)
+
+
+def test_register_prefix_miss_count_exact(setup):
+    """Regression (ADVICE r2 low): prefix_pages_prefilled counts only pages
+    actually published fresh, not pages that chained through existing
+    canonical entries."""
+    cfg, params = setup
+    rng = np.random.default_rng(5)
+    common = list(rng.integers(0, cfg.vocab_size, 48))  # 3 pages
+    eng = Engine(params, cfg, EngineConfig(
+        slots=1, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        prefix_cache=True))
+    eng.run([common + [7]], max_new=2)
+    first = eng.stats()["prefix_pages_prefilled"]
+    assert first == 3  # 48/16 fresh pages published
+    # identical prompt again: all 3 adopt, zero fresh publishes
+    eng.run([common + [9]], max_new=2)
+    assert eng.stats()["prefix_pages_prefilled"] == first
