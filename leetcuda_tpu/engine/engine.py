@@ -61,7 +61,8 @@ class EngineConfig:
     # (k+1)-position target chunk (engine/speculative.py mechanics); requires
     # Engine(draft=(draft_params, draft_cfg)) and greedy sampling
     spec_k: int = 0
-    # automatic prefix caching (requires paged=True, single-shard): full
+    # automatic prefix caching (requires paged=True; composes with the
+    # serving mesh — admission chunks run the sharded chunk kernel): full
     # prompt pages are published to a refcounted trie; a request whose prompt
     # starts with a cached page chain adopts those pages and only its suffix
     # prefills (chunked prefill via attention/chunk.py). Evicts LRU when the
@@ -207,8 +208,6 @@ class Engine:
             assert ec.prefill_bucket % ec.page_size == 0
             num_pages = ec.num_pages or (
                 ec.slots * ec.max_seq // ec.page_size + 1)
-            if ec.prefix_cache:
-                assert mesh is None, "prefix caching is single-shard for now"
             self.pm = PageManager(num_pages, ec.page_size,
                                   ec.max_seq // ec.page_size, ec.slots,
                                   prefix_cache=ec.prefix_cache)
@@ -242,7 +241,6 @@ class Engine:
         self._uid = 0
         if ec.prefill_chunk is not None:
             assert ec.paged, "prefill_chunk requires paged=True"
-            assert mesh is None, "chunked prefill is single-shard for now"
             assert ec.prefill_chunk % ec.prefill_bucket == 0, \
                 "prefill_chunk must be a multiple of prefill_bucket"
 
@@ -290,10 +288,29 @@ class Engine:
             # page-multiple lengths -> whole-page in-place writes)
             import functools as _ft
             self._chunk_prefill = jax.jit(
-                _ft.partial(decode_chunk, page_aligned=True),
+                _ft.partial(decode_chunk, page_aligned=True, mesh=mesh),
                 static_argnames=("cfg",), donate_argnums=(2,))
 
     # --- public API -----------------------------------------------------------
+
+    def _chunk_admit(self, toks_np, base_pos: int, slot: int):
+        """One admission chunk-prefill call (B=1 logically). Under a dp>1
+        mesh the chunk kernel shard_maps batch over dp, so the call is padded
+        with dp-1 dummy rows whose page-table rows are all-null (page 0):
+        their whole-page writes land on the reserved null page — never read,
+        since real rows' length masking excludes it — and their logits are
+        dropped. Returns the real row's logits (T, V)."""
+        n_dp = (self.mesh.shape.get("dp", 1) if self.mesh is not None else 1)
+        toks = np.zeros((n_dp, toks_np.shape[1]), np.int32)
+        toks[0] = toks_np[0]
+        base = np.zeros((n_dp,), np.int32)
+        base[0] = base_pos
+        rows = np.zeros((n_dp, self.pm.table.shape[1]), np.int32)
+        rows[0] = self.pm.table[slot]
+        logits, self.caches = self._chunk_prefill(
+            self.params, jnp.asarray(toks), self.caches,
+            jnp.asarray(base), cfg=self.cfg, page_table=jnp.asarray(rows))
+        return logits[0]
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -429,21 +446,17 @@ class Engine:
             L = len(req.prompt)
             cap = max(ec.prefill_bucket,
                       _SUFFIX_T_CAP - _SUFFIX_T_CAP % ec.prefill_bucket)
-            row = jnp.asarray(self.pm.table[slot:slot + 1], jnp.int32)
             pos = n_cached
             while pos < L:
                 t_real = min(cap, L - pos)
                 t_pad = t_real + (-t_real % ec.prefill_bucket)
                 toks = np.zeros((1, t_pad), np.int32)
                 toks[0, :t_real] = req.prompt[pos:pos + t_real]
-                base = jnp.full((1,), pos, jnp.int32)
-                logits, self.caches = self._chunk_prefill(
-                    self.params, jnp.asarray(toks), self.caches, base,
-                    cfg=self.cfg, page_table=row)
+                logits = self._chunk_admit(toks, pos, slot)
                 pos += t_real
             self.pm.register_prefix(slot, req.prompt,
                                     skip_pages=n_cached // ec.page_size)
-            self._finish_admission(slot, req, logits[0, t_real - 1])
+            self._finish_admission(slot, req, logits[t_real - 1])
 
     def _finish_admission(self, slot: int, req: Request, last_logits):
         """Common admission tail: draft prefill (speculative), first-token
@@ -494,11 +507,7 @@ class Engine:
                 continue  # pool pressure: this slot stalls a tick
             toks = np.zeros((1, t_pad), np.int32)
             toks[0, :t_real] = req.prompt[req.n_filled:req.n_filled + t_real]
-            base = jnp.full((1,), req.n_filled, jnp.int32)
-            row = jnp.asarray(self.pm.table[slot:slot + 1], jnp.int32)
-            logits, self.caches = self._chunk_prefill(
-                self.params, jnp.asarray(toks), self.caches, base,
-                cfg=self.cfg, page_table=row)
+            logits = self._chunk_admit(toks, req.n_filled, slot)
             req.n_filled += t_real
             budget -= t_real
             self.lengths = self.lengths.at[slot].set(req.n_filled)
@@ -508,7 +517,7 @@ class Engine:
                 self.pm.register_prefix(
                     slot, req.prompt,
                     skip_pages=self._fill_cached.pop(slot, 0))
-                self._finish_admission(slot, req, logits[0, t_real - 1])
+                self._finish_admission(slot, req, logits[t_real - 1])
 
     def _maybe_finish(self, slot, token):
         req = self.active.get(slot)

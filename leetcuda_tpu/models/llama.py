@@ -119,7 +119,8 @@ def quantize_params(params, dtype="fp8"):
     high-precision — the reference north star is FP8 *weights*, BASELINE.json).
     dtype: "fp8" (e4m3) / "int8" (per-output-channel symmetric scales) /
     "int4" (group-128 scales, nibble-packed — half int8's weight bandwidth;
-    single-shard serving: the split-halves packing does not row-shard)."""
+    TP-composable: shard_llama_params storage-shards the pack and GSPMD
+    reconstructs the canonical split-halves layout around the kernel)."""
     from leetcuda_tpu.gemm.quant import (
         quantize_rowwise_fp8, quantize_rowwise_int8, quantize_groupwise_int4)
 
@@ -278,9 +279,20 @@ def shard_llama_params(params, cfg: ModelConfig, mesh: Mesh):
         if isinstance(s, dict):  # nested spec tree (moe)
             return {k: put(x[k], s[k]) for k in s}
         if isinstance(x, dict) and "q4" in x:
-            raise NotImplementedError(
-                "int4 packs don't TP-shard (split-halves packing breaks "
-                "contiguous K sharding); serve int4 single-chip or use int8")
+            # int4 pack {"q4": (K/2, N) split-halves nibbles, "s4": (K/g, N)}.
+            # Storage sharding: each array follows the dense weight's spec on
+            # its own shape (q4 row-sharding slices the packed dim; the
+            # canonical split-halves layout is reconstructed exactly by the
+            # all-gather GSPMD inserts around the w4a16 pallas_call — the
+            # same reshard mechanism the int8 packs serve through). Axes
+            # whose extent doesn't divide the mesh axis stay replicated
+            # (scales have K/group rows and can undershoot wide tp).
+            def fit(arr, want):
+                axes = [a if a is None or arr.shape[i] % mesh.shape[a] == 0
+                        else None for i, a in enumerate(want)]
+                return jax.device_put(arr, NamedSharding(mesh, P(*axes)))
+            return {"q4": fit(x["q4"], tuple(s)),
+                    "s4": fit(x["s4"], tuple(s))}
         if isinstance(x, dict):  # quantized pack
             s_scale = P("tp") if s[1] == "tp" else P(None)
             return {"q": jax.device_put(x["q"], NamedSharding(mesh, s)),
