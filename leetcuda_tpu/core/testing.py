@@ -78,6 +78,11 @@ def make_args(spec, rng):
             xi = jnp.asarray(rng.integers(-8, 8, (64, 256)), jnp.int8)
             w = jnp.asarray(rng.integers(-8, 8, (256, 128)), jnp.int8)
             return (xi, w)
+        if "fp8" in tags:
+            from leetcuda_tpu.gemm.quant import quantize_rowwise_fp8
+            w = randn((256, 128), jnp.float32, 0.3)
+            wq, scale = quantize_rowwise_fp8(w)
+            return (x, wq, scale)
         wq = jnp.asarray(rng.integers(-127, 127, (256, 128)), jnp.int8)
         scale = jnp.asarray(_np.abs(rng.standard_normal((128,))) * 0.01 + 1e-3,
                             jnp.float32)
@@ -128,6 +133,26 @@ def _extra_args(spec, rng):
             return (x, nw, w, pos)
         w = randn((D, 512), jnp.float32, 1 / np.sqrt(D))
         return (x, nw, w)
+    if spec.family == "decode-attn-quant":
+        B, H, Hkv, S, D = 2, 4, 2, 256, 64
+        q = randn((B, H, D), jnp.float32, 0.5)
+        k = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+        v = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+        if "fp8" in spec.tags:
+            qdt, qmax = jnp.float8_e4m3fn, 448.0
+        else:
+            qdt, qmax = jnp.int8, 127.0
+        def q_cache(c):
+            amax = np.maximum(np.abs(c).max(axis=-1), 1e-8)  # (B, Hkv, S)
+            s = amax / qmax
+            cq = c / s[..., None]
+            if qdt == jnp.int8:
+                cq = np.clip(np.round(cq), -127, 127)
+            return (jnp.asarray(cq, qdt), jnp.asarray(s, jnp.float32))
+        kq, ks = q_cache(k)
+        vq, vs = q_cache(v)
+        lengths = jnp.asarray([100, 200], jnp.int32)
+        return (q, kq, vq, ks, vs, lengths)
     if spec.family == "gemm-resident":
         M = 128
         a = randn((M, M), jnp.bfloat16, 1 / np.sqrt(M))

@@ -206,6 +206,17 @@ register_op(
 )(make_matmul_w8a16())
 
 register_op(
+    # e4m3 weights through the same fused-dequant kernel (the cast-up after
+    # DMA is dtype-generic). On v5e fp8 casts are software-emulated (~10x an
+    # int8 widen — PERF.md quantization table) but the rung must exist and
+    # compile through Mosaic on-chip; reference analog: fp8 reduce rungs as
+    # first-class bound ops (block_all_reduce.cu:873-894).
+    "hgemm_w8a16_dequant_fp8",
+    ref=matmul_w8a16_ref, flops=_wq_flops,
+    atol=8e-2, rtol=8e-2, family="gemm-quant", tags=("fp8", "weight-only"),
+)(make_matmul_w8a16())
+
+register_op(
     "hgemm_w8a8_i32",
     ref=lambda x, w: jnp.dot(x.astype(jnp.int32), w.astype(jnp.int32)),
     flops=lambda x, w: float(2 * x.shape[0] * x.shape[1] * w.shape[1]),

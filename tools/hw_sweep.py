@@ -29,7 +29,7 @@ MODULES = [
     "ops.layer_norm", "ops.rms_norm", "ops.rope", "ops.embedding",
     "ops.histogram", "ops.transpose", "ops.dot_product",
     "ops.merge_attn_states", "gemm.matmul", "gemm.gemv", "gemm.quant",
-    "attention.flash", "attention.chunk", "gemm.fused_decode",
+    "attention.flash", "attention.chunk", "gemm.fused_decode", "attention.decode",
 ]
 
 
