@@ -49,6 +49,12 @@ def _fa_kernel(causal, window, scale, block_q, block_k, with_lse,
                     None, q_ref, k_ref, v_ref, o_ref, rest)
 
 
+def _fa_kernel_two_phase(causal, window, scale, block_q, block_k, with_lse,
+                         q_ref, k_ref, v_ref, o_ref, *rest):
+    return _fa_body(causal, window, scale, block_q, block_k, with_lse, None,
+                    None, q_ref, k_ref, v_ref, o_ref, rest, two_phase=True)
+
+
 def _fa_ragged_kernel(causal, window, scale, block_q, block_k, with_lse, H,
                       len_ref, q_ref, k_ref, v_ref, o_ref, *rest):
     return _fa_body(causal, window, scale, block_q, block_k, with_lse, H,
@@ -56,7 +62,7 @@ def _fa_ragged_kernel(causal, window, scale, block_q, block_k, with_lse, H,
 
 
 def _fa_body(causal, window, scale, block_q, block_k, with_lse, H,
-             len_ref, q_ref, k_ref, v_ref, o_ref, rest):
+             len_ref, q_ref, k_ref, v_ref, o_ref, rest, two_phase=False):
     if with_lse:
         lse_ref, m_sc, l_sc, acc_sc = rest
     else:
@@ -74,7 +80,7 @@ def _fa_body(causal, window, scale, block_q, block_k, with_lse, H,
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    def compute():
+    def compute(masked=True):
         q = q_ref[0]  # (Bq, D)
         k = k_ref[0]  # (Bk, D)
         v = v_ref[0]  # (Bk, D)
@@ -83,7 +89,7 @@ def _fa_body(causal, window, scale, block_q, block_k, with_lse, H,
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (Bq, Bk)
 
-        if causal or window or seq_len is not None:
+        if masked and (causal or window or seq_len is not None):
             rows = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, 0)
             cols = ki * block_k + jax.lax.broadcasted_iota(
@@ -123,9 +129,26 @@ def _fa_body(causal, window, scale, block_q, block_k, with_lse, H,
                 qi * block_q - window + 1)
         if seq_len is not None:
             cond &= ki * block_k < seq_len
-        @pl.when(cond)
-        def _():
-            compute()
+        if two_phase and causal and not window and seq_len is None:
+            # Two-phase causal grid (VERDICT r2 #6): a KV tile fully at or
+            # below the diagonal (max col <= min row) needs no mask at all —
+            # skip the iota/compare/select VPU pass and take the wide-KV dot
+            # at full efficiency; only tiles straddling the diagonal pay
+            # fine-grained masking. With a wide block_k this confines the
+            # diagonal-coarsening waste to ~1 tile per q row.
+            full_cond = cond & (ki * block_k + block_k - 1 <= qi * block_q)
+
+            @pl.when(full_cond)
+            def _():
+                compute(masked=False)
+
+            @pl.when(cond & jnp.logical_not(full_cond))
+            def _():
+                compute(masked=True)
+        else:
+            @pl.when(cond)
+            def _():
+                compute()
     else:
         compute()
 
@@ -170,6 +193,7 @@ def make_flash_attention(
     with_lse: bool = False,
     sm_scale: float | None = None,
     num_kv_heads: int | None = None,
+    two_phase: bool = False,
 ):
     """Flash attention on (B, H, N, D) tensors.
 
@@ -178,6 +202,8 @@ def make_flash_attention(
     to per-headdim tuned values. ``window``: Mistral-style causal sliding
     window — each query attends to its last ``window`` positions; off-band KV
     blocks are skipped entirely (compute cost O(N·window), not O(N²)).
+    ``two_phase``: causal-only — branch per KV tile so fully-below-diagonal
+    tiles run the unmasked fast path (pairs with a wide block_k at small D).
     """
     assert window is None or window > 0
 
@@ -221,8 +247,10 @@ def make_flash_attention(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             )
 
+        kern = (_fa_kernel_two_phase
+                if two_phase and causal and not window else _fa_kernel)
         res = pl.pallas_call(
-            functools.partial(_fa_kernel, causal or bool(window), window,
+            functools.partial(kern, causal or bool(window), window,
                               scale, bq, bk, with_lse),
             out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
             grid=grid,

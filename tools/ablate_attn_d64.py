@@ -151,6 +151,22 @@ def main():
     run_benchmark(fa, q4, k4, v4, flops=fl, iters=args.iters,
                   tag=f"full flash D={D}", session=sess)
 
+    # --- causal composition (VERDICT r2 #6): the two-phase grid lets the
+    # wide-KV counter-move (a win on raw dots, a loss on masked-everywhere
+    # causal) apply to off-diagonal tiles only.
+    flc = fl / 2
+    for tag, kw in [
+        ("causal baseline (1024,1024)", dict(causal=True)),
+        ("causal wide-KV (1024,2048)",
+         dict(causal=True, block_q=1024, block_k=2048)),
+        ("causal two-phase wide-KV (1024,2048)",
+         dict(causal=True, block_q=1024, block_k=2048, two_phase=True)),
+        ("causal two-phase (1024,1024)",
+         dict(causal=True, two_phase=True)),
+    ]:
+        run_benchmark(make_flash_attention(**kw), q4, k4, v4, flops=flc,
+                      iters=args.iters, tag=f"{tag} D={D}", session=sess)
+
     print(sess.summary())
     print("\nReading: the two-dots ceiling is what the D=64 MXU shapes allow;"
           "\nfull flash / ceiling = softmax+rescale overhead;"
