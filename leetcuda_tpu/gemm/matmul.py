@@ -253,6 +253,68 @@ hgemm = make_matmul(block=(2048, 2048, 512))
 hgemm_tn = make_matmul(block=(2048, 2048, 512), layout="tn")
 
 
+# --- shape-adaptive config selection ----------------------------------------------
+
+def pick_matmul_config(M: int, N: int, K: int, dtype=jnp.bfloat16,
+                       layout: str = "nn") -> dict:
+    """Choose (block, swizzle_group) from the problem shape — the analog of the
+    reference's swizzle-stride auto-select (hgemm.py:198-208 picks the block-
+    swizzle stride from N; here the whole tile config adapts).
+
+    Rules (tuned on TPU v5e, tools/gemm_sweep.py artifact PERF_SWEEP.json):
+    - flagship tile is (2048, 2048, 512): big MXU-aligned output tiles amortize
+      the f32 accumulator writeback; bk=512 keeps the double-buffered K stream
+      deep enough to hide HBM latency at bf16.
+    - tiles are clamped to the problem and the VMEM budget (~100 MB): for each
+      candidate we cost x-block + y-block (×2 for the automatic double
+      buffer) + f32 acc + out block, shrinking bk then bm/bn until it fits.
+    - wide-and-flat problems (N ≫ M or M ≫ N) rebalance the tile toward the
+      long axis so the short axis doesn't fragment the grid.
+    - block swizzle (grouped grid walk) only pays when the B panel no longer
+      fits cache-resident across a full row of output tiles — i.e. many column
+      tiles; group=4 matches the measured sweet spot (gemm-swizzle variants).
+    """
+    isz = jnp.dtype(dtype).itemsize
+
+    def fits(bm, bn, bk):
+        # double-buffered input blocks + f32 scratch + out block
+        vmem = 2 * (bm * bk + bk * bn) * isz + bm * bn * 4 + bm * bn * isz
+        return vmem <= 100 * 1024 * 1024
+
+    bm, bn, bk = 2048, 2048, 512
+    # rebalance toward the long axis for skewed problems (≥4x aspect)
+    if N >= 4 * M:
+        bm, bn = 1024, 4096
+    elif M >= 4 * N:
+        bm, bn = 4096, 1024
+    bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
+    while not fits(bm, bn, bk) and bk > 128:
+        bk //= 2
+    while not fits(bm, bn, bk) and max(bm, bn) > 256:
+        if bm >= bn:
+            bm //= 2
+        else:
+            bn //= 2
+
+    ni, nj = cdiv(M, bm), cdiv(N, bn)
+    swz = 4 if (ni >= 4 and nj >= 8) else None
+    return {"block": (bm, bn, bk), "layout": layout, "swizzle_group": swz}
+
+
+@functools.lru_cache(maxsize=64)
+def _auto_fn(M, N, K, dtype_name, layout):
+    cfg = pick_matmul_config(M, N, K, jnp.dtype(dtype_name), layout)
+    return make_matmul(**cfg)
+
+
+def matmul_auto(x, y, *, layout: str = "nn"):
+    """Matmul with shape-adaptive config selection (compiled fns cached per
+    shape/dtype). The production entry point for arbitrary shapes."""
+    M, K = x.shape
+    N = y.shape[1] if layout == "nn" else y.shape[0]
+    return _auto_fn(M, N, K, jnp.dtype(x.dtype).name, layout)(x, y)
+
+
 # --- VMEM-resident chained matmul (the 4096-cubed regime) -------------------------
 
 def make_matmul_resident(*, reps: int, block_m: int = 1024,

@@ -137,3 +137,25 @@ def test_matmul_resident_chain(rng):
         want = matmul_chain_ref(a, b, reps)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_matmul_auto_shape_adaptive(rng):
+    """pick_matmul_config (the hgemm.py:198-208 auto-select analog) must
+    produce VMEM-feasible configs and matmul_auto must match XLA on skewed,
+    non-multiple shapes."""
+    from leetcuda_tpu.gemm.matmul import pick_matmul_config, matmul_auto
+
+    for (M, N, K) in [(1024, 1024, 1024), (8192, 1024, 8192),
+                      (1024, 8192, 8192), (4096, 14336, 4096),
+                      (16384, 16384, 16384), (384, 640, 264)]:
+        cfg = pick_matmul_config(M, N, K, jnp.bfloat16)
+        bm, bn, bk = cfg["block"]
+        assert bm <= M and bn <= N and bk <= K
+        vmem = 2 * (bm * bk + bk * bn) * 2 + bm * bn * 4 + bm * bn * 2
+        assert vmem <= 100 * 1024 * 1024, (cfg, vmem)
+
+    x = jnp.asarray(rng.standard_normal((384, 264)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((264, 640)), jnp.float32)
+    got = np.asarray(matmul_auto(x, y))
+    want = np.asarray(matmul_ref(x, y))
+    np.testing.assert_allclose(got, want, atol=2e-2)
