@@ -84,3 +84,20 @@ def test_layer_norm_backward_matches_autodiff():
     for a, w, name in zip(got, want, "x g b".split()):
         np.testing.assert_allclose(np.asarray(a), np.asarray(w),
                                    atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+@pytest.mark.slow
+def test_kernel_track_tiers_check():
+    """docs/kernel_track.md companion: every tier's write-it-yourself solution
+    must lower for TPU (Mosaic module prints) and match its oracle in
+    interpret mode."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "tools/kernel_track_ir.py", "--check"],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout
+    assert out.count("Mosaic module") >= 4, out[-2000:]
+    assert "tier 4 interpret check" in out
