@@ -109,7 +109,38 @@ def _rpc_floor(sample) -> float:
     return min(vals)
 
 
+_TIMED_CACHE: dict = {}
+
+
+def _timed_cache_key(fn, args, iters):
+    """Timed-scan closures are cache-keyed by (fn identity, iters, abstract
+    arg signature) — without this every run_benchmark call rebuilds the scan
+    and pays a fresh compile (~20-40s through the remote-compile relay),
+    which dominated interleaved duels with many reps. Unhashable fns (rare:
+    e.g. bound methods of unhashable objects) skip the cache."""
+    try:
+        sig = tuple(
+            (tuple(leaf.shape), str(leaf.dtype))
+            for leaf in jax.tree_util.tree_leaves(args)
+            if hasattr(leaf, "shape"))
+        return (fn, iters, sig)
+    except TypeError:
+        return None
+
+
 def _build_timed(fn, args, iters: int):
+    """Returns (jitted timed fn, perturbed flag); memoized per (fn, iters,
+    arg signature)."""
+    key = _timed_cache_key(fn, args, iters)
+    if key is not None and key in _TIMED_CACHE:
+        return _TIMED_CACHE[key]
+    built = _build_timed_uncached(fn, args, iters)
+    if key is not None:
+        _TIMED_CACHE[key] = built
+    return built
+
+
+def _build_timed_uncached(fn, args, iters: int):
     """Returns (jitted timed fn, perturbed flag)."""
     out_shape = jax.eval_shape(fn, *args)
     out_leaves = jax.tree_util.tree_leaves(out_shape)
