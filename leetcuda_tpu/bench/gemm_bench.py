@@ -71,26 +71,39 @@ def bench_size(M, N, K, variants, dtype, iters, session, check=False,
 
     results = []
     for name in variants:
-        spec = OPS[name]
-        tn = "tn" in spec.tags
+        if name == "auto":
+            # shape-adaptive config (pick_matmul_config — the hgemm.py
+            # auto-select analog); tag carries the chosen block for the log
+            from leetcuda_tpu.gemm.matmul import (
+                pick_matmul_config, make_matmul)
+            acfg = pick_matmul_config(M, N, K, dtype)
+            fn, tn, atol, rtol = make_matmul(**acfg), False, 2e-2, 2e-2
+            disp = (f"auto{acfg['block']}"
+                    + (f"/swz{acfg['swizzle_group']}"
+                       if acfg["swizzle_group"] else ""))
+        else:
+            spec = OPS[name]
+            fn, tn = spec.fn, "tn" in spec.tags
+            atol, rtol, disp = spec.atol, spec.rtol, name
         b = b_tn if tn else b_nn
-        reps = [run_benchmark(spec.fn, a, b,
-                              tag=f"{name} {M}x{N}x{K}", iters=iters,
+        reps = [run_benchmark(fn, a, b,
+                              tag=f"{disp} {M}x{N}x{K}", iters=iters,
                               flops=flops, bytes=byts,
                               session=session if i == 0 else None)
                 for i in range(repeats)]
         if repeats > 1:
-            print(f"    {name}:{_spread([r.tflops for r in reps])}")
+            print(f"    {disp}:{_spread([r.tflops for r in reps])}")
         results.append(max(reps, key=lambda r: r.tflops or 0))
         if check:
             ref = (matmul_tn_ref if tn else matmul_ref)(a, b)
             err = float(jnp.max(jnp.abs(
-                (spec.fn(a, b) - ref).astype(jnp.float32))))
-            print(f"  {name}: max|diff| vs XLA = {err:.5f} "
-                  f"(atol {spec.atol})")
-            assert err <= spec.atol + spec.rtol * float(
+                (fn(a, b) - ref).astype(jnp.float32))))
+            print(f"  {disp}: max|diff| vs XLA = {err:.5f} "
+                  f"(atol {atol})")
+            assert err <= atol + rtol * float(
                 jnp.max(jnp.abs(ref.astype(jnp.float32)))), name
-    xla_ref = matmul_ref if not all("tn" in OPS[v].tags for v in variants) \
+    xla_ref = matmul_ref if not all(
+        v != "auto" and "tn" in OPS[v].tags for v in variants) \
         else matmul_tn_ref
     reps = [run_benchmark(jax.jit(xla_ref), a,
                           b_nn if xla_ref is matmul_ref else b_tn,
@@ -148,7 +161,7 @@ def main():
     ap.add_argument("--sweep", type=int, nargs=3, metavar=("LO", "HI", "STEP"),
                     help="sweep M=N=K over a range (reference-style)")
     ap.add_argument("--variants", nargs="*", default=None,
-                    help="registered gemm op names (default: bf16 ladder)")
+                    help="registered gemm op names, or 'auto' for the shape-adaptive config (default: bf16 ladder)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=1,

@@ -212,3 +212,24 @@ def test_everything_with_prefix(setup, draft):
     for g, w in zip(sorted(got), sorted(want)):
         assert got[g] == want[w], (g, got[g], want[w])
     assert eng.pm.hits > 0
+
+
+def test_fp8kv_paged_tp_matches_singleshard(setup):
+    """fp8 KV (the north-star cache dtype) composes with paged pools and a TP
+    mesh. fp8 is lossy, so the oracle is the single-shard fp8-KV paged engine
+    — identical quantization path, so tokens must match exactly; TP/paging
+    must be numerics-neutral."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (6, 11, 9)]
+
+    def run(mesh):
+        eng = Engine(params, cfg, EngineConfig(
+            slots=2, max_seq=256, prefill_bucket=16, paged=True,
+            page_size=16, kv_quant="fp8"), mesh=mesh)
+        return eng.run(prompts, max_new=6)
+
+    want = run(None)
+    mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
+    got = run(mesh)
+    assert got == want, (got, want)
