@@ -407,5 +407,19 @@ for _name, _bq, _bk, _causal in [
         tags=("causal" if _causal else "full", f"bq{_bq}", f"bk{_bk}"),
     )(make_flash_attention(block_q=_bq, block_k=_bk, causal=_causal))
 
+register_op(
+    # two-phase causal grid (VERDICT r2 #6): off-diagonal KV tiles take the
+    # unmasked fast path; wide block_k pairs with the D=64 wide-KV move.
+    # Registered so tools/hw_sweep.py compiles the branchy kernel through
+    # Mosaic on-chip before any default-block policy relies on it.
+    "flash_attn_mma_stages_split_q_causal_two_phase",
+    ref=functools.partial(mha_ref, causal=True),
+    flops=_fa_flops,
+    atol=1e-2, rtol=1e-2,
+    family="flash-attn",
+    tags=("causal", "two-phase", "bq512", "bk512"),
+)(make_flash_attention(block_q=512, block_k=512, causal=True,
+                       two_phase=True))
+
 flash_attention = make_flash_attention()
 flash_attention_causal = make_flash_attention(causal=True)
