@@ -301,6 +301,9 @@ def _decode_q_flops(q, k_q, *rest):
     return float(2 * 2 * B * H * S * D)
 
 
+_decode_q_fn = make_decode_attention_quantized(block_k=128)  # one shared
+# jitted fn: both rungs hit the same jit cache entry on-chip (the kernel is
+# cache-dtype-generic; the rung split is an inventory/tagging distinction)
 for _name, _tag in [("decode_attn_int8kv", "int8"),
                     ("decode_attn_fp8kv", "fp8")]:
     register_op(
@@ -308,4 +311,4 @@ for _name, _tag in [("decode_attn_int8kv", "int8"),
         ref=_decode_q_ref, flops=_decode_q_flops,
         atol=5e-2, rtol=5e-2,
         family="decode-attn-quant", tags=(_tag, "decode"),
-    )(make_decode_attention_quantized(block_k=128))
+    )(_decode_q_fn)

@@ -119,6 +119,7 @@ def _timed_cache_key(fn, args, iters):
     which dominated interleaved duels with many reps. Unhashable fns (rare:
     e.g. bound methods of unhashable objects) skip the cache."""
     try:
+        hash(fn)
         sig = tuple(
             (tuple(leaf.shape), str(leaf.dtype))
             for leaf in jax.tree_util.tree_leaves(args)
@@ -136,6 +137,8 @@ def _build_timed(fn, args, iters: int):
         return _TIMED_CACHE[key]
     built = _build_timed_uncached(fn, args, iters)
     if key is not None:
+        if len(_TIMED_CACHE) >= 256:  # bound: sweeps build 100s of fresh fns
+            _TIMED_CACHE.pop(next(iter(_TIMED_CACHE)))
         _TIMED_CACHE[key] = built
     return built
 

@@ -113,10 +113,15 @@ def worker(coord: str, rank: int, ref_path: str, out_path: str) -> None:
     prompts = jax.device_put(prompts_np,
                              NamedSharding(dmesh, P("dp", None)))
     toks = generate_scan(sh, wide, prompts, 6, mesh=dmesh)
-    toks = np.asarray(jax.experimental.multihost_utils.process_allgather(
-        toks, tiled=True)) if not toks.is_fully_replicated else np.asarray(
-        jax.device_get(jax.jit(lambda x: x, out_shardings=NamedSharding(
-            dmesh, P()))(toks)))
+    if not toks.is_fully_replicated:
+        # multihost_utils is NOT lazily exposed on jax.experimental —
+        # import the submodule explicitly
+        from jax.experimental import multihost_utils as mhu
+        toks = np.asarray(mhu.process_allgather(toks, tiled=True))
+    else:
+        toks = np.asarray(
+            jax.device_get(jax.jit(lambda x: x, out_shardings=NamedSharding(
+                dmesh, P()))(toks)))
     np.testing.assert_array_equal(toks, ref)
     results["decode_token_exact"] = True
 

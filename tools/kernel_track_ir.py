@@ -159,7 +159,7 @@ def t3_build(interpret=False):
     def swz(t):
         # grouped column walk: all i for each group of G columns
         g, r = t // (ni * G), t % (ni * G)
-        cur = min(G, nj - 0) if isinstance(t, int) else jnp.minimum(
+        cur = min(G, nj - g * G) if isinstance(t, int) else jnp.minimum(
             G, nj - g * G)
         return r // cur, g * G + r % cur
 
