@@ -249,7 +249,13 @@ class Engine:
             from leetcuda_tpu.engine.speculative import decode_chunk
 
             assert draft is not None, "spec_k requires draft=(params, cfg)"
-            assert sample_fn is _greedy, "speculative decoding is greedy-exact"
+            # greedy -> exact token matching; stochastic samplers work via
+            # rejection sampling (speculative.rejection_step), which needs
+            # the sampler's warped distribution — make_sampler() attaches it
+            self._spec_warp = getattr(sample_fn, "warp", None)
+            assert sample_fn is _greedy or self._spec_warp is not None, (
+                "speculative decoding needs greedy or a make_sampler() "
+                "sampler (carries its .warp for rejection sampling)")
             d_params, d_cfg = draft
             self.draft = (d_params, d_cfg)
             # the draft always runs on plain slot caches, replicated (not

@@ -20,13 +20,16 @@ def greedy(logits, key=None):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
-def make_sampler(temperature: float = 1.0, top_k: int | None = None,
-                 top_p: float | None = None):
-    """Build sample(logits, key). temperature<=0 degenerates to greedy."""
-    if temperature <= 0:
-        return greedy
+def make_warper(temperature: float = 1.0, top_k: int | None = None,
+                top_p: float | None = None):
+    """Build warp(logits) -> filtered/scaled logits — the distribution
+    transform of make_sampler WITHOUT the draw. Speculative sampling needs
+    the warped distributions of BOTH models explicitly (accept ratio
+    p_t(x)/p_d(x) and the residual max(p_t - p_d, 0) are defined on the
+    warped distributions), so the transform is factored out here."""
+    assert temperature > 0, "warper is for stochastic sampling"
 
-    def sample(logits, key):
+    def warp(logits):
         x = logits.astype(jnp.float32) / temperature
         if top_k is not None:
             kth = jnp.sort(x, axis=-1)[..., -top_k][..., None]
@@ -41,6 +44,23 @@ def make_sampler(temperature: float = 1.0, top_k: int | None = None,
             cutoff = jnp.min(jnp.where(keep_sorted, sorted_x, jnp.inf),
                              axis=-1, keepdims=True)
             x = jnp.where(x < cutoff, _NEG_INF, x)
-        return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+        return x
 
+    return warp
+
+
+def make_sampler(temperature: float = 1.0, top_k: int | None = None,
+                 top_p: float | None = None):
+    """Build sample(logits, key). temperature<=0 degenerates to greedy."""
+    if temperature <= 0:
+        return greedy
+    warp = make_warper(temperature, top_k, top_p)
+
+    def sample(logits, key):
+        return jax.random.categorical(
+            key, warp(logits), axis=-1).astype(jnp.int32)
+
+    # the engine's speculative mode needs the warped distribution itself
+    # (rejection sampling is defined on it), so the sampler carries its warp
+    sample.warp = warp
     return sample

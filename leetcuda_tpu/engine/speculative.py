@@ -323,3 +323,139 @@ def speculative_generate(params_target, cfg_t: ModelConfig,
 
     rate = accepted_tot / max(proposed_tot, 1)
     return jnp.asarray(out[:, :max_new]), rate
+
+
+# --- stochastic speculative sampling ----------------------------------------------
+# Rejection scheme of "Fast Inference from Transformers via Speculative
+# Decoding" (Leviathan et al.) / "Accelerating LLM Decoding with Speculative
+# Sampling" (Chen et al.): accept draft token x ~ p_d w.p. min(1, p_t(x)/
+# p_d(x)); on rejection emit y ~ norm(max(p_t - p_d, 0)). The emitted
+# marginal is EXACTLY p_t per position (tested by Monte Carlo in
+# tests/test_speculative.py), so sampled serving keeps the target model's
+# distribution while still amortizing its weight stream over k+1 positions.
+
+
+def rejection_step(key, x, p_d, p_t):
+    """One position of speculative rejection sampling.
+
+    x (B,) draft tokens drawn from p_d (B, V); p_t (B, V) the target's warped
+    distribution at the same position. Returns (accept (B,) bool,
+    replacement (B,) int32 drawn from the normalized residual — only
+    meaningful where ``accept`` is False)."""
+    ku, kr = jax.random.split(key)
+    pt_x = jnp.take_along_axis(p_t, x[:, None], axis=1)[:, 0]
+    pd_x = jnp.take_along_axis(p_d, x[:, None], axis=1)[:, 0]
+    u = jax.random.uniform(ku, x.shape, jnp.float32)
+    accept = u * pd_x < pt_x          # u < p_t(x)/p_d(x), div-free form
+    resid = jnp.maximum(p_t - p_d, 0.0)
+    mass = resid.sum(axis=-1, keepdims=True)
+    # p_t == p_d -> zero residual; any draw is already exact, use p_t
+    resid = jnp.where(mass > 0, resid / jnp.maximum(mass, 1e-30), p_t)
+    repl = jax.random.categorical(
+        kr, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1).astype(jnp.int32)
+    return accept, repl
+
+
+def speculative_sample_generate(params_target, cfg_t: ModelConfig,
+                                params_draft, cfg_d: ModelConfig,
+                                prompts, max_new: int, key,
+                                k: int = 4, temperature: float = 1.0,
+                                top_k: int | None = None,
+                                top_p: float | None = None,
+                                max_seq: int | None = None):
+    """Sampled speculative decoding for a (B, S) prompt batch.
+
+    Per-position output distribution == sampling the target model directly
+    with the same (temperature, top_k, top_p) warp — the draft only changes
+    WHEN tokens are computed, not WHAT distribution they come from. Returns
+    (tokens (B, max_new), acceptance_rate)."""
+    from leetcuda_tpu.engine.sampling import make_warper
+
+    warp = make_warper(temperature, top_k, top_p)
+    B, S = prompts.shape
+    max_seq = max_seq or ((S + max_new + k + 1023) // 1024) * 1024
+
+    caches_t = init_kv_caches(cfg_t, B, max_seq)
+    caches_d = init_kv_caches(cfg_d, B, max_seq)
+    logits_t, kvs = forward(params_target, prompts, cfg_t, return_kv=True)
+    caches_t = _insert_kvs(caches_t, kvs, jnp.int32(0), jnp.int32(S))
+    _, kvs_d = forward(params_draft, prompts, cfg_d, return_kv=True)
+    caches_d = _insert_kvs(caches_d, kvs_d, jnp.int32(0), jnp.int32(S))
+
+    lengths = jnp.full((B,), S, jnp.int32)
+    key, k0 = jax.random.split(key)
+    cur = jax.random.categorical(
+        k0, warp(logits_t[:, S - 1]), axis=-1).astype(jnp.int32)
+
+    out = np.zeros((B, max_new + k + 1), np.int32)
+    n_out = np.zeros((B,), np.int64)
+    accepted_tot = proposed_tot = 0
+
+    while int(n_out.min()) < max_new:
+        not_done = n_out < max_new
+        for b in range(B):
+            if not_done[b]:
+                out[b, n_out[b]] = int(cur[b])
+                n_out[b] += 1
+
+        # --- draft proposes k sampled tokens, recording its distributions ----
+        key, *dkeys = jax.random.split(key, k + 1)
+        d_tokens, d_probs = [cur], []
+        d_len = lengths
+        tok = cur
+        for t in range(k):
+            lg, caches_d = decode_step(params_draft, tok, caches_d,
+                                       d_len, cfg_d)
+            p_d = jax.nn.softmax(warp(lg), axis=-1)
+            tok = jax.random.categorical(
+                dkeys[t], jnp.log(jnp.maximum(p_d, 1e-30)),
+                axis=-1).astype(jnp.int32)
+            d_tokens.append(tok)
+            d_probs.append(p_d)
+            d_len = d_len + 1
+        _, caches_d = decode_step(params_draft, tok, caches_d, d_len, cfg_d)
+        chunk = jnp.stack(d_tokens, axis=1)          # (B, k+1)
+        p_d_all = jnp.stack(d_probs, axis=1)         # (B, k, V)
+
+        # --- target verifies; per-position rejection sampling ----------------
+        logits, caches_t = _jit_chunk(params_target, chunk, caches_t,
+                                      lengths, cfg_t)
+        p_t_all = jax.nn.softmax(warp(logits), axis=-1)  # (B, k+1, V)
+
+        key, *vkeys = jax.random.split(key, k + 2)
+        accepts, repls = [], []
+        for t in range(k):
+            acc_t, rep_t = rejection_step(vkeys[t], chunk[:, t + 1],
+                                          p_d_all[:, t], p_t_all[:, t])
+            accepts.append(acc_t)
+            repls.append(rep_t)
+        accept_mat = np.asarray(jnp.stack(accepts, axis=1))   # (B, k)
+        repl_mat = np.asarray(jnp.stack(repls, axis=1))       # (B, k)
+        bonus = np.asarray(jax.random.categorical(
+            vkeys[k], jnp.log(jnp.maximum(p_t_all[:, k], 1e-30)),
+            axis=-1))                                         # (B,)
+
+        n_acc = np.argmin(np.concatenate(
+            [accept_mat, np.zeros((B, 1), bool)], axis=1).astype(np.int32),
+            axis=1)
+        proposals = np.asarray(chunk[:, 1:])
+        accepted_tot += int(n_acc[not_done].sum())
+        proposed_tot += int(not_done.sum()) * k
+
+        nxt = np.where(n_acc == k, bonus,
+                       repl_mat[np.arange(B), np.minimum(n_acc, k - 1)])
+        for b in range(B):
+            if not not_done[b]:
+                continue
+            for t in range(int(n_acc[b])):
+                if n_out[b] < max_new + k:
+                    out[b, n_out[b]] = int(proposals[b, t])
+                n_out[b] += 1
+
+        cur = jnp.where(jnp.asarray(not_done), jnp.asarray(nxt, jnp.int32),
+                        cur)
+        lengths = lengths + jnp.where(jnp.asarray(not_done),
+                                      1 + jnp.asarray(n_acc, jnp.int32), 0)
+
+    rate = accepted_tot / max(proposed_tot, 1)
+    return jnp.asarray(out[:, :max_new]), rate

@@ -175,3 +175,61 @@ def test_draft_kv_memory_report(models):
     t = 32 * 2 * 8 * 32 * 2048 * 128 * 1
     d = 22 * 2 * 8 * 4 * 2048 * 64 * 2
     assert d / t < 0.1
+
+
+def test_rejection_step_marginal_is_target():
+    """Monte Carlo check of the speculative-sampling identity: the emitted
+    marginal P(accept)·p_d-draw + P(reject)·residual-draw equals p_t exactly
+    (Leviathan/Chen). 40k draws on a fixed skewed (p_d, p_t) pair."""
+    from leetcuda_tpu.engine.speculative import rejection_step
+
+    V, N = 8, 40_000
+    rng = np.random.default_rng(0)
+    p_d = rng.dirichlet(np.ones(V) * 0.7)
+    p_t = rng.dirichlet(np.ones(V) * 0.7)
+    p_d_b = jnp.asarray(np.tile(p_d, (N, 1)), jnp.float32)
+    p_t_b = jnp.asarray(np.tile(p_t, (N, 1)), jnp.float32)
+
+    kd, kr = jax.random.split(jax.random.key(42))
+    x = jax.random.categorical(kd, jnp.log(p_d_b), axis=-1).astype(jnp.int32)
+    accept, repl = rejection_step(kr, x, p_d_b, p_t_b)
+    emitted = np.asarray(jnp.where(accept, x, repl))
+
+    emp = np.bincount(emitted, minlength=V) / N
+    # 3-sigma binomial tolerance per bin
+    tol = 3 * np.sqrt(p_t * (1 - p_t) / N) + 1e-3
+    assert np.all(np.abs(emp - p_t) < tol), (emp, p_t, tol)
+
+    # degenerate case p_d == p_t: everything accepted in expectation ~ 1
+    acc2, _ = rejection_step(kr, x, p_d_b, p_d_b)
+    assert float(jnp.mean(acc2)) > 0.999
+
+
+def test_speculative_sampling_runs_and_degenerates(models):
+    """speculative_sample_generate: valid tokens, sane acceptance rate; with
+    draft == target and temperature -> tiny, behaves like greedy (acceptance
+    ~ 1 and output == the target's greedy decode)."""
+    from leetcuda_tpu.engine.speculative import (
+        speculative_sample_generate, speculative_generate)
+
+    cfg_t, params_t, cfg_d, params_d = models
+    rng = np.random.default_rng(7)
+    prompts = jnp.asarray(rng.integers(0, cfg_t.vocab_size, (2, 12)),
+                          jnp.int32)
+
+    toks, rate = speculative_sample_generate(
+        params_t, cfg_t, params_d, cfg_d, prompts, max_new=8,
+        key=jax.random.key(0), k=3, temperature=1.0, top_k=16)
+    assert toks.shape == (2, 8) and 0.0 <= rate <= 1.0
+    assert np.all((np.asarray(toks) >= 0)
+                  & (np.asarray(toks) < cfg_t.vocab_size))
+
+    # self-draft at near-zero temperature: sampling concentrates on argmax,
+    # so the sampled path must reproduce the greedy-exact stream
+    want, _ = speculative_generate(params_t, cfg_t, params_t, cfg_t,
+                                   prompts, max_new=6, k=3)
+    got, rate2 = speculative_sample_generate(
+        params_t, cfg_t, params_t, cfg_t, prompts, max_new=6,
+        key=jax.random.key(1), k=3, temperature=1e-4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert rate2 > 0.99, rate2
