@@ -273,6 +273,49 @@ class Engine:
                 functools.partial(decode_chunk, mesh=mesh),
                 static_argnames=("cfg",), donate_argnums=(2,))
             self._accepted = self._proposed = 0
+            if self._spec_warp is not None:
+                from leetcuda_tpu.engine.speculative import rejection_step
+
+                warp, k = self._spec_warp, ec.spec_k
+
+                def draft_sample(key, logits):
+                    p_d = jax.nn.softmax(warp(logits), axis=-1)
+                    tok = jax.random.categorical(
+                        key, jnp.log(jnp.maximum(p_d, 1e-30)),
+                        axis=-1).astype(jnp.int32)
+                    return tok, p_d
+
+                def spec_verdict(key, chunk, p_d_all, logits):
+                    """(n_acc, next_token) per slot from the rejection rule.
+                    chunk (slots, k+1) draft tokens; p_d_all (slots, k, V)
+                    draft distributions; logits (slots, k+1, V) target
+                    verify logits. next = residual draw at the first
+                    rejection, or a bonus draw from p_t[k] on full accept —
+                    the emitted marginal equals sampling the target directly
+                    (speculative.rejection_step docstring)."""
+                    p_t = jax.nn.softmax(warp(logits), axis=-1)
+                    keys = jax.random.split(key, k + 1)
+                    accs, reps = [], []
+                    for t in range(k):
+                        a, r = rejection_step(keys[t], chunk[:, t + 1],
+                                              p_d_all[:, t], p_t[:, t])
+                        accs.append(a)
+                        reps.append(r)
+                    match = jnp.stack(accs, axis=1)
+                    n_slots = chunk.shape[0]
+                    n_acc = jnp.argmin(jnp.concatenate(
+                        [match, jnp.zeros((n_slots, 1), bool)], axis=1)
+                        .astype(jnp.int32), axis=1)
+                    bonus = jax.random.categorical(
+                        keys[k], jnp.log(jnp.maximum(p_t[:, k], 1e-30)),
+                        axis=-1).astype(jnp.int32)
+                    repl = jnp.take_along_axis(
+                        jnp.stack(reps, axis=1),
+                        jnp.minimum(n_acc, k - 1)[:, None], axis=1)[:, 0]
+                    return n_acc, jnp.where(n_acc == k, bonus, repl)
+
+                self._draft_sample = jax.jit(draft_sample)
+                self._spec_verdict = jax.jit(spec_verdict)
 
         self._hlen = np.zeros((ec.slots,), np.int64)  # host-side lengths
         self._decode = jax.jit(
@@ -637,14 +680,21 @@ class Engine:
             live[s] = True
         live_j = jnp.asarray(live)
 
-        # draft proposes k tokens (cache advances k+1 for full-accept sync)
-        d_tokens = [self.last_tokens]
+        # draft proposes k tokens (cache advances k+1 for full-accept sync);
+        # greedy mode takes argmax, stochastic mode samples from the warped
+        # draft distribution and records it for the rejection rule
+        stochastic = self._spec_warp is not None
+        d_tokens, d_probs = [self.last_tokens], []
         d_len = self.lengths
         tok = self.last_tokens
         for _ in range(k):
             lg, self.caches_d = self._decode_d(d_params, tok, self.caches_d,
                                                d_len, cfg=d_cfg)
-            tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            if stochastic:
+                tok, p_d = self._draft_sample(self._next_key(), lg)
+                d_probs.append(p_d)
+            else:
+                tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
             d_tokens.append(tok)
             d_len = d_len + 1
         _, self.caches_d = self._decode_d(d_params, tok, self.caches_d,
@@ -655,14 +705,18 @@ class Engine:
               if self.pm is not None else {})
         logits, self.caches = self._verify(self.params, chunk, self.caches,
                                            self.lengths, cfg=self.cfg, **kw)
-        target_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         proposals = chunk[:, 1:]
-        match = proposals == target_next[:, :-1]
-        n_acc = jnp.argmin(jnp.concatenate(
-            [match, jnp.zeros((self.ec.slots, 1), bool)], axis=1)
-            .astype(jnp.int32), axis=1)
-        new_cur = jnp.take_along_axis(target_next, n_acc[:, None],
-                                      axis=1)[:, 0]
+        if stochastic:
+            n_acc, new_cur = self._spec_verdict(
+                self._next_key(), chunk, jnp.stack(d_probs, axis=1), logits)
+        else:
+            target_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            match = proposals == target_next[:, :-1]
+            n_acc = jnp.argmin(jnp.concatenate(
+                [match, jnp.zeros((self.ec.slots, 1), bool)], axis=1)
+                .astype(jnp.int32), axis=1)
+            new_cur = jnp.take_along_axis(target_next, n_acc[:, None],
+                                          axis=1)[:, 0]
 
         n_acc_np = np.asarray(jax.device_get(n_acc))
         props_np = np.asarray(jax.device_get(proposals))

@@ -233,3 +233,48 @@ def test_fp8kv_paged_tp_matches_singleshard(setup):
     mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
     got = run(mesh)
     assert got == want, (got, want)
+
+
+def test_spec_sampled_near_greedy_exact(setup, draft):
+    """Stochastic speculative serving (rejection sampling) at temperature
+    ~0: the warped distribution is one-hot at the argmax, so the sampled
+    engine must reproduce the greedy stream token-for-token — while running
+    entirely through the _spec_verdict rejection path."""
+    from leetcuda_tpu.engine.sampling import make_sampler
+
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (6, 12)]
+    eng = Engine(params, cfg, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, spec_k=3),
+        draft=draft, sample_fn=make_sampler(temperature=1e-4))
+    got = eng.run(prompts, max_new=6)
+    for uid, prompt in zip(sorted(got), prompts):
+        want = solo_greedy(params, cfg, prompt, 6)
+        assert got[uid] == want, (uid, got[uid], want)
+    # at T->0 the accept rule degenerates to argmax agreement, so the
+    # stochastic path's acceptance must equal the greedy engine's exactly
+    ref = Engine(params, cfg, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, spec_k=3), draft=draft)
+    ref.run(prompts, max_new=6)
+    assert eng.acceptance_rate == ref.acceptance_rate
+
+
+def test_spec_sampled_paged_int8(setup, draft):
+    """Sampled speculative x paged x int8-KV: the rejection path composes
+    with the quantized paged verify chunk. Tokens are stochastic (T=0.9,
+    top_k) — assert validity, liveness, and a sane acceptance rate."""
+    from leetcuda_tpu.engine.sampling import make_sampler
+
+    cfg, params = setup
+    rng = np.random.default_rng(13)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (7, 10)]
+    eng = Engine(params, cfg, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        kv_quant="int8", spec_k=2),
+        draft=draft, sample_fn=make_sampler(temperature=0.9, top_k=32))
+    got = eng.run(prompts, max_new=6)
+    assert sorted(got) and all(len(v) == 6 for v in got.values())
+    for toks in got.values():
+        assert all(0 <= t < cfg.vocab_size for t in toks)
+    assert 0.0 <= eng.acceptance_rate <= 1.0
