@@ -559,11 +559,17 @@ def loss_fn(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
 
 
 def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
-                    learning_rate: float = 3e-4, remat: bool = True):
+                    learning_rate: float = 3e-4, remat: bool = True,
+                    fsdp: bool = False):
     """AdamW train step. Under a mesh, jit with GSPMD shardings: weights per
     Megatron TP rules, batch on dp, sequence on sp. ``remat`` (default on)
     checkpoints each layer — without it the 0.8B at B=8 S=2048 OOMs 16 GB HBM
-    (activations ~10 GB); with it they rematerialize in the backward."""
+    (activations ~10 GB); with it they rematerialize in the backward.
+
+    ``fsdp=True`` (requires a mesh) keeps params AND optimizer state sharded
+    over the dp axis on top of TP (ZeRO-3): declare the resident layout via
+    in/out shardings and XLA inserts jit all-gathers / grad reduce-scatters
+    (parallel/fsdp.py). Enter params via ``shard_params_fsdp``."""
     import optax
 
     tx = optax.adamw(learning_rate)
@@ -582,7 +588,12 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
         # donate params/opt_state: two 8GB state generations don't fit HBM
         return init_opt, jax.jit(step, donate_argnums=(0, 1))
 
-    pspec = param_shardings(cfg, mesh)
+    if fsdp:
+        from leetcuda_tpu.parallel.fsdp import fsdp_param_shardings
+
+        pspec = fsdp_param_shardings(cfg, mesh)
+    else:
+        pspec = param_shardings(cfg, mesh)
     pshard = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), pspec,
         is_leaf=lambda s: isinstance(s, P))
