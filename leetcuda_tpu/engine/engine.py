@@ -274,9 +274,10 @@ class Engine:
                 static_argnames=("cfg",), donate_argnums=(2,))
             self._accepted = self._proposed = 0
             if self._spec_warp is not None:
-                from leetcuda_tpu.engine.speculative import rejection_step
+                from leetcuda_tpu.engine.speculative import (
+                    speculative_verdict)
 
-                warp, k = self._spec_warp, ec.spec_k
+                warp = self._spec_warp
 
                 def draft_sample(key, logits):
                     p_d = jax.nn.softmax(warp(logits), axis=-1)
@@ -285,37 +286,12 @@ class Engine:
                         axis=-1).astype(jnp.int32)
                     return tok, p_d
 
-                def spec_verdict(key, chunk, p_d_all, logits):
-                    """(n_acc, next_token) per slot from the rejection rule.
-                    chunk (slots, k+1) draft tokens; p_d_all (slots, k, V)
-                    draft distributions; logits (slots, k+1, V) target
-                    verify logits. next = residual draw at the first
-                    rejection, or a bonus draw from p_t[k] on full accept —
-                    the emitted marginal equals sampling the target directly
-                    (speculative.rejection_step docstring)."""
-                    p_t = jax.nn.softmax(warp(logits), axis=-1)
-                    keys = jax.random.split(key, k + 1)
-                    accs, reps = [], []
-                    for t in range(k):
-                        a, r = rejection_step(keys[t], chunk[:, t + 1],
-                                              p_d_all[:, t], p_t[:, t])
-                        accs.append(a)
-                        reps.append(r)
-                    match = jnp.stack(accs, axis=1)
-                    n_slots = chunk.shape[0]
-                    n_acc = jnp.argmin(jnp.concatenate(
-                        [match, jnp.zeros((n_slots, 1), bool)], axis=1)
-                        .astype(jnp.int32), axis=1)
-                    bonus = jax.random.categorical(
-                        keys[k], jnp.log(jnp.maximum(p_t[:, k], 1e-30)),
-                        axis=-1).astype(jnp.int32)
-                    repl = jnp.take_along_axis(
-                        jnp.stack(reps, axis=1),
-                        jnp.minimum(n_acc, k - 1)[:, None], axis=1)[:, 0]
-                    return n_acc, jnp.where(n_acc == k, bonus, repl)
-
                 self._draft_sample = jax.jit(draft_sample)
-                self._spec_verdict = jax.jit(spec_verdict)
+                # the composite accept/replace rule lives in speculative.py
+                # (speculative_verdict) — ONE implementation for the engine
+                # and the standalone generator
+                self._spec_verdict = jax.jit(functools.partial(
+                    speculative_verdict, warp=warp))
 
         self._hlen = np.zeros((ec.slots,), np.int64)  # host-side lengths
         self._decode = jax.jit(
@@ -656,10 +632,12 @@ class Engine:
 
     def _step_speculative(self) -> dict[int, int]:
         """One speculative tick: k draft proposals per slot, one (k+1)-chunk
-        target verify, emit 1 + accepted tokens per live slot (greedy-exact:
-        identical stream to plain decoding). Composes with paged/quantized
-        caches and the mesh — only the draft stays on plain replicated slot
-        caches (see __init__)."""
+        target verify, emit 1 + accepted tokens per live slot. With a greedy
+        sampler the stream is exactly plain greedy decoding; with a
+        make_sampler() sampler the accept/replace rule (speculative_verdict)
+        preserves the target's warped sampling distribution per position.
+        Composes with paged/quantized caches and the mesh — only the draft
+        stays on plain replicated slot caches (see __init__)."""
         k = self.ec.spec_k
         d_params, d_cfg = self.draft
 

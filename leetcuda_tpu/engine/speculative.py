@@ -356,6 +356,37 @@ def rejection_step(key, x, p_d, p_t):
     return accept, repl
 
 
+def speculative_verdict(key, chunk, p_d_all, logits, warp):
+    """The composite accept/replace rule — THE single implementation shared
+    by the engine's speculative tick and the standalone generator.
+
+    chunk (B, k+1) draft tokens (position 0 = the committed token); p_d_all
+    (B, k, V) draft distributions for positions 1..k; logits (B, k+1, V)
+    target verify logits; warp the sampler's distribution transform.
+    Returns (n_acc (B,) accepted-prefix lengths, next (B,) the committed
+    next token: the residual draw at the first rejection, or a bonus draw
+    from p_t[k] on full accept)."""
+    B, k = p_d_all.shape[0], p_d_all.shape[1]
+    p_t = jax.nn.softmax(warp(logits), axis=-1)
+    keys = jax.random.split(key, k + 1)
+    accs, reps = [], []
+    for t in range(k):
+        a, r = rejection_step(keys[t], chunk[:, t + 1],
+                              p_d_all[:, t], p_t[:, t])
+        accs.append(a)
+        reps.append(r)
+    match = jnp.stack(accs, axis=1)
+    n_acc = jnp.argmin(jnp.concatenate(
+        [match, jnp.zeros((B, 1), bool)], axis=1).astype(jnp.int32), axis=1)
+    bonus = jax.random.categorical(
+        keys[k], jnp.log(jnp.maximum(p_t[:, k], 1e-30)),
+        axis=-1).astype(jnp.int32)
+    repl = jnp.take_along_axis(
+        jnp.stack(reps, axis=1),
+        jnp.minimum(n_acc, k - 1)[:, None], axis=1)[:, 0]
+    return n_acc, jnp.where(n_acc == k, bonus, repl)
+
+
 def speculative_sample_generate(params_target, cfg_t: ModelConfig,
                                 params_draft, cfg_d: ModelConfig,
                                 prompts, max_new: int, key,
@@ -368,9 +399,14 @@ def speculative_sample_generate(params_target, cfg_t: ModelConfig,
     Per-position output distribution == sampling the target model directly
     with the same (temperature, top_k, top_p) warp — the draft only changes
     WHEN tokens are computed, not WHAT distribution they come from. Returns
-    (tokens (B, max_new), acceptance_rate)."""
+    (tokens (B, max_new), acceptance_rate). ``temperature <= 0`` degenerates
+    to the greedy-exact path, matching make_sampler's contract."""
     from leetcuda_tpu.engine.sampling import make_warper
 
+    if temperature <= 0:
+        return speculative_generate(params_target, cfg_t, params_draft,
+                                    cfg_d, prompts, max_new, k=k,
+                                    max_seq=max_seq)
     warp = make_warper(temperature, top_k, top_p)
     B, S = prompts.shape
     max_seq = max_seq or ((S + max_new + k + 1023) // 1024) * 1024
@@ -417,33 +453,18 @@ def speculative_sample_generate(params_target, cfg_t: ModelConfig,
         chunk = jnp.stack(d_tokens, axis=1)          # (B, k+1)
         p_d_all = jnp.stack(d_probs, axis=1)         # (B, k, V)
 
-        # --- target verifies; per-position rejection sampling ----------------
+        # --- target verifies; shared composite accept/replace rule -----------
         logits, caches_t = _jit_chunk(params_target, chunk, caches_t,
                                       lengths, cfg_t)
-        p_t_all = jax.nn.softmax(warp(logits), axis=-1)  # (B, k+1, V)
+        key, vkey = jax.random.split(key)
+        n_acc_j, nxt = speculative_verdict(vkey, chunk, p_d_all, logits,
+                                           warp)
 
-        key, *vkeys = jax.random.split(key, k + 2)
-        accepts, repls = [], []
-        for t in range(k):
-            acc_t, rep_t = rejection_step(vkeys[t], chunk[:, t + 1],
-                                          p_d_all[:, t], p_t_all[:, t])
-            accepts.append(acc_t)
-            repls.append(rep_t)
-        accept_mat = np.asarray(jnp.stack(accepts, axis=1))   # (B, k)
-        repl_mat = np.asarray(jnp.stack(repls, axis=1))       # (B, k)
-        bonus = np.asarray(jax.random.categorical(
-            vkeys[k], jnp.log(jnp.maximum(p_t_all[:, k], 1e-30)),
-            axis=-1))                                         # (B,)
-
-        n_acc = np.argmin(np.concatenate(
-            [accept_mat, np.zeros((B, 1), bool)], axis=1).astype(np.int32),
-            axis=1)
+        n_acc = np.asarray(n_acc_j)
         proposals = np.asarray(chunk[:, 1:])
         accepted_tot += int(n_acc[not_done].sum())
         proposed_tot += int(not_done.sum()) * k
 
-        nxt = np.where(n_acc == k, bonus,
-                       repl_mat[np.arange(B), np.minimum(n_acc, k - 1)])
         for b in range(B):
             if not not_done[b]:
                 continue
@@ -452,10 +473,9 @@ def speculative_sample_generate(params_target, cfg_t: ModelConfig,
                     out[b, n_out[b]] = int(proposals[b, t])
                 n_out[b] += 1
 
-        cur = jnp.where(jnp.asarray(not_done), jnp.asarray(nxt, jnp.int32),
-                        cur)
+        cur = jnp.where(jnp.asarray(not_done), nxt, cur)
         lengths = lengths + jnp.where(jnp.asarray(not_done),
-                                      1 + jnp.asarray(n_acc, jnp.int32), 0)
+                                      1 + n_acc_j, 0)
 
     rate = accepted_tot / max(proposed_tot, 1)
     return jnp.asarray(out[:, :max_new]), rate

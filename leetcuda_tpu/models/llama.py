@@ -560,7 +560,7 @@ def loss_fn(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
 
 def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
                     learning_rate: float = 3e-4, remat: bool = True,
-                    fsdp: bool = False):
+                    fsdp: bool = False, example_params=None):
     """AdamW train step. Under a mesh, jit with GSPMD shardings: weights per
     Megatron TP rules, batch on dp, sequence on sp. ``remat`` (default on)
     checkpoints each layer — without it the 0.8B at B=8 S=2048 OOMs 16 GB HBM
@@ -569,7 +569,10 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
     ``fsdp=True`` (requires a mesh) keeps params AND optimizer state sharded
     over the dp axis on top of TP (ZeRO-3): declare the resident layout via
     in/out shardings and XLA inserts jit all-gathers / grad reduce-scatters
-    (parallel/fsdp.py). Enter params via ``shard_params_fsdp``."""
+    (parallel/fsdp.py). Enter params via ``shard_params_fsdp``; pass
+    ``example_params`` when the tree differs from init_params' (untied
+    lm_head, fused projections from the HF loader) so the declared
+    shardings match its structure."""
     import optax
 
     tx = optax.adamw(learning_rate)
@@ -584,6 +587,8 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    if fsdp and mesh is None:
+        raise ValueError("fsdp=True requires a mesh with a dp axis")
     if mesh is None:
         # donate params/opt_state: two 8GB state generations don't fit HBM
         return init_opt, jax.jit(step, donate_argnums=(0, 1))
@@ -591,7 +596,7 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
     if fsdp:
         from leetcuda_tpu.parallel.fsdp import fsdp_param_shardings
 
-        pspec = fsdp_param_shardings(cfg, mesh)
+        pspec = fsdp_param_shardings(cfg, mesh, params=example_params)
     else:
         pspec = param_shardings(cfg, mesh)
     pshard = jax.tree_util.tree_map(

@@ -25,6 +25,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["fsdp_param_shardings", "shard_params_fsdp"]
 
+# column-/row-parallel specs for tree keys init_params doesn't emit but the
+# HF loader can (fused projections, biases) — mirrors llama.py's
+# shard_llama_params fused_specs table
+_EXTRA_SPECS = {
+    "lm_head": P(None, None),
+    "wqkv": P(None, "tp"), "w_gate_up": P(None, "tp"),
+    "bq": P("tp"), "bk": P("tp"), "bv": P("tp"),
+}
+
 
 def _extend_leaf(shape, spec: P, mesh: Mesh, axis: str) -> P:
     """Additionally shard the largest unsharded, divisible dim over ``axis``.
@@ -46,31 +55,52 @@ def _extend_leaf(shape, spec: P, mesh: Mesh, axis: str) -> P:
     return P(*names)
 
 
-def _extend_tree(shapes, spec, mesh: Mesh, axis: str):
-    if isinstance(spec, P):
-        return _extend_leaf(tuple(shapes.shape), spec, mesh, axis)
-    if isinstance(spec, dict):
-        return {k: _extend_tree(shapes[k], spec[k], mesh, axis) for k in spec}
-    if isinstance(spec, (list, tuple)):
-        return [_extend_tree(sh, sp, mesh, axis)
-                for sh, sp in zip(shapes, spec)]
-    raise TypeError(f"unexpected spec node {type(spec)}")
-
-
-def fsdp_param_shardings(cfg, mesh: Mesh, axis: str = "dp"):
+def fsdp_param_shardings(cfg, mesh: Mesh, axis: str = "dp", params=None):
     """PartitionSpec pytree: Megatron TP rules + ZeRO-3 sharding over
-    ``axis``. Shapes come from ``jax.eval_shape`` of the initializer — no
-    params are materialized."""
+    ``axis``. Walks the ACTUAL param tree when given (handles untied
+    lm_head / fused wqkv / biases from the HF loader); otherwise shapes come
+    from ``jax.eval_shape`` of the initializer — nothing is materialized.
+    Quantized packs ({"q","s"} / {"q4",...}) are rejected: FSDP targets
+    dense training trees (train in bf16/f32, quantize for serving)."""
     from leetcuda_tpu.models.llama import init_params, param_shardings
 
     base = param_shardings(cfg, mesh)
-    shapes = jax.eval_shape(lambda k: init_params(k, cfg), jax.random.key(0))
-    return _extend_tree(shapes, base, mesh, axis)
+    layer_table = dict(base["layers"][0])
+    if params is None:
+        params = jax.eval_shape(lambda k: init_params(k, cfg),
+                                jax.random.key(0))
+
+    def leaf(x, spec):
+        return _extend_leaf(tuple(x.shape), spec, mesh, axis)
+
+    def walk_dict(tree, table):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                if "q" in v or "q4" in v:
+                    raise ValueError(
+                        f"FSDP shards dense training params; leaf '{k}' is "
+                        "a quantized pack — dequantize (or train the bf16 "
+                        "tree) first")
+                sub = table.get(k)
+                if not isinstance(sub, dict):
+                    sub = {}
+                out[k] = walk_dict(v, sub)
+            else:
+                spec = table.get(k, _EXTRA_SPECS.get(
+                    k, P(*((None,) * v.ndim))))
+                out[k] = leaf(v, spec)
+        return out
+
+    top_table = {k: v for k, v in base.items() if k != "layers"}
+    out = walk_dict({k: v for k, v in params.items() if k != "layers"},
+                    top_table)
+    out["layers"] = [walk_dict(l, layer_table) for l in params["layers"]]
+    return out
 
 
 def shard_params_fsdp(params, cfg, mesh: Mesh, axis: str = "dp"):
     """device_put the param tree into its FSDP-resident layout."""
-    spec = fsdp_param_shardings(cfg, mesh, axis)
+    spec = fsdp_param_shardings(cfg, mesh, axis, params=params)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, spec,
-        is_leaf=lambda x: isinstance(x, P))
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, spec)

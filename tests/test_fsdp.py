@@ -75,3 +75,27 @@ def test_fsdp_step_matches_unsharded(setup):
             np.asarray(a, np.float32), np.asarray(jax.device_get(b),
                                                   np.float32),
             rtol=5e-2, atol=5e-3)
+
+
+def test_fsdp_handles_hf_trees_and_rejects_quant(setup):
+    """Review fixes: untied-lm_head trees get specs (no pytree mismatch),
+    quantized packs are rejected with a clear message, and fsdp=True without
+    a mesh raises instead of silently degrading to the unsharded step."""
+    from leetcuda_tpu.models.llama import quantize_params
+
+    cfg, params, _ = setup
+    mesh = make_mesh(MeshConfig(dp=4, sp=1, tp=2), devices=jax.devices())
+
+    untied = dict(params)
+    untied["lm_head"] = jnp.array(params["embed"])
+    spec = fsdp_param_shardings(cfg, mesh, params=untied)
+    assert "lm_head" in spec and "dp" in tuple(spec["lm_head"])
+    sh = shard_params_fsdp(untied, cfg, mesh)
+    lm = sh["lm_head"]
+    assert lm.addressable_shards[0].data.shape[0] == lm.shape[0] // 4
+
+    with pytest.raises(ValueError, match="quantized pack"):
+        fsdp_param_shardings(cfg, mesh, params=quantize_params(params))
+
+    with pytest.raises(ValueError, match="requires a mesh"):
+        make_train_step(cfg, mesh=None, fsdp=True)
