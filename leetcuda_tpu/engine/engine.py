@@ -851,28 +851,40 @@ class Engine:
 
 
 @functools.lru_cache(maxsize=None)
-def make_generate_scan(cfg: ModelConfig, max_new: int, mesh=None):
-    """Build the reusable jitted greedy generator (cached so repeated
-    benchmark reps hit the compile cache). go(params, prompts, caches) ->
-    tokens (B, max_new); the caches argument is donated."""
+def make_generate_scan(cfg: ModelConfig, max_new: int, mesh=None,
+                       sample_fn=None):
+    """Build the reusable jitted generator (cached so repeated benchmark
+    reps hit the compile cache). go(params, prompts, caches[, key]) ->
+    tokens (B, max_new); the caches argument is donated.
+
+    Greedy by default; with ``sample_fn(logits, key)`` (engine/sampling.py)
+    the whole sampled loop stays inside the one jit — per-step keys are
+    ``fold_in``s of the caller's key, so the stream is reproducible."""
+    stochastic = sample_fn is not None and sample_fn is not _greedy
 
     @functools.partial(jax.jit, donate_argnums=(2,))
-    def go(params, prompts, caches):
+    def go(params, prompts, caches, key=None):
         B, S = prompts.shape
         logits, kvs = forward(params, prompts, cfg, mesh=mesh, return_kv=True)
         ins = _insert_kvs(caches, kvs, jnp.int32(0), jnp.int32(S))
-        first = jnp.argmax(logits[:, S - 1], axis=-1).astype(jnp.int32)
+        if stochastic:
+            first = sample_fn(logits[:, S - 1], jax.random.fold_in(key, 0))
+        else:
+            first = jnp.argmax(logits[:, S - 1], axis=-1).astype(jnp.int32)
         lengths = jnp.full((B,), S, jnp.int32)
 
-        def body(carry, _):
+        def body(carry, step):
             toks, caches, lengths = carry
             logits, caches = decode_step_impl(params, toks, caches, lengths,
                                               cfg, mesh=mesh)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if stochastic:
+                nxt = sample_fn(logits, jax.random.fold_in(key, step))
+            else:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nxt, caches, lengths + 1), toks
 
         (_, _, _), toks = jax.lax.scan(
-            body, (first, ins, lengths), None, length=max_new)
+            body, (first, ins, lengths), jnp.arange(1, max_new + 1))
         return toks.T  # (B, max_new)
 
     return go
@@ -880,10 +892,12 @@ def make_generate_scan(cfg: ModelConfig, max_new: int, mesh=None):
 
 def generate_scan(params, cfg: ModelConfig, prompts, max_new: int,
                   kv_quant: str | None = None, max_seq: int | None = None,
-                  mesh=None):
-    """Greedy-generate ``max_new`` tokens for a (B, S) prompt batch with the
+                  mesh=None, sample_fn=None, key=None):
+    """Generate ``max_new`` tokens for a (B, S) prompt batch with the
     entire decode loop inside one jit (lax.scan) — the tokens/s measurement
     path, free of per-token host round-trips. Returns tokens (B, max_new).
+    Greedy by default; pass ``sample_fn`` (make_sampler) + ``key`` for
+    whole-loop-in-one-jit stochastic sampling.
 
     Under a mesh: dp shards the batch, tp the heads (dp | B, tp | n_kv_heads;
     params should already be sharded via shard_llama_params)."""
@@ -892,4 +906,8 @@ def generate_scan(params, cfg: ModelConfig, prompts, max_new: int,
     caches = init_kv_caches(cfg, B, max_seq, quant=kv_quant)
     if mesh is not None:
         caches = shard_kv_caches(caches, mesh)
-    return make_generate_scan(cfg, max_new, mesh)(params, prompts, caches)
+    go = make_generate_scan(cfg, max_new, mesh, sample_fn=sample_fn)
+    if sample_fn is not None and sample_fn is not _greedy:
+        assert key is not None, "sample_fn needs a PRNG key"
+        return go(params, prompts, caches, key)
+    return go(params, prompts, caches)

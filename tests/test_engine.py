@@ -310,3 +310,31 @@ def test_engine_fp8_weights_fp8_kv(setup):
     got2 = eng2.run([prompt], max_new=4)
     (gen2,) = got2.values()
     assert gen2 == gen, (gen2, gen)  # identical quantization path
+
+
+def test_generate_scan_sampled(setup):
+    """Whole-loop-in-one-jit stochastic sampling: reproducible per key,
+    different across keys, and T->0 collapses to the greedy stream."""
+    from leetcuda_tpu.engine.sampling import make_sampler
+
+    cfg, params = setup
+    rng = np.random.default_rng(5)
+    B, S, MAX_NEW = 2, 12, 6
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+    samp = make_sampler(temperature=1.0, top_k=32)
+
+    t1 = generate_scan(params, cfg, prompts, MAX_NEW, sample_fn=samp,
+                       key=jax.random.key(0))
+    t2 = generate_scan(params, cfg, prompts, MAX_NEW, sample_fn=samp,
+                       key=jax.random.key(0))
+    t3 = generate_scan(params, cfg, prompts, MAX_NEW, sample_fn=samp,
+                       key=jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert not np.array_equal(np.asarray(t1), np.asarray(t3))
+    assert np.all((np.asarray(t1) >= 0) & (np.asarray(t1) < cfg.vocab_size))
+
+    cold = generate_scan(params, cfg, prompts, MAX_NEW,
+                         sample_fn=make_sampler(temperature=1e-4),
+                         key=jax.random.key(2))
+    want = generate_scan(params, cfg, prompts, MAX_NEW)
+    np.testing.assert_array_equal(np.asarray(cold), np.asarray(want))

@@ -189,7 +189,11 @@ def main():
 
     dec = {"bf16": dec_stats("bf16", params, None),
            "int8_int8kv": dec_stats("int8+int8kv", q8, "int8"),
-           "int4_int8kv": dec_stats("int4+int8kv", q4, "int8")}
+           "int4_int8kv": dec_stats("int4+int8kv", q4, "int8"),
+           # fp8 KV (e4m3): software-emulated casts on v5e — measured, not
+           # gated, so the quantization table carries a real number with the
+           # emulation caveat (VERDICT r2 #5)
+           "bf16_fp8kv": dec_stats("bf16+fp8kv", params, "fp8")}
     report["decode_tok_s"] = dec
     del q8, q4
 
