@@ -56,7 +56,16 @@ def backend() -> str:
 
 @functools.cache
 def on_tpu() -> bool:
-    """True when the default backend is a real TPU (incl. the axon tunnel)."""
+    """True when the default backend is a real TPU (incl. the axon tunnel).
+
+    ``LEETCUDA_TARGET_TPU=1`` forces True from a CPU-only session — used by
+    tools/lower_sweep.py to build kernels exactly as they would build for
+    the chip (interpret off, f16-compat upcasts on) and lower them for the
+    TPU platform via jax.export without needing hardware."""
+    import os
+
+    if os.environ.get("LEETCUDA_TARGET_TPU") == "1":
+        return True
     try:
         dev = jax.devices()[0]
     except RuntimeError:

@@ -50,8 +50,13 @@ def _wq_mm_kernel(compute_dtype, x_ref, w_ref, s_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # fused dequant: cast the quantized block up right after its DMA
-    w = w_ref[:].astype(compute_dtype)
+    # fused dequant: cast the quantized block up right after its DMA.
+    # Mosaic has no direct fp8->bf16 cast (tools/lower_sweep.py caught the
+    # on-chip failure from a CPU session) — fp8 legalizes via f32
+    w = w_ref[:]
+    if jnp.issubdtype(w.dtype, jnp.floating) and w.dtype.itemsize == 1:
+        w = w.astype(jnp.float32)
+    w = w.astype(compute_dtype)
     acc_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), w,
                           preferred_element_type=jnp.float32)
 
