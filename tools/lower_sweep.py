@@ -38,10 +38,73 @@ import numpy as np
 from hw_sweep import MODULES
 
 
+def e2e_cases():
+    """Composed model/engine/train paths at flagship-model shapes — kernels
+    meet each other here at shapes the per-op sweep never builds (the
+    Dh<128 rope lane-roll crash was exactly this class)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from jax import export
+    from leetcuda_tpu.engine.engine import decode_step_impl, _insert_kvs
+    from leetcuda_tpu.engine.speculative import decode_chunk
+    from leetcuda_tpu.models.llama import (
+        ModelConfig, init_params, forward, init_kv_caches, make_train_step)
+
+    cfg = ModelConfig()  # flagship 0.8B
+    B, S, MAX_SEQ = 8, 128, 2048
+    params = jax.eval_shape(lambda k: init_params(k, cfg), jax.random.key(0))
+    toks = jax.ShapeDtypeStruct((B, S), jnp.int32)
+    tok1 = jax.ShapeDtypeStruct((B,), jnp.int32)
+    lens = jax.ShapeDtypeStruct((B,), jnp.int32)
+    chunk = jax.ShapeDtypeStruct((B, 4), jnp.int32)
+
+    def caches(quant):
+        return jax.eval_shape(
+            lambda: init_kv_caches(cfg, B, MAX_SEQ, quant=quant))
+
+    yield ("prefill_forward",
+           lambda: export.export(
+               jax.jit(functools.partial(forward, cfg=cfg)),
+               platforms=("tpu",))(params, toks))
+    for quant in (None, "int8", "fp8"):
+        yield (f"decode_step_{quant or 'bf16'}",
+               lambda q=quant: export.export(
+                   jax.jit(functools.partial(decode_step_impl, cfg=cfg)),
+                   platforms=("tpu",))(params, tok1, caches(q), lens))
+        yield (f"chunk_verify_{quant or 'bf16'}",
+               lambda q=quant: export.export(
+                   jax.jit(functools.partial(decode_chunk, cfg=cfg)),
+                   platforms=("tpu",))(params, chunk, caches(q), lens))
+    kv = jax.ShapeDtypeStruct((B, cfg.n_kv_heads, S, cfg.head_dim),
+                              jnp.bfloat16)
+    yield ("insert_kvs",
+           lambda: export.export(jax.jit(_insert_kvs), platforms=("tpu",))(
+               caches(None), [(kv, kv) for _ in range(cfg.n_layers)],
+               jax.ShapeDtypeStruct((), jnp.int32),
+               jax.ShapeDtypeStruct((), jnp.int32)))
+
+    def train():
+        _, step = make_train_step(cfg)
+        import optax
+
+        opt = jax.eval_shape(
+            lambda: optax.adamw(1e-4).init(
+                jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), params)))
+        export.export(step, platforms=("tpu",))(
+            params, opt, jax.ShapeDtypeStruct((8, 2048), jnp.int32))
+
+    yield ("train_step_with_flash_bwd", train)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", nargs="*", default=None)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--e2e", action="store_true",
+                    help="also lower composed model/engine/train paths")
     args = ap.parse_args()
 
     for m in MODULES:
@@ -74,6 +137,17 @@ def main():
             failed += 1
             failures.append((name, f"{type(e).__name__}: {str(e)[:200]}"))
             print(f"  FAIL {name}: {failures[-1][1]}")
+    if args.e2e:
+        for name, run in e2e_cases():
+            try:
+                run()
+                passed += 1
+                print(f"  ok   e2e:{name}")
+            except Exception as e:
+                failed += 1
+                failures.append((name,
+                                 f"{type(e).__name__}: {str(e)[:200]}"))
+                print(f"  FAIL e2e:{name}: {failures[-1][1]}")
     print(f"lower sweep: {passed} lowered, {failed} failed, "
           f"{skipped} skipped")
     return 1 if failures else 0
