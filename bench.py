@@ -14,15 +14,47 @@ noisy (RPC floor ~30 ms), so both sides take best-of-3 chained-scan reps.
 from __future__ import annotations
 
 import json
+import os
+import threading
 
-import jax
-import jax.numpy as jnp
+
+def _device_probe(timeout_s: float = 180.0) -> bool:
+    """Guard against a half-up axon tunnel: jax.devices() HANGS (not errors)
+    when the relay is down, which would wedge the driver's bench step. Probe
+    device init on a daemon thread; on timeout emit an honest zero row and
+    hard-exit (the hung C call can't be cancelled)."""
+    ok = threading.Event()
+
+    def probe():
+        try:
+            import jax
+
+            jax.devices()
+            ok.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok.is_set()
 
 
 def main():
-    """Interleaved best-of-5: ours/XLA alternate every rep so both sides
-    sample the same chip/tunnel state (chained-scan timing per rep — see
-    leetcuda_tpu/bench/harness.py)."""
+    if not _device_probe():
+        print(json.dumps({
+            "metric": "hgemm_pallas_bf16_8192cubed_tflops", "value": 0,
+            "unit": "TFLOPS", "vs_baseline": 0,
+            "note": "backend unreachable: device init hung >180s "
+                    "(axon tunnel down)"}), flush=True)
+        os._exit(0)
+
+    # Interleaved best-of-5: ours/XLA alternate every rep so both sides
+    # sample the same chip/tunnel state (chained-scan timing per rep — see
+    # leetcuda_tpu/bench/harness.py).
+    import jax
+    import jax.numpy as jnp
+
     from leetcuda_tpu.bench.harness import run_benchmark
     from leetcuda_tpu.core.runtime import on_tpu
     from leetcuda_tpu.gemm.matmul import hgemm, matmul_ref

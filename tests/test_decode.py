@@ -185,7 +185,6 @@ def test_fuzz_decode_family_cpu():
     root = pathlib.Path(__file__).resolve().parents[1]
     r = subprocess.run(
         [_sys.executable, str(root / "tools/fuzz_decode.py"), "--iters", "6",
-         "--seed", "7"],
-        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+         "--seed", "7", "--cpu"],
         capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-500:]

@@ -28,7 +28,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "overrides JAX_PLATFORMS env, and a downed tunnel "
+                         "hangs device init — CI must not depend on it)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from leetcuda_tpu.attention.decode import (
         make_decode_attention, make_decode_attention_quantized,
