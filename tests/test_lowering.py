@@ -21,7 +21,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_all_ops_lower_for_tpu():
     env = dict(os.environ)
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "lower_sweep.py")],
+        [sys.executable, os.path.join(REPO, "tools", "lower_sweep.py"),
+         "--e2e"],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=1800)
     # lower_sweep exits 1 iff any op failed to lower
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-2000:]

@@ -50,10 +50,12 @@ def e2e_cases():
     from leetcuda_tpu.engine.engine import decode_step_impl, _insert_kvs
     from leetcuda_tpu.engine.speculative import decode_chunk
     from leetcuda_tpu.models.llama import (
-        ModelConfig, init_params, forward, init_kv_caches, make_train_step)
+        ModelConfig, init_params, forward, init_kv_caches,
+        init_paged_kv_caches, make_train_step)
 
     cfg = ModelConfig()  # flagship 0.8B
     B, S, MAX_SEQ = 8, 128, 2048
+    PAGE, NPAGES = 128, B * MAX_SEQ // 128 + 1
     params = jax.eval_shape(lambda k: init_params(k, cfg), jax.random.key(0))
     toks = jax.ShapeDtypeStruct((B, S), jnp.int32)
     tok1 = jax.ShapeDtypeStruct((B,), jnp.int32)
@@ -77,6 +79,22 @@ def e2e_cases():
                lambda q=quant: export.export(
                    jax.jit(functools.partial(decode_chunk, cfg=cfg)),
                    platforms=("tpu",))(params, chunk, caches(q), lens))
+    # paged pool: decode + chunk verify read through the page table
+    table = jax.ShapeDtypeStruct((B, MAX_SEQ // PAGE), jnp.int32)
+    for quant in (None, "int8"):
+        pool = jax.eval_shape(lambda q=quant: init_paged_kv_caches(
+            cfg, NPAGES, PAGE, quant=q))
+        yield (f"decode_step_paged_{quant or 'bf16'}",
+               lambda p=pool: export.export(
+                   jax.jit(functools.partial(decode_step_impl, cfg=cfg)),
+                   platforms=("tpu",))(params, tok1, p, lens,
+                                       page_table=table))
+        yield (f"chunk_verify_paged_{quant or 'bf16'}",
+               lambda p=pool: export.export(
+                   jax.jit(functools.partial(decode_chunk, cfg=cfg)),
+                   platforms=("tpu",))(params, chunk, p, lens,
+                                       page_table=table))
+
     kv = jax.ShapeDtypeStruct((B, cfg.n_kv_heads, S, cfg.head_dim),
                               jnp.bfloat16)
     yield ("insert_kvs",
