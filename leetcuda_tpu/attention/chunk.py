@@ -97,6 +97,15 @@ def _chunk_kernel(scale, Hkv, group, T, block_k, quantized, window,
             l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
             if quantized:
                 p = p * vs_ref[0, kvh].astype(jnp.float32)[None, :]
+            # partial edge block (S_max % bk != 0): padded KV rows hold
+            # undefined data; 0 * NaN = NaN through the dot (same fix as
+            # attention/decode.py). Zero p at invalid positions and v at
+            # columns no chunk row uses — the union of per-row limits is
+            # col < base + T (no bool reduction; Mosaic can't lower those).
+            p = jnp.where(valid, p, 0.0)
+            col_used = (si * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0)) < base + T
+            v_blk = jnp.where(col_used, v_blk, 0.0)
             acc_sc[sl, :] = acc_sc[sl, :] * alpha + jnp.dot(
                 p, v_blk, preferred_element_type=jnp.float32)
             m_sc[sl, :] = jnp.broadcast_to(m_new, (rows, _LANES))

@@ -91,6 +91,12 @@ def _decode_kernel(scale, Hkv, group, block_k, quantized, window, with_lse,
             l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
             if quantized:
                 p = p * vs_ref[0, kvh].astype(jnp.float32)[None, :]
+            # partial edge block (S_max % bk != 0): rows past the array end
+            # are PADDING with undefined contents — a NaN/inf there survives
+            # multiplication by p == 0 (0 * NaN = NaN) and poisons the
+            # accumulator. Zero both sides of the dot at invalid positions.
+            p = jnp.where(valid, p, 0.0)
+            v_blk = jnp.where(valid.reshape(block_k, 1), v_blk, 0.0)
             acc_sc[rows, :] = acc_sc[rows, :] * alpha + jnp.dot(
                 p, v_blk, preferred_element_type=jnp.float32)
             m_sc[rows, :] = jnp.broadcast_to(m_new, (group, _LANES))

@@ -1,0 +1,192 @@
+"""Multi-head Latent Attention (MLA, DeepSeek-V2/V3 family) — TPU-native.
+
+Beyond-reference serving capability: the KV cache stores ONE shared latent
+row per position — ``c = x @ W_dkv`` (kv_lora_rank lanes) plus a small
+RoPE'd key slice — instead of per-head K and V. Cache memory drops by
+``2·H·Dh / (d_c + d_r)`` (14.2x at the DeepSeek-V2 ratios used here), which
+is the difference between paging and not paging at long context.
+
+The TPU-first part is the DECODE mapping: with the weight-absorption
+identity (fold W_uk into the query, W_uv into the output), per-position
+attention becomes MQA with ONE latent "head" of width d_c + d_r:
+
+    score_h(t) = [q_h W_uk , q_h^rope] . [c_t , k_t^rope]
+    out_h      = (sum_t A_h(t) c_t) W_uv_h
+
+so the existing Pallas decode kernel (`attention/decode.py`) runs it
+UNCHANGED: the latent cache is passed as BOTH k_cache and v_cache (one
+buffer, aliased — zero extra memory), Hkv=1, D = d_c + d_r, and the first
+d_c output lanes are the attended latent. No new kernel, full VMEM-lane
+utilization, and the absorbed projections are dense MXU matmuls.
+
+Prefill runs the expanded MHA form (einsum scores; the MXU eats it) and
+returns the latent cache for decode. Numerics: absorbed decode ==
+expanded attention per position (tests/test_mla.py parity test).
+
+Reference analog: none — the reference corpus (SURVEY §2) has no MLA; this
+extends the serving stack the same way fp8-KV/int4 did.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from leetcuda_tpu.attention.decode import make_decode_attention
+from leetcuda_tpu.models.llama import _dus_token
+from leetcuda_tpu.ops.rope import apply_rope_half
+
+
+@dataclasses.dataclass(frozen=True)
+class MLAConfig:
+    dim: int = 2048
+    n_heads: int = 16
+    kv_lora_rank: int = 512       # d_c: latent width shared by K-nope and V
+    qk_nope_head_dim: int = 128   # d_n: per-head non-rotary key/query lanes
+    qk_rope_head_dim: int = 64    # d_r: shared rotary key lanes (1 "head")
+    v_head_dim: int = 128         # d_v: per-head value lanes (expanded form)
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def latent_dim(self) -> int:
+        return self.kv_lora_rank + self.qk_rope_head_dim
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+
+def init_mla_params(key, cfg: MLAConfig):
+    """One MLA attention layer (HF DeepSeek naming minus the LoRA-q path)."""
+    D, H = cfg.dim, cfg.n_heads
+    dc, dn, dr, dv = (cfg.kv_lora_rank, cfg.qk_nope_head_dim,
+                      cfg.qk_rope_head_dim, cfg.v_head_dim)
+    ks = jax.random.split(key, 5)
+
+    def dense(k, fan_in, shape):
+        return (jax.random.normal(k, shape, jnp.float32)
+                / math.sqrt(fan_in)).astype(cfg.dtype)
+
+    return {
+        "w_q": dense(ks[0], D, (D, H * (dn + dr))),
+        "w_dkv": dense(ks[1], D, (D, dc + dr)),
+        "w_uk": dense(ks[2], dc, (H, dc, dn)),
+        "w_uv": dense(ks[3], dc, (H, dc, dv)),
+        "w_o": dense(ks[4], H * dv, (H * dv, D)),
+    }
+
+
+def _q_proj(params, x, cfg: MLAConfig):
+    """x (..., D) -> (qn (..., H, d_n), qr (..., H, d_r)) pre-RoPE."""
+    H, dn, dr = cfg.n_heads, cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    q = (x @ params["w_q"]).reshape(*x.shape[:-1], H, dn + dr)
+    return q[..., :dn], q[..., dn:]
+
+
+def _latent_proj(params, x, cfg: MLAConfig):
+    """x (..., D) -> (c (..., d_c), kr (..., d_r)) pre-RoPE."""
+    dc = cfg.kv_lora_rank
+    ckr = x @ params["w_dkv"]
+    return ckr[..., :dc], ckr[..., dc:]
+
+
+def mla_prefill(params, x, cfg: MLAConfig, max_seq: int | None = None):
+    """Causal MLA over hidden states x (B, S, D).
+
+    Returns (y (B, S, D), latent_cache (B, 1, max_seq, d_c + d_r)) — the
+    cache rows hold [c , RoPE(k_rope)] and feed mla_decode_step directly.
+    Expanded MHA form: scores via einsum (one MXU contraction per term),
+    f32 softmax."""
+    B, S, D = x.shape
+    H = cfg.n_heads
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+
+    qn, qr = _q_proj(params, x, cfg)                       # (B,S,H,dn/dr)
+    qr = apply_rope_half(qr, positions, cfg.rope_theta)
+    c, kr = _latent_proj(params, x, cfg)                   # (B,S,dc/dr)
+    kr = apply_rope_half(kr[:, :, None, :], positions,
+                         cfg.rope_theta)[:, :, 0]          # (B,S,dr)
+
+    kn = jnp.einsum("bsc,hcn->bshn", c.astype(jnp.float32),
+                    params["w_uk"].astype(jnp.float32))
+    v = jnp.einsum("bsc,hcv->bshv", c.astype(jnp.float32),
+                   params["w_uv"].astype(jnp.float32))
+
+    scale = 1.0 / math.sqrt(cfg.qk_head_dim)
+    s = (jnp.einsum("bthn,bshn->bhts", qn.astype(jnp.float32), kn)
+         + jnp.einsum("bthr,bsr->bhts", qr.astype(jnp.float32),
+                      kr.astype(jnp.float32))) * scale
+    mask = jnp.tril(jnp.ones((S, S), bool))
+    s = jnp.where(mask[None, None], s, -jnp.inf)
+    a = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhts,bshv->bthv", a, v)              # (B,S,H,dv)
+    y = (out.reshape(B, S, H * cfg.v_head_dim).astype(x.dtype)
+         @ params["w_o"])
+
+    max_seq = max_seq or S
+    cache = jnp.zeros((B, 1, max_seq, cfg.latent_dim), cfg.dtype)
+    latent = jnp.concatenate([c, kr], axis=-1)[:, None]    # (B,1,S,dc+dr)
+    cache = jax.lax.dynamic_update_slice(
+        cache, latent.astype(cache.dtype), (0, 0, 0, 0))
+    return y, cache
+
+
+@functools.lru_cache(maxsize=8)
+def _decode_kernel(block_k: int, scale: float):
+    """Kernel factory cached by config — a fresh make_decode_attention per
+    step would retrace/recompile every call."""
+    return make_decode_attention(block_k=block_k, sm_scale=scale)
+
+
+def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
+                    block_k: int = 1024):
+    """One absorbed-MQA decode step. x_t (B, D) hidden states at positions
+    ``lengths``; cache (B, 1, max_seq, d_c + d_r). Returns (y (B, D),
+    cache with this token's latent appended).
+
+    The latent cache is both k_cache and v_cache of the Pallas decode
+    kernel (same buffer, aliased): lanes [:d_c] of the attended output are
+    sum_t A(t)·c_t, which W_uv expands per head. Lanes [d_c:] (sum A·k_rope)
+    are discarded — 11% extra VPU work for zero extra memory traffic."""
+    B, D = x_t.shape
+    H, dc = cfg.n_heads, cfg.kv_lora_rank
+    pos = lengths
+
+    qn, qr = _q_proj(params, x_t, cfg)                     # (B,H,dn/dr)
+    qr = apply_rope_half(qr[:, None], pos[:, None],
+                         cfg.rope_theta)[:, 0]             # (B,H,dr)
+    # absorb W_uk into the query: q_lat . c == (q W_uk) . c
+    q_lat = jnp.einsum("bhn,hcn->bhc", qn.astype(jnp.float32),
+                       params["w_uk"].astype(jnp.float32))
+    q_cat = jnp.concatenate(
+        [q_lat, qr.astype(jnp.float32)], axis=-1).astype(cache.dtype)
+
+    c_t, kr_t = _latent_proj(params, x_t, cfg)
+    kr_t = apply_rope_half(kr_t[:, None, None, :], pos[:, None],
+                           cfg.rope_theta)[:, 0, 0]        # (B,dr)
+    latent_t = jnp.concatenate([c_t, kr_t], axis=-1)[:, None]  # (B,1,dc+dr)
+    cache = _dus_token(cache, latent_t, jnp.arange(B), pos)
+
+    att = _decode_kernel(block_k, 1.0 / math.sqrt(cfg.qk_head_dim))(
+        q_cat, cache, cache, lengths + 1)                  # (B,H,dc+dr)
+    out_lat = att[..., :dc].astype(jnp.float32)
+    out = jnp.einsum("bhc,hcv->bhv", out_lat,
+                     params["w_uv"].astype(jnp.float32))
+    y = (out.reshape(B, H * cfg.v_head_dim).astype(x_t.dtype)
+         @ params["w_o"])
+    return y, cache
+
+
+def kv_bytes_per_token(cfg: MLAConfig) -> tuple[int, int]:
+    """(mla_bytes, mha_bytes) per token per layer at cfg.dtype — the cache
+    compression this buys (DeepSeek-V2 defaults: 14.2x)."""
+    item = jnp.dtype(cfg.dtype).itemsize
+    mla = cfg.latent_dim * item
+    mha = 2 * cfg.n_heads * cfg.v_head_dim * item
+    return mla, mha

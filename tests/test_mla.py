@@ -1,0 +1,85 @@
+"""MLA (multi-head latent attention) — models/mla.py.
+
+The load-bearing claim is the weight-absorption identity: the decode path
+(MQA over the latent cache through the UNCHANGED Pallas decode kernel,
+W_uk folded into queries, W_uv applied after) must equal the expanded
+multi-head attention at every position.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leetcuda_tpu.models.mla import (MLAConfig, init_mla_params,
+                                     mla_prefill, mla_decode_step,
+                                     kv_bytes_per_token)
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = MLAConfig(dim=128, n_heads=4, kv_lora_rank=64,
+                    qk_nope_head_dim=32, qk_rope_head_dim=16,
+                    v_head_dim=32, dtype=jnp.float32)
+    params = init_mla_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def test_absorbed_decode_matches_expanded(setup):
+    """Prefill the full (S + T) sequence with the expanded form (oracle);
+    then prefill S and decode T absorbed-MQA steps — outputs must match
+    per position."""
+    cfg, params = setup
+    B, S, T = 2, 12, 5
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(0, 0.5, (B, S + T, cfg.dim)),
+        cfg.dtype)
+
+    y_full, _ = mla_prefill(params, x, cfg)                  # oracle
+    y_pre, cache = mla_prefill(params, x[:, :S], cfg, max_seq=S + T)
+    np.testing.assert_allclose(np.asarray(y_pre), np.asarray(y_full[:, :S]),
+                               atol=2e-4, rtol=2e-4)
+
+    lengths = jnp.full((B,), S, jnp.int32)
+    for t in range(T):
+        y_t, cache = mla_decode_step(params, x[:, S + t], cache, lengths,
+                                     cfg, block_k=8)
+        np.testing.assert_allclose(
+            np.asarray(y_t), np.asarray(y_full[:, S + t]),
+            atol=5e-4, rtol=5e-4, err_msg=f"step {t}")
+        lengths = lengths + 1
+
+
+def test_ragged_lengths(setup):
+    """Per-sequence lengths: each row's decode must match its own-position
+    oracle (row 0 at position 6, row 1 at position 10)."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 16, cfg.dim)), cfg.dtype)
+    lens = np.array([6, 10])
+
+    y_full, _ = mla_prefill(params, x, cfg)
+    _, cache = mla_prefill(params, x, cfg)  # cache holds all 16 positions
+    x_t = jnp.stack([x[0, lens[0]], x[1, lens[1]]])
+    y_t, _ = mla_decode_step(params, x_t, cache, jnp.asarray(lens,
+                                                             jnp.int32),
+                             cfg, block_k=8)
+    # row b's decode at position lens[b] == prefill output there (the cache
+    # row beyond lens[b] is ignored by the length mask, then overwritten)
+    for b in range(2):
+        np.testing.assert_allclose(
+            np.asarray(y_t[b]), np.asarray(y_full[b, lens[b]]),
+            atol=5e-4, rtol=5e-4, err_msg=f"row {b}")
+
+
+def test_cache_compression_ratio():
+    """DeepSeek-V2 shape ratios: latent cache is >10x smaller than the
+    equivalent expanded MHA cache."""
+    cfg = MLAConfig()  # defaults: H=16, dv=128, dc=512, dr=64
+    mla, mha = kv_bytes_per_token(cfg)
+    assert mha / mla > 7.0, (mla, mha)
+    big = MLAConfig(n_heads=32)
+    mla, mha = kv_bytes_per_token(big)
+    assert mha / mla > 14.0, (mla, mha)

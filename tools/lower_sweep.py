@@ -103,6 +103,24 @@ def e2e_cases():
                jax.ShapeDtypeStruct((), jnp.int32),
                jax.ShapeDtypeStruct((), jnp.int32)))
 
+    def mla():
+        from leetcuda_tpu.models.mla import (MLAConfig, init_mla_params,
+                                             mla_decode_step, mla_prefill)
+
+        mcfg = MLAConfig()  # DeepSeek-V2 ratios; latent D = 576
+        mp = jax.eval_shape(lambda k: init_mla_params(k, mcfg),
+                            jax.random.key(0))
+        x = jax.ShapeDtypeStruct((B, S, mcfg.dim), mcfg.dtype)
+        xt = jax.ShapeDtypeStruct((B, mcfg.dim), mcfg.dtype)
+        lat = jax.ShapeDtypeStruct((B, 1, MAX_SEQ, mcfg.latent_dim),
+                                   mcfg.dtype)
+        export.export(jax.jit(functools.partial(mla_prefill, cfg=mcfg)),
+                      platforms=("tpu",))(mp, x)
+        export.export(jax.jit(functools.partial(mla_decode_step, cfg=mcfg)),
+                      platforms=("tpu",))(mp, xt, lat, lens)
+
+    yield ("mla_prefill_and_absorbed_decode", mla)
+
     def train():
         _, step = make_train_step(cfg)
         import optax
