@@ -144,7 +144,8 @@ def _vmem_params():
 
 
 def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
-                          window: int | None = None, with_lse: bool = False):
+                          window: int | None = None, with_lse: bool = False,
+                          shared_kv: bool = False):
     """decode_attention(q, k_cache, v_cache, lengths) -> (B, H, D).
 
     q (B, H, D); caches (B, Hkv, S_max, D); lengths (B,) int32 — number of valid
@@ -153,26 +154,32 @@ def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
     positions only; earlier blocks are neither read nor computed.
     ``with_lse``: also return the log-sum-exp (B, H) — the partial-result
     statistic for flash-decoding / context-parallel merging.
+    ``shared_kv``: fn(q, cache, lengths) — ONE cache operand serves as both
+    K and V (MLA's latent cache, models/mla.py). The kernel is
+    bandwidth-bound, so the single DMA per block matters: passing the same
+    array as k_cache and v_cache would fetch every block twice.
     """
 
-    @jax.jit
-    def fn(q, k_cache, v_cache, lengths):
+    def impl(q, k_cache, v_cache, lengths):
         B, H, D = q.shape
         _, Hkv, S, _ = k_cache.shape
         group = H // Hkv
         bk = _pick_bk(S, block_k)
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
 
+        kv_specs = [pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk, window),
+                                 memory_space=pltpu.VMEM)]
+        if not shared_kv:
+            kv_specs.append(
+                pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk, window),
+                             memory_space=pltpu.VMEM))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, cdiv(S, bk)),
             in_specs=[
                 pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk, window),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk, window),
-                             memory_space=pltpu.VMEM),
+                *kv_specs,
             ],
             out_specs=(
                 pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
@@ -192,20 +199,28 @@ def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
         if with_lse:
             out_shape = (out_shape,
                          jax.ShapeDtypeStruct((B, H, _LANES), jnp.float32))
+        body = functools.partial(_decode_kernel, scale, Hkv, group, bk,
+                                 False, window, with_lse)
+        if shared_kv:
+            def body(len_ref, q_ref, kv_ref, *rest, _b=body):  # noqa: F811
+                _b(len_ref, q_ref, kv_ref, kv_ref, *rest)
+        operands = (q, k_cache) if shared_kv else (q, k_cache, v_cache)
         res = pl.pallas_call(
-            functools.partial(_decode_kernel, scale, Hkv, group, bk, False,
-                              window, with_lse),
+            body,
             out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret_default(),
             **_vmem_params(),
-        )(lengths.astype(jnp.int32), q, k_cache, v_cache)
+        )(lengths.astype(jnp.int32), *operands)
         if with_lse:
             out, lse = res
             return out, lse[..., 0]
         return res
 
-    return fn
+    if shared_kv:
+        return jax.jit(lambda q, cache, lengths: impl(q, cache, None,
+                                                      lengths))
+    return jax.jit(impl)
 
 
 def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,

@@ -3,8 +3,9 @@
 Beyond-reference serving capability: the KV cache stores ONE shared latent
 row per position — ``c = x @ W_dkv`` (kv_lora_rank lanes) plus a small
 RoPE'd key slice — instead of per-head K and V. Cache memory drops by
-``2·H·Dh / (d_c + d_r)`` (14.2x at the DeepSeek-V2 ratios used here), which
-is the difference between paging and not paging at long context.
+``H·(d_n + d_r + d_v) / (d_c + d_r)`` — 8.9x at the default config, 17.8x
+at 32 heads — which is the difference between paging and not paging at
+long context.
 
 The TPU-first part is the DECODE mapping: with the weight-absorption
 identity (fold W_uk into the query, W_uv into the output), per-position
@@ -14,10 +15,10 @@ attention becomes MQA with ONE latent "head" of width d_c + d_r:
     out_h      = (sum_t A_h(t) c_t) W_uv_h
 
 so the existing Pallas decode kernel (`attention/decode.py`) runs it
-UNCHANGED: the latent cache is passed as BOTH k_cache and v_cache (one
-buffer, aliased — zero extra memory), Hkv=1, D = d_c + d_r, and the first
-d_c output lanes are the attended latent. No new kernel, full VMEM-lane
-utilization, and the absorbed projections are dense MXU matmuls.
+(`shared_kv=True`): the latent cache serves as BOTH K and V — one operand,
+one DMA per block on the bandwidth-bound kernel — with Hkv=1,
+D = d_c + d_r, and the first d_c output lanes are the attended latent.
+The absorbed projections are dense MXU matmuls.
 
 Prefill runs the expanded MHA form (einsum scores; the MXU eats it) and
 returns the latent cache for decode. Numerics: absorbed decode ==
@@ -130,6 +131,7 @@ def mla_prefill(params, x, cfg: MLAConfig, max_seq: int | None = None):
          @ params["w_o"])
 
     max_seq = max_seq or S
+    assert max_seq >= S, f"max_seq {max_seq} < prompt length {S}"
     cache = jnp.zeros((B, 1, max_seq, cfg.latent_dim), cfg.dtype)
     latent = jnp.concatenate([c, kr], axis=-1)[:, None]    # (B,1,S,dc+dr)
     cache = jax.lax.dynamic_update_slice(
@@ -140,8 +142,11 @@ def mla_prefill(params, x, cfg: MLAConfig, max_seq: int | None = None):
 @functools.lru_cache(maxsize=8)
 def _decode_kernel(block_k: int, scale: float):
     """Kernel factory cached by config — a fresh make_decode_attention per
-    step would retrace/recompile every call."""
-    return make_decode_attention(block_k=block_k, sm_scale=scale)
+    step would retrace/recompile every call. shared_kv: the latent cache is
+    both K and V, and the kernel is bandwidth-bound — one DMA per block,
+    not two."""
+    return make_decode_attention(block_k=block_k, sm_scale=scale,
+                                 shared_kv=True)
 
 
 def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
@@ -150,10 +155,10 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
     ``lengths``; cache (B, 1, max_seq, d_c + d_r). Returns (y (B, D),
     cache with this token's latent appended).
 
-    The latent cache is both k_cache and v_cache of the Pallas decode
-    kernel (same buffer, aliased): lanes [:d_c] of the attended output are
+    The latent cache is the decode kernel's single shared-KV operand
+    (one DMA per block): lanes [:d_c] of the attended output are
     sum_t A(t)·c_t, which W_uv expands per head. Lanes [d_c:] (sum A·k_rope)
-    are discarded — 11% extra VPU work for zero extra memory traffic."""
+    are discarded — 11% extra VPU work, no extra memory traffic."""
     B, D = x_t.shape
     H, dc = cfg.n_heads, cfg.kv_lora_rank
     pos = lengths
@@ -174,7 +179,7 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
     cache = _dus_token(cache, latent_t, jnp.arange(B), pos)
 
     att = _decode_kernel(block_k, 1.0 / math.sqrt(cfg.qk_head_dim))(
-        q_cat, cache, cache, lengths + 1)                  # (B,H,dc+dr)
+        q_cat, cache, lengths + 1)                         # (B,H,dc+dr)
     out_lat = att[..., :dc].astype(jnp.float32)
     out = jnp.einsum("bhc,hcv->bhv", out_lat,
                      params["w_uv"].astype(jnp.float32))
@@ -185,8 +190,10 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
 
 def kv_bytes_per_token(cfg: MLAConfig) -> tuple[int, int]:
     """(mla_bytes, mha_bytes) per token per layer at cfg.dtype — the cache
-    compression this buys (DeepSeek-V2 defaults: 14.2x)."""
+    compression this buys. The expanded-MHA baseline caches per-head K at
+    qk_head_dim (d_n + d_r) lanes and V at d_v lanes: 8.9x at the defaults
+    (H=16), 17.8x at H=32."""
     item = jnp.dtype(cfg.dtype).itemsize
     mla = cfg.latent_dim * item
-    mha = 2 * cfg.n_heads * cfg.v_head_dim * item
+    mha = cfg.n_heads * (cfg.qk_head_dim + cfg.v_head_dim) * item
     return mla, mha

@@ -60,8 +60,7 @@ def test_ragged_lengths(setup):
     x = jnp.asarray(rng.normal(0, 0.5, (2, 16, cfg.dim)), cfg.dtype)
     lens = np.array([6, 10])
 
-    y_full, _ = mla_prefill(params, x, cfg)
-    _, cache = mla_prefill(params, x, cfg)  # cache holds all 16 positions
+    y_full, cache = mla_prefill(params, x, cfg)  # cache holds all 16 positions
     x_t = jnp.stack([x[0, lens[0]], x[1, lens[1]]])
     y_t, _ = mla_decode_step(params, x_t, cache, jnp.asarray(lens,
                                                              jnp.int32),
@@ -75,11 +74,11 @@ def test_ragged_lengths(setup):
 
 
 def test_cache_compression_ratio():
-    """DeepSeek-V2 shape ratios: latent cache is >10x smaller than the
-    equivalent expanded MHA cache."""
-    cfg = MLAConfig()  # defaults: H=16, dv=128, dc=512, dr=64
+    """Latent cache vs expanded-MHA cache (K at qk_head_dim + V at v_head_dim
+    per head): 8.9x at the default 16 heads, 17.8x at 32."""
+    cfg = MLAConfig()  # defaults: H=16, dv=128, dc=512, dn=128, dr=64
     mla, mha = kv_bytes_per_token(cfg)
-    assert mha / mla > 7.0, (mla, mha)
+    assert abs(mha / mla - 16 * (192 + 128) / 576) < 1e-6, (mla, mha)
     big = MLAConfig(n_heads=32)
     mla, mha = kv_bytes_per_token(big)
-    assert mha / mla > 14.0, (mla, mha)
+    assert mha / mla > 17.0, (mla, mha)
