@@ -333,3 +333,20 @@ for _name, _tag in [("decode_attn_int8kv", "int8"),
         atol=5e-2, rtol=5e-2,
         family="decode-attn-quant", tags=(_tag, "decode"),
     )(_decode_q_fn)
+
+
+def _decode_shared_ref(q, cache, lengths):
+    return decode_attention_ref(q, cache, cache, lengths)
+
+
+def _decode_shared_flops(q, cache, lengths):
+    B, H, D = q.shape
+    return float(2 * 2 * B * H * cache.shape[2] * D)
+
+
+register_op(
+    "decode_attn_shared_kv",
+    ref=_decode_shared_ref, flops=_decode_shared_flops,
+    atol=2e-2, rtol=2e-2,
+    family="decode-attn-shared", tags=("shared-kv", "mla", "decode"),
+)(make_decode_attention(block_k=128, shared_kv=True))

@@ -153,6 +153,14 @@ def _extra_args(spec, rng):
         vq, vs = q_cache(v)
         lengths = jnp.asarray([100, 200], jnp.int32)
         return (q, kq, vq, ks, vs, lengths)
+    if spec.family == "decode-attn-shared":
+        # MLA-style latent cache: one (B, 1, S, D) operand is both K and V;
+        # odd S covers the partial-edge-block path
+        B, H, S, D = 2, 8, 333, 576
+        q = randn((B, H, D), jnp.float32, 0.3)
+        cache = randn((B, 1, S, D), jnp.float32, 0.3)
+        lengths = jnp.asarray([100, 333], jnp.int32)
+        return (q, cache, lengths)
     if spec.family == "gemm-resident":
         M = 128
         a = randn((M, M), jnp.bfloat16, 1 / np.sqrt(M))
