@@ -82,3 +82,37 @@ def test_cache_compression_ratio():
     big = MLAConfig(n_heads=32)
     mla, mha = kv_bytes_per_token(big)
     assert mha / mla > 17.0, (mla, mha)
+
+
+def test_mla_model_decode_matches_prefill():
+    """Full mini-LM: step-decode logits reproduce the prefill logits at each
+    position, and whole-loop generate matches stepwise greedy."""
+    from leetcuda_tpu.models.mla import (MLAModelConfig, init_mla_model,
+                                         mla_model_prefill,
+                                         mla_model_decode_step, mla_generate)
+
+    cfg = MLAModelConfig(dim=128, n_heads=4, kv_lora_rank=64,
+                         qk_nope_head_dim=32, qk_rope_head_dim=16,
+                         v_head_dim=32, vocab_size=64, n_layers=2,
+                         ffn_dim=256, dtype=jnp.float32)
+    params = init_mla_model(jax.random.key(0), cfg)
+    rng = np.random.default_rng(4)
+    B, S, T = 2, 10, 4
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S + T)), jnp.int32)
+
+    logits_full, _ = mla_model_prefill(params, toks, cfg)
+    _, caches = mla_model_prefill(params, toks[:, :S], cfg, max_seq=S + T)
+    lengths = jnp.full((B,), S, jnp.int32)
+    for t in range(T):
+        lg, caches = mla_model_decode_step(params, toks[:, S + t], caches,
+                                           lengths, cfg)
+        np.testing.assert_allclose(np.asarray(lg),
+                                   np.asarray(logits_full[:, S + t]),
+                                   atol=2e-3, rtol=2e-3, err_msg=f"t={t}")
+        lengths = lengths + 1
+
+    # greedy generate: scan path == argmax chain over the prefill oracle
+    gen = mla_generate(params, cfg, toks[:, :S], max_new=3)
+    assert gen.shape == (B, 3)
+    want0 = int(jnp.argmax(logits_full[0, S - 1]))
+    assert int(gen[0, 0]) == want0
