@@ -224,15 +224,18 @@ def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
 
 
 def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
-                                    window: int | None = None):
+                                    window: int | None = None,
+                                    shared_kv: bool = False):
     """Quantized-cache decode: caches int8/fp8, per-(b, head, pos) f32 scales.
 
     fn(q, k_cache_q, v_cache_q, k_scale, v_scale, lengths); scales (B, Hkv, S).
     ``window``: sliding window, same semantics as make_decode_attention.
+    ``shared_kv``: fn(q, cache_q, scale, lengths) — one quantized cache (and
+    one scale) serves as both K and V (MLA's quantized latent cache): one
+    DMA per block + scale block.
     """
 
-    @jax.jit
-    def fn(q, k_cache, v_cache, k_scale, v_scale, lengths):
+    def impl(q, k_cache, v_cache, k_scale, v_scale, lengths):
         B, H, D = q.shape
         _, Hkv, S, _ = k_cache.shape
         group = H // Hkv
@@ -250,14 +253,20 @@ def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
         cache_spec = pl.BlockSpec((1, Hkv, bk, D), _clamped_kv_map(bk, window),
                                   memory_space=pltpu.VMEM)
         scale_spec = pl.BlockSpec((1, Hkv, bk), s_map, memory_space=pltpu.VMEM)
+        if shared_kv:
+            in_specs = [pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        cache_spec, scale_spec]
+            operands = (q, k_cache, k_scale)
+        else:
+            in_specs = [pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        cache_spec, cache_spec, scale_spec, scale_spec]
+            operands = (q, k_cache, v_cache, k_scale, v_scale)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, cdiv(S, bk)),
-            in_specs=[
-                pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
-                cache_spec, cache_spec, scale_spec, scale_spec,
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -266,16 +275,23 @@ def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
                 pltpu.VMEM((H, D), jnp.float32),
             ],
         )
+        body = functools.partial(_decode_kernel, scale, Hkv, group, bk, True,
+                                 window, False)
+        if shared_kv:
+            def body(len_ref, q_ref, kv_ref, s_ref, *rest, _b=body):  # noqa: F811
+                _b(len_ref, q_ref, kv_ref, kv_ref, s_ref, s_ref, *rest)
         return pl.pallas_call(
-            functools.partial(_decode_kernel, scale, Hkv, group, bk, True,
-                              window, False),
+            body,
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),
             **_vmem_params(),
-        )(lengths.astype(jnp.int32), q, k_cache, v_cache, k_scale, v_scale)
+        )(lengths.astype(jnp.int32), *operands)
 
-    return fn
+    if shared_kv:
+        return jax.jit(lambda q, cache, scale, lengths: impl(
+            q, cache, None, scale, None, lengths))
+    return jax.jit(impl)
 
 
 def decode_attention_ref(q, k_cache, v_cache, lengths, sm_scale=None,
@@ -350,3 +366,21 @@ register_op(
     atol=2e-2, rtol=2e-2,
     family="decode-attn-shared", tags=("shared-kv", "mla", "decode"),
 )(make_decode_attention(block_k=128, shared_kv=True))
+
+
+def _decode_shared_q_ref(q, cache_q, scale, lengths):
+    c = cache_q.astype(jnp.float32) * scale.astype(jnp.float32)[..., None]
+    return decode_attention_ref(q, c, c, lengths)
+
+
+_decode_shared_q_fn = make_decode_attention_quantized(block_k=128,
+                                                      shared_kv=True)
+for _name, _tag in [("decode_attn_shared_kv_int8", "int8"),
+                    ("decode_attn_shared_kv_fp8", "fp8")]:
+    register_op(
+        _name,
+        ref=_decode_shared_q_ref, flops=_decode_shared_flops,
+        atol=5e-2, rtol=5e-2,
+        family="decode-attn-shared", tags=(_tag, "shared-kv", "mla",
+                                           "decode"),
+    )(_decode_shared_q_fn)

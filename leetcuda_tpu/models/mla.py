@@ -38,9 +38,25 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from leetcuda_tpu.attention.decode import make_decode_attention
+from leetcuda_tpu.attention.decode import (make_decode_attention,
+                                           make_decode_attention_quantized)
 from leetcuda_tpu.models.llama import _dus_token
 from leetcuda_tpu.ops.rope import apply_rope_half
+
+_QDT = {"int8": (jnp.int8, 127.0), "fp8": (jnp.float8_e4m3fn, 448.0)}
+
+
+def _quantize_latent(latent, quant: str):
+    """Per-position symmetric quantization of latent rows (..., d_c + d_r):
+    one f32 scale per position (c and k_rope share it — the latent row is
+    one DMA unit, and a split scale would double the scale traffic)."""
+    qdt, qmax = _QDT[quant]
+    amax = jnp.max(jnp.abs(latent.astype(jnp.float32)), axis=-1)
+    s = jnp.maximum(amax, 1e-8) / qmax
+    q = latent.astype(jnp.float32) / s[..., None]
+    if quant == "int8":
+        q = jnp.clip(jnp.round(q), -127, 127)
+    return q.astype(qdt), s.astype(jnp.float32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,13 +113,17 @@ def _latent_proj(params, x, cfg: MLAConfig):
     return ckr[..., :dc], ckr[..., dc:]
 
 
-def mla_prefill(params, x, cfg: MLAConfig, max_seq: int | None = None):
+def mla_prefill(params, x, cfg: MLAConfig, max_seq: int | None = None,
+                quant: str | None = None):
     """Causal MLA over hidden states x (B, S, D).
 
     Returns (y (B, S, D), latent_cache (B, 1, max_seq, d_c + d_r)) — the
     cache rows hold [c , RoPE(k_rope)] and feed mla_decode_step directly.
     Expanded MHA form: scores via einsum (one MXU contraction per term),
-    f32 softmax."""
+    f32 softmax. ``quant`` ("int8" | "fp8"): the returned cache is a
+    (quantized rows, per-position f32 scales (B, 1, max_seq)) pair —
+    compounds the latent compression (int8 latent at 32 heads: 35x vs the
+    bf16 expanded-MHA cache)."""
     B, S, D = x.shape
     H = cfg.n_heads
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
@@ -132,21 +152,30 @@ def mla_prefill(params, x, cfg: MLAConfig, max_seq: int | None = None):
 
     max_seq = max_seq or S
     assert max_seq >= S, f"max_seq {max_seq} < prompt length {S}"
-    cache = jnp.zeros((B, 1, max_seq, cfg.latent_dim), cfg.dtype)
     latent = jnp.concatenate([c, kr], axis=-1)[:, None]    # (B,1,S,dc+dr)
+    if quant is not None:
+        lat_q, lat_s = _quantize_latent(latent, quant)
+        cache = jax.lax.dynamic_update_slice(
+            jnp.zeros((B, 1, max_seq, cfg.latent_dim), _QDT[quant][0]),
+            lat_q, (0, 0, 0, 0))
+        scales = jax.lax.dynamic_update_slice(
+            jnp.ones((B, 1, max_seq), jnp.float32), lat_s, (0, 0, 0))
+        return y, (cache, scales)
+    cache = jnp.zeros((B, 1, max_seq, cfg.latent_dim), cfg.dtype)
     cache = jax.lax.dynamic_update_slice(
         cache, latent.astype(cache.dtype), (0, 0, 0, 0))
     return y, cache
 
 
 @functools.lru_cache(maxsize=8)
-def _decode_kernel(block_k: int, scale: float):
+def _decode_kernel(block_k: int, scale: float, quantized: bool = False):
     """Kernel factory cached by config — a fresh make_decode_attention per
     step would retrace/recompile every call. shared_kv: the latent cache is
     both K and V, and the kernel is bandwidth-bound — one DMA per block,
     not two."""
-    return make_decode_attention(block_k=block_k, sm_scale=scale,
-                                 shared_kv=True)
+    make = (make_decode_attention_quantized if quantized
+            else make_decode_attention)
+    return make(block_k=block_k, sm_scale=scale, shared_kv=True)
 
 
 def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
@@ -169,17 +198,31 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
     # absorb W_uk into the query: q_lat . c == (q W_uk) . c
     q_lat = jnp.einsum("bhn,hcn->bhc", qn.astype(jnp.float32),
                        params["w_uk"].astype(jnp.float32))
-    q_cat = jnp.concatenate(
-        [q_lat, qr.astype(jnp.float32)], axis=-1).astype(cache.dtype)
+    q_cat = jnp.concatenate([q_lat, qr.astype(jnp.float32)], axis=-1)
+    if not isinstance(cache, tuple):
+        q_cat = q_cat.astype(cache.dtype)
 
     c_t, kr_t = _latent_proj(params, x_t, cfg)
     kr_t = apply_rope_half(kr_t[:, None, None, :], pos[:, None],
                            cfg.rope_theta)[:, 0, 0]        # (B,dr)
     latent_t = jnp.concatenate([c_t, kr_t], axis=-1)[:, None]  # (B,1,dc+dr)
-    cache = _dus_token(cache, latent_t, jnp.arange(B), pos)
 
-    att = _decode_kernel(block_k, 1.0 / math.sqrt(cfg.qk_head_dim))(
-        q_cat, cache, lengths + 1)                         # (B,H,dc+dr)
+    sm = 1.0 / math.sqrt(cfg.qk_head_dim)
+    if isinstance(cache, tuple):                           # quantized latent
+        rows, scales = cache
+        quant = "int8" if rows.dtype == jnp.int8 else "fp8"
+        lat_q, lat_s = _quantize_latent(latent_t, quant)
+        rows = _dus_token(rows, lat_q, jnp.arange(B), pos)
+        for b in range(rows.shape[0]):  # (B,1,S) scale: same DUS chain
+            scales = jax.lax.dynamic_update_slice(
+                scales, lat_s[b:b + 1, :, None], (b, 0, pos[b]))
+        cache = (rows, scales)
+        att = _decode_kernel(block_k, sm, quantized=True)(
+            q_cat.astype(jnp.float32), rows, scales, lengths + 1)
+    else:
+        cache = _dus_token(cache, latent_t, jnp.arange(B), pos)
+        att = _decode_kernel(block_k, sm)(
+            q_cat, cache, lengths + 1)                     # (B,H,dc+dr)
     out_lat = att[..., :dc].astype(jnp.float32)
     out = jnp.einsum("bhc,hcv->bhv", out_lat,
                      params["w_uv"].astype(jnp.float32))

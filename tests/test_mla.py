@@ -116,3 +116,30 @@ def test_mla_model_decode_matches_prefill():
     assert gen.shape == (B, 3)
     want0 = int(jnp.argmax(logits_full[0, S - 1]))
     assert int(gen[0, 0]) == want0
+
+
+@pytest.mark.parametrize("quant", ["int8", "fp8"])
+def test_quantized_latent_cache(setup, quant):
+    """int8/fp8 latent rows (per-position scales through the shared-KV
+    quantized kernel): decode tracks the f32 expanded oracle within
+    quantization tolerance, and the streams stay finite."""
+    from leetcuda_tpu.models.mla import mla_prefill, mla_decode_step
+
+    cfg, params = setup
+    B, S, T = 2, 12, 4
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(0, 0.5, (B, S + T, cfg.dim)),
+        cfg.dtype)
+    y_full, _ = mla_prefill(params, x, cfg)
+    _, cache = mla_prefill(params, x[:, :S], cfg, max_seq=S + T, quant=quant)
+    assert isinstance(cache, tuple) and cache[0].shape[-1] == cfg.latent_dim
+
+    lengths = jnp.full((B,), S, jnp.int32)
+    for t in range(T):
+        y_t, cache = mla_decode_step(params, x[:, S + t], cache, lengths,
+                                     cfg, block_k=8)
+        ref = np.asarray(y_full[:, S + t])
+        err = np.abs(np.asarray(y_t) - ref).max()
+        assert np.isfinite(np.asarray(y_t)).all()
+        assert err < 0.12, (t, err)  # |y| ~ O(1); int8 row quant ~1% err
+        lengths = lengths + 1
