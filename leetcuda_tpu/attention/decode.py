@@ -355,7 +355,7 @@ def _decode_shared_ref(q, cache, lengths):
     return decode_attention_ref(q, cache, cache, lengths)
 
 
-def _decode_shared_flops(q, cache, lengths):
+def _decode_shared_flops(q, cache, *rest):
     B, H, D = q.shape
     return float(2 * 2 * B * H * cache.shape[2] * D)
 

@@ -160,16 +160,13 @@ def _extra_args(spec, rng):
         q = randn((B, H, D), jnp.float32, 0.3)
         lengths = jnp.asarray([100, 333], jnp.int32)
         if {"int8", "fp8"} & set(spec.tags):
-            c = rng.standard_normal((B, 1, S, D)).astype(np.float32) * 0.3
-            qdt, qmax = ((jnp.float8_e4m3fn, 448.0) if "fp8" in spec.tags
-                         else (jnp.int8, 127.0))
-            amax = np.maximum(np.abs(c).max(axis=-1), 1e-8)
-            s = amax / qmax
-            cq = c / s[..., None]
-            if qdt == jnp.int8:
-                cq = np.clip(np.round(cq), -127, 127)
-            return (q, jnp.asarray(cq, qdt), jnp.asarray(s, jnp.float32),
-                    lengths)
+            # the production quantizer IS the test-arg quantizer — one site
+            from leetcuda_tpu.models.mla import _quantize_latent
+
+            c = randn((B, 1, S, D), jnp.float32, 0.3)
+            quant = "fp8" if "fp8" in spec.tags else "int8"
+            cq, s = _quantize_latent(c, quant)
+            return (q, cq, s, lengths)
         cache = randn((B, 1, S, D), jnp.float32, 0.3)
         return (q, cache, lengths)
     if spec.family == "gemm-resident":

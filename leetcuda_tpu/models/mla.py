@@ -213,9 +213,7 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
         quant = "int8" if rows.dtype == jnp.int8 else "fp8"
         lat_q, lat_s = _quantize_latent(latent_t, quant)
         rows = _dus_token(rows, lat_q, jnp.arange(B), pos)
-        for b in range(rows.shape[0]):  # (B,1,S) scale: same DUS chain
-            scales = jax.lax.dynamic_update_slice(
-                scales, lat_s[b:b + 1, :, None], (b, 0, pos[b]))
+        scales = _dus_token(scales, lat_s[:, :, None], jnp.arange(B), pos)
         cache = (rows, scales)
         att = _decode_kernel(block_k, sm, quantized=True)(
             q_cat.astype(jnp.float32), rows, scales, lengths + 1)
