@@ -37,6 +37,8 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from leetcuda_tpu.attention.decode import (make_decode_attention,
                                            make_decode_attention_quantized)
@@ -97,6 +99,30 @@ def init_mla_params(key, cfg: MLAConfig):
         "w_uv": dense(ks[3], dc, (H, dc, dv)),
         "w_o": dense(ks[4], H * dv, (H * dv, D)),
     }
+
+
+def mla_param_shardings(cfg: MLAConfig):
+    """Megatron-style TP rules for one MLA layer: per-head projections shard
+    on tp (w_q column-parallel, w_uk/w_uv on their head dim, w_o
+    row-parallel); the latent down-projection w_dkv is REPLICATED — the
+    latent is shared by every head, and at (D, d_c + d_r) it is the one
+    place where replicated compute is cheaper than an all-gather. The
+    latent cache is likewise replicated across tp (it is 9-18x smaller
+    than an expanded cache, so replication costs less than sharded MHA)."""
+    return {
+        "w_q": P(None, "tp"),
+        "w_dkv": P(None, None),
+        "w_uk": P("tp", None, None),
+        "w_uv": P("tp", None, None),
+        "w_o": P("tp", None),
+    }
+
+
+def shard_mla_params(params, cfg: MLAConfig, mesh: Mesh):
+    """device_put one MLA layer's params per mla_param_shardings."""
+    spec = mla_param_shardings(cfg)
+    return {k: jax.device_put(v, NamedSharding(mesh, spec[k]))
+            for k, v in params.items()}
 
 
 def _q_proj(params, x, cfg: MLAConfig):
@@ -179,7 +205,7 @@ def _decode_kernel(block_k: int, scale: float, quantized: bool = False):
 
 
 def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
-                    block_k: int = 1024):
+                    block_k: int = 1024, mesh: Mesh | None = None):
     """One absorbed-MQA decode step. x_t (B, D) hidden states at positions
     ``lengths``; cache (B, 1, max_seq, d_c + d_r). Returns (y (B, D),
     cache with this token's latent appended).
@@ -208,6 +234,20 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
     latent_t = jnp.concatenate([c_t, kr_t], axis=-1)[:, None]  # (B,1,dc+dr)
 
     sm = 1.0 / math.sqrt(cfg.qk_head_dim)
+
+    def run(kern, *args):
+        """Under a mesh: q heads shard on tp, the latent cache (and scales)
+        stay replicated on tp — shard_map because GSPMD cannot partition a
+        custom call. Single-device otherwise."""
+        if mesh is None:
+            return kern(*args)
+        cache_specs = tuple(P("dp", None, None, None) if a.ndim == 4
+                            else P("dp", None, None) for a in args[1:-1])
+        return shard_map(
+            kern, mesh=mesh,
+            in_specs=(P("dp", "tp", None), *cache_specs, P("dp")),
+            out_specs=P("dp", "tp", None), check_vma=False)(*args)
+
     if isinstance(cache, tuple):                           # quantized latent
         rows, scales = cache
         quant = "int8" if rows.dtype == jnp.int8 else "fp8"
@@ -215,12 +255,12 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
         rows = _dus_token(rows, lat_q, jnp.arange(B), pos)
         scales = _dus_token(scales, lat_s[:, :, None], jnp.arange(B), pos)
         cache = (rows, scales)
-        att = _decode_kernel(block_k, sm, quantized=True)(
-            q_cat.astype(jnp.float32), rows, scales, lengths + 1)
+        att = run(_decode_kernel(block_k, sm, quantized=True),
+                  q_cat.astype(jnp.float32), rows, scales, lengths + 1)
     else:
         cache = _dus_token(cache, latent_t, jnp.arange(B), pos)
-        att = _decode_kernel(block_k, sm)(
-            q_cat, cache, lengths + 1)                     # (B,H,dc+dr)
+        att = run(_decode_kernel(block_k, sm),
+                  q_cat, cache, lengths + 1)               # (B,H,dc+dr)
     out_lat = att[..., :dc].astype(jnp.float32)
     out = jnp.einsum("bhc,hcv->bhv", out_lat,
                      params["w_uv"].astype(jnp.float32))

@@ -143,3 +143,34 @@ def test_quantized_latent_cache(setup, quant):
         assert np.isfinite(np.asarray(y_t)).all()
         assert err < 0.12, (t, err)  # |y| ~ O(1); int8 row quant ~1% err
         lengths = lengths + 1
+
+
+def test_mla_tp_decode_matches_single_device(setup):
+    """(dp=2, tp=2) MLA: per-head projections sharded, latent cache
+    replicated on tp — decode output matches the single-device run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from leetcuda_tpu.models.mla import (mla_prefill, mla_decode_step,
+                                         shard_mla_params)
+    from leetcuda_tpu.parallel.mesh import make_mesh, MeshConfig
+
+    cfg, params = setup
+    B, S = 4, 12
+    x = jnp.asarray(np.random.default_rng(6).normal(0, 0.5, (B, S + 1,
+                                                             cfg.dim)),
+                    cfg.dtype)
+    _, cache = mla_prefill(params, x[:, :S], cfg, max_seq=S + 4)
+    lengths = jnp.full((B,), S, jnp.int32)
+    y_ref, _ = mla_decode_step(params, x[:, S], cache, lengths, cfg,
+                               block_k=8)
+
+    mesh = make_mesh(MeshConfig(dp=2, sp=1, tp=2), devices=jax.devices()[:4])
+    sh_params = shard_mla_params(params, cfg, mesh)
+    xs = jax.device_put(x[:, S], NamedSharding(mesh, P("dp", None)))
+    cache_sh = jax.device_put(cache, NamedSharding(
+        mesh, P("dp", None, None, None)))
+    y_tp, _ = mla_decode_step(sh_params, xs, cache_sh,
+                              jax.device_put(lengths,
+                                             NamedSharding(mesh, P("dp"))),
+                              cfg, block_k=8, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               atol=2e-4, rtol=2e-4)
