@@ -13,7 +13,7 @@ run() {
   echo "=== [$name] exit=$? ==="
 }
 
-stages="${*:-fp8verify sweep resident d64 int4 hwsweep}"
+stages="${*:-fp8verify sweep resident d64 int4 mla hwsweep}"
 
 for s in $stages; do
   case "$s" in
@@ -22,6 +22,7 @@ for s in $stages; do
     resident)  run resident python -u tools/ablate_resident.py --check ;;
     d64)       run d64 python -u tools/ablate_attn_d64.py ;;
     int4)      run int4 python -u tools/diagnose_int4.py ;;
+    mla)       run mla python -u tools/bench_mla.py ;;
     hwsweep)   run hwsweep python -u tools/hw_sweep.py ;;
     benchall)  run benchall python -u tools/bench_all.py ;;
     *) echo "unknown stage $s" ;;
