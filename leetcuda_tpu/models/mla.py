@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from leetcuda_tpu.attention.decode import (make_decode_attention,
                                            make_decode_attention_quantized)
 from leetcuda_tpu.models.llama import _dus_token
-from leetcuda_tpu.ops.rope import apply_rope_half
+from leetcuda_tpu.ops.rope import apply_rope_half, apply_rope_interleaved
 
 _QDT = {"int8": (jnp.int8, 127.0), "fp8": (jnp.float8_e4m3fn, 448.0)}
 
@@ -70,6 +70,13 @@ class MLAConfig:
     qk_rope_head_dim: int = 64    # d_r: shared rotary key lanes (1 "head")
     v_head_dim: int = 128         # d_v: per-head value lanes (expanded form)
     rope_theta: float = 10000.0
+    # DeepSeek conventions (HF deepseek_v2 golden parity): interleaved-pair
+    # RoPE on the rotary lanes, RMSNorm on the latent before up-projection
+    # (the cache stores the NORMED latent — the norm is position-wise, so it
+    # commutes with caching)
+    rope_interleaved: bool = True
+    latent_norm: bool = True
+    norm_eps: float = 1e-6
     dtype: Any = jnp.bfloat16
 
     @property
@@ -92,13 +99,16 @@ def init_mla_params(key, cfg: MLAConfig):
         return (jax.random.normal(k, shape, jnp.float32)
                 / math.sqrt(fan_in)).astype(cfg.dtype)
 
-    return {
+    p = {
         "w_q": dense(ks[0], D, (D, H * (dn + dr))),
         "w_dkv": dense(ks[1], D, (D, dc + dr)),
         "w_uk": dense(ks[2], dc, (H, dc, dn)),
         "w_uv": dense(ks[3], dc, (H, dc, dv)),
         "w_o": dense(ks[4], H * dv, (H * dv, D)),
     }
+    if cfg.latent_norm:
+        p["c_norm"] = jnp.ones((dc,), cfg.dtype)
+    return p
 
 
 def mla_param_shardings(cfg: MLAConfig):
@@ -112,6 +122,7 @@ def mla_param_shardings(cfg: MLAConfig):
     return {
         "w_q": P(None, "tp"),
         "w_dkv": P(None, None),
+        "c_norm": P(None),
         "w_uk": P("tp", None, None),
         "w_uv": P("tp", None, None),
         "w_o": P("tp", None),
@@ -122,7 +133,8 @@ def shard_mla_params(params, cfg: MLAConfig, mesh: Mesh):
     """device_put one MLA layer's params per mla_param_shardings."""
     spec = mla_param_shardings(cfg)
     return {k: jax.device_put(v, NamedSharding(mesh, spec[k]))
-            for k, v in params.items()}
+            for k, v in params.items() if k in spec} | {
+        k: v for k, v in params.items() if k not in spec}
 
 
 def _q_proj(params, x, cfg: MLAConfig):
@@ -133,10 +145,24 @@ def _q_proj(params, x, cfg: MLAConfig):
 
 
 def _latent_proj(params, x, cfg: MLAConfig):
-    """x (..., D) -> (c (..., d_c), kr (..., d_r)) pre-RoPE."""
+    """x (..., D) -> (c (..., d_c), kr (..., d_r)); c is RMS-normed when the
+    config says so (kv_a_layernorm) — the single site both prefill and
+    decode go through, so the cache always holds the normed latent."""
     dc = cfg.kv_lora_rank
     ckr = x @ params["w_dkv"]
-    return ckr[..., :dc], ckr[..., dc:]
+    c, kr = ckr[..., :dc], ckr[..., dc:]
+    if cfg.latent_norm:
+        var = jnp.mean(jnp.square(c.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        c = ((c.astype(jnp.float32) * jax.lax.rsqrt(var + cfg.norm_eps))
+             .astype(c.dtype) * params["c_norm"])
+    return c, kr
+
+
+def _rope(x, positions, cfg: MLAConfig):
+    fn = (apply_rope_interleaved if cfg.rope_interleaved
+          else apply_rope_half)
+    return fn(x, positions, cfg.rope_theta)
 
 
 def mla_prefill(params, x, cfg: MLAConfig, max_seq: int | None = None,
@@ -155,10 +181,9 @@ def mla_prefill(params, x, cfg: MLAConfig, max_seq: int | None = None,
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
 
     qn, qr = _q_proj(params, x, cfg)                       # (B,S,H,dn/dr)
-    qr = apply_rope_half(qr, positions, cfg.rope_theta)
+    qr = _rope(qr, positions, cfg)
     c, kr = _latent_proj(params, x, cfg)                   # (B,S,dc/dr)
-    kr = apply_rope_half(kr[:, :, None, :], positions,
-                         cfg.rope_theta)[:, :, 0]          # (B,S,dr)
+    kr = _rope(kr[:, :, None, :], positions, cfg)[:, :, 0]  # (B,S,dr)
 
     kn = jnp.einsum("bsc,hcn->bshn", c.astype(jnp.float32),
                     params["w_uk"].astype(jnp.float32))
@@ -219,8 +244,7 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
     pos = lengths
 
     qn, qr = _q_proj(params, x_t, cfg)                     # (B,H,dn/dr)
-    qr = apply_rope_half(qr[:, None], pos[:, None],
-                         cfg.rope_theta)[:, 0]             # (B,H,dr)
+    qr = _rope(qr[:, None], pos[:, None], cfg)[:, 0]       # (B,H,dr)
     # absorb W_uk into the query: q_lat . c == (q W_uk) . c
     q_lat = jnp.einsum("bhn,hcn->bhc", qn.astype(jnp.float32),
                        params["w_uk"].astype(jnp.float32))
@@ -229,8 +253,7 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
         q_cat = q_cat.astype(cache.dtype)
 
     c_t, kr_t = _latent_proj(params, x_t, cfg)
-    kr_t = apply_rope_half(kr_t[:, None, None, :], pos[:, None],
-                           cfg.rope_theta)[:, 0, 0]        # (B,dr)
+    kr_t = _rope(kr_t[:, None, None, :], pos[:, None], cfg)[:, 0, 0]
     latent_t = jnp.concatenate([c_t, kr_t], axis=-1)[:, None]  # (B,1,dc+dr)
 
     sm = 1.0 / math.sqrt(cfg.qk_head_dim)
@@ -347,7 +370,8 @@ def mla_model_prefill(params, tokens, cfg: MLAModelConfig,
         x = x + _mla_mlp(_mla_rms(x, layer["mlp_norm"], cfg.norm_eps), layer)
         caches.append(cache)
     x = _mla_rms(x, params["norm"], cfg.norm_eps)
-    return (x @ params["embed"].T).astype(jnp.float32), caches
+    w_lm = params.get("lm_head", params["embed"])
+    return (x @ w_lm.T).astype(jnp.float32), caches
 
 
 def mla_model_decode_step(params, tokens, caches, lengths,
@@ -363,7 +387,8 @@ def mla_model_decode_step(params, tokens, caches, lengths,
         x = x + _mla_mlp(_mla_rms(x, layer["mlp_norm"], cfg.norm_eps), layer)
         new_caches.append(cache)
     x = _mla_rms(x, params["norm"], cfg.norm_eps)
-    return (x @ params["embed"].T).astype(jnp.float32), new_caches
+    w_lm = params.get("lm_head", params["embed"])
+    return (x @ w_lm.T).astype(jnp.float32), new_caches
 
 
 def mla_generate(params, cfg: MLAModelConfig, prompts, max_new: int,
@@ -393,3 +418,74 @@ def mla_generate(params, cfg: MLAModelConfig, prompts, max_new: int,
         return toks.T
 
     return go(params, prompts)
+
+
+# --- HF DeepSeek loader ----------------------------------------------------------
+# transformers' core DeepseekV2 port (modeling_deepseek_v2.py) is the golden
+# oracle: load_deepseek_v2 maps a (tiny, random-init or real) HF model's
+# state dict onto this module's trees, and tests/test_mla.py pins logits
+# parity — the same standard the Llama/Qwen/Gemma loaders meet.
+
+
+def config_from_hf_deepseek(hf_cfg) -> "MLAModelConfig":
+    assert hf_cfg.q_lora_rank is None, "q-LoRA path not implemented"
+    return MLAModelConfig(
+        dim=hf_cfg.hidden_size, n_heads=hf_cfg.num_attention_heads,
+        kv_lora_rank=hf_cfg.kv_lora_rank,
+        qk_nope_head_dim=hf_cfg.qk_nope_head_dim,
+        qk_rope_head_dim=hf_cfg.qk_rope_head_dim,
+        v_head_dim=hf_cfg.v_head_dim, rope_theta=hf_cfg.rope_theta,
+        norm_eps=hf_cfg.rms_norm_eps, vocab_size=hf_cfg.vocab_size,
+        n_layers=hf_cfg.num_hidden_layers,
+        ffn_dim=hf_cfg.intermediate_size, dtype=jnp.float32)
+
+
+def load_deepseek_v2(hf_model):
+    """(params, cfg) from a transformers DeepseekV2ForCausalLM (dense
+    layers; MoE layers and the q-LoRA path are out of scope here)."""
+    import numpy as np
+
+    hf_cfg = hf_model.config
+    cfg = config_from_hf_deepseek(hf_cfg)
+    H, dn, dr, dv, dc = (cfg.n_heads, cfg.qk_nope_head_dim,
+                         cfg.qk_rope_head_dim, cfg.v_head_dim,
+                         cfg.kv_lora_rank)
+    sd = {k: np.asarray(v.detach().to("cpu").float().numpy())
+          for k, v in hf_model.state_dict().items()}
+
+    def t(name):  # torch Linear stores (out, in) -> ours is (in, out)
+        return jnp.asarray(sd[name].T, cfg.dtype)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"model.layers.{i}."
+        # kv_b_proj (H*(dn+dv), dc): rows are [head][dn "+" dv]
+        kv_b = sd[p + "self_attn.kv_b_proj.weight"].reshape(H, dn + dv, dc)
+        layers.append({
+            "attn_norm": jnp.asarray(sd[p + "input_layernorm.weight"],
+                                     cfg.dtype),
+            "mlp_norm": jnp.asarray(
+                sd[p + "post_attention_layernorm.weight"], cfg.dtype),
+            "attn": {
+                "w_q": t(p + "self_attn.q_proj.weight"),
+                "w_dkv": t(p + "self_attn.kv_a_proj_with_mqa.weight"),
+                "c_norm": jnp.asarray(
+                    sd[p + "self_attn.kv_a_layernorm.weight"], cfg.dtype),
+                "w_uk": jnp.asarray(
+                    kv_b[:, :dn].transpose(0, 2, 1), cfg.dtype),
+                "w_uv": jnp.asarray(
+                    kv_b[:, dn:].transpose(0, 2, 1), cfg.dtype),
+                "w_o": t(p + "self_attn.o_proj.weight"),
+            },
+            "w_gate": t(p + "mlp.gate_proj.weight"),
+            "w_up": t(p + "mlp.up_proj.weight"),
+            "w_down": t(p + "mlp.down_proj.weight"),
+        })
+    params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"], cfg.dtype),
+        "norm": jnp.asarray(sd["model.norm.weight"], cfg.dtype),
+        "layers": layers,
+    }
+    if "lm_head.weight" in sd and not hf_cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(sd["lm_head.weight"], cfg.dtype)
+    return params, cfg

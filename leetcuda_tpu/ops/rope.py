@@ -100,6 +100,24 @@ def apply_rope_half(x, positions, theta: float = DEFAULT_THETA):
                            axis=-1).astype(x.dtype)
 
 
+def apply_rope_interleaved(x, positions, theta: float = DEFAULT_THETA):
+    """Interleaved-pair RoPE for models: x (..., S, H, D), positions (..., S).
+
+    DeepSeek/complex convention (HF deepseek_v2 ``apply_rotary_emb``): lane
+    pairs (2i, 2i+1) rotate by angle pos·θ^{-2i/D} — the kernel-level
+    semantics above, broadcast over heads with explicit positions."""
+    D = x.shape[-1]
+    half = D // 2
+    inv_freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., S, half)
+    c = jnp.cos(ang)[..., None, :]  # (..., S, 1, half) broadcasts over heads
+    s = jnp.sin(ang)[..., None, :]
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], half, 2)
+    x1, x2 = xf[..., 0], xf[..., 1]
+    out = jnp.stack([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
 def _rope_flops(x):
     return float(6 * x.size)
 

@@ -174,3 +174,46 @@ def test_mla_tp_decode_matches_single_device(setup):
                               cfg, block_k=8, mesh=mesh)
     np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_deepseek_v2_golden_parity():
+    """transformers DeepseekV2ForCausalLM (random-init tiny, dense layers)
+    vs our MLA model through load_deepseek_v2: prefill logits match, and
+    the absorbed latent-cache decode continues the HF stream."""
+    import torch
+    from transformers.models.deepseek_v2 import (DeepseekV2Config,
+                                                 DeepseekV2ForCausalLM)
+    from leetcuda_tpu.models.mla import (load_deepseek_v2,
+                                         mla_model_prefill,
+                                         mla_model_decode_step)
+
+    hf_cfg = DeepseekV2Config(
+        hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, vocab_size=96,
+        q_lora_rank=None, kv_lora_rank=64, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, first_k_dense_replace=2,
+        attention_bias=False, rope_scaling=None, use_cache=False)
+    torch.manual_seed(0)
+    hf = DeepseekV2ForCausalLM(hf_cfg).eval()
+
+    B, S, T = 2, 12, 3
+    toks = np.random.default_rng(8).integers(0, 96, (B, S + T))
+    with torch.no_grad():
+        want = hf(torch.tensor(toks)).logits.float().numpy()
+
+    params, cfg = load_deepseek_v2(hf)
+    got, _ = mla_model_prefill(params, jnp.asarray(toks, jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+    # absorbed decode continues the stream HF computed
+    _, caches = mla_model_prefill(params, jnp.asarray(toks[:, :S],
+                                                      jnp.int32), cfg,
+                                  max_seq=S + T)
+    lengths = jnp.full((B,), S, jnp.int32)
+    for t in range(T):
+        lg, caches = mla_model_decode_step(
+            params, jnp.asarray(toks[:, S + t], jnp.int32), caches,
+            lengths, cfg)
+        np.testing.assert_allclose(np.asarray(lg), want[:, S + t],
+                                   atol=3e-3, rtol=3e-3, err_msg=f"t={t}")
+        lengths = lengths + 1
