@@ -57,12 +57,17 @@ def main():
                              ffn_dim=512, dtype=jnp.float32)
         params = init_mla_model(jax.random.key(0), cfg)
 
-    mla_b, mha_b = kv_bytes_per_token(cfg)
-    print(f"latent cache: {mla_b} B/token/layer vs expanded MHA {mha_b} "
-          f"({mha_b / mla_b:.1f}x smaller"
-          + (", int8 latent: "
-             f"{mha_b / (cfg.latent_dim + 4):.1f}x)" if args.quant != "none"
-             else ")"))
+    import dataclasses
+
+    # quote the bf16 baseline the docs use regardless of the demo's dtype
+    bf16_cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    mla_b, mha_b = kv_bytes_per_token(bf16_cfg)
+    line = (f"latent cache: {mla_b} B/token/layer vs expanded bf16 MHA "
+            f"{mha_b} ({mha_b / mla_b:.1f}x smaller")
+    if args.quant != "none":
+        line += (f"; {args.quant} latent + f32 scale: "
+                 f"{mha_b / (cfg.latent_dim + 4):.1f}x")
+    print(line + ")")
 
     prompts = jnp.asarray(
         np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 12)),

@@ -130,11 +130,12 @@ def mla_param_shardings(cfg: MLAConfig):
 
 
 def shard_mla_params(params, cfg: MLAConfig, mesh: Mesh):
-    """device_put one MLA layer's params per mla_param_shardings."""
+    """device_put one MLA layer's params per mla_param_shardings. A param
+    without a sharding rule raises KeyError — the one place that catches a
+    new weight added without thinking about its placement."""
     spec = mla_param_shardings(cfg)
     return {k: jax.device_put(v, NamedSharding(mesh, spec[k]))
-            for k, v in params.items() if k in spec} | {
-        k: v for k, v in params.items() if k not in spec}
+            for k, v in params.items()}
 
 
 def _q_proj(params, x, cfg: MLAConfig):
@@ -152,10 +153,7 @@ def _latent_proj(params, x, cfg: MLAConfig):
     ckr = x @ params["w_dkv"]
     c, kr = ckr[..., :dc], ckr[..., dc:]
     if cfg.latent_norm:
-        var = jnp.mean(jnp.square(c.astype(jnp.float32)), axis=-1,
-                       keepdims=True)
-        c = ((c.astype(jnp.float32) * jax.lax.rsqrt(var + cfg.norm_eps))
-             .astype(c.dtype) * params["c_norm"])
+        c = _mla_rms(c, params["c_norm"], cfg.norm_eps)
     return c, kr
 
 
@@ -429,6 +427,14 @@ def mla_generate(params, cfg: MLAModelConfig, prompts, max_new: int,
 
 def config_from_hf_deepseek(hf_cfg) -> "MLAModelConfig":
     assert hf_cfg.q_lora_rank is None, "q-LoRA path not implemented"
+    # fail LOUDLY on conventions we do not reproduce rather than emitting
+    # silently-wrong logits (real V2 checkpoints ship yarn rope_scaling
+    # with mscale folded into the attention scale; some configs add biases)
+    assert getattr(hf_cfg, "rope_scaling", None) is None, (
+        "yarn rope_scaling (incl. mscale attention scaling) not "
+        "implemented — logits would silently diverge")
+    assert not getattr(hf_cfg, "attention_bias", False), (
+        "attention biases not implemented")
     return MLAModelConfig(
         dim=hf_cfg.hidden_size, n_heads=hf_cfg.num_attention_heads,
         kv_lora_rank=hf_cfg.kv_lora_rank,

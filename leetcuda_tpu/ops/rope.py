@@ -82,6 +82,15 @@ def rope_ref(x, theta: float = DEFAULT_THETA):
     return out.reshape(S, D).astype(x.dtype)
 
 
+def _rope_angles(positions, D, theta):
+    """(cos, sin) of pos·θ^{-2i/D}, shaped (..., S, 1, half) to broadcast
+    over a heads axis — shared by both model-level rotation conventions."""
+    half = D // 2
+    inv_freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., S, half)
+    return jnp.cos(ang)[..., None, :], jnp.sin(ang)[..., None, :]
+
+
 def apply_rope_half(x, positions, theta: float = DEFAULT_THETA):
     """Half-rotation RoPE for models: x (..., S, H, D), positions (..., S).
 
@@ -90,10 +99,7 @@ def apply_rope_half(x, positions, theta: float = DEFAULT_THETA):
     """
     D = x.shape[-1]
     half = D // 2
-    inv_freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
-    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., S, half)
-    c = jnp.cos(ang)[..., None, :]  # (..., S, 1, half) broadcasts over heads
-    s = jnp.sin(ang)[..., None, :]
+    c, s = _rope_angles(positions, D, theta)
     x1 = x[..., :half].astype(jnp.float32)
     x2 = x[..., half:].astype(jnp.float32)
     return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
@@ -108,10 +114,7 @@ def apply_rope_interleaved(x, positions, theta: float = DEFAULT_THETA):
     semantics above, broadcast over heads with explicit positions."""
     D = x.shape[-1]
     half = D // 2
-    inv_freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
-    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., S, half)
-    c = jnp.cos(ang)[..., None, :]  # (..., S, 1, half) broadcasts over heads
-    s = jnp.sin(ang)[..., None, :]
+    c, s = _rope_angles(positions, D, theta)
     xf = x.astype(jnp.float32).reshape(*x.shape[:-1], half, 2)
     x1, x2 = xf[..., 0], xf[..., 1]
     out = jnp.stack([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)

@@ -180,7 +180,8 @@ def test_deepseek_v2_golden_parity():
     """transformers DeepseekV2ForCausalLM (random-init tiny, dense layers)
     vs our MLA model through load_deepseek_v2: prefill logits match, and
     the absorbed latent-cache decode continues the HF stream."""
-    import torch
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers.models.deepseek_v2")
     from transformers.models.deepseek_v2 import (DeepseekV2Config,
                                                  DeepseekV2ForCausalLM)
     from leetcuda_tpu.models.mla import (load_deepseek_v2,
