@@ -315,6 +315,19 @@ class MLAModelConfig(MLAConfig):
     n_layers: int = 2
     ffn_dim: int = 4096
     norm_eps: float = 1e-5
+    # DeepSeek MoE (layers >= first_k_dense get routed experts + an
+    # always-on shared expert; greedy softmax top-k, optionally
+    # re-normalized, scaled by routed_scaling_factor)
+    n_routed_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_ffn_dim: int = 0
+    n_shared_experts: int = 0
+    first_k_dense: int = 1
+    routed_scaling_factor: float = 1.0
+    norm_topk_prob: bool = False
+
+    def is_moe_layer(self, i: int) -> bool:
+        return self.n_routed_experts > 0 and i >= self.first_k_dense
 
 
 def init_mla_model(key, cfg: MLAModelConfig):
@@ -326,16 +339,36 @@ def init_mla_model(key, cfg: MLAModelConfig):
                 / math.sqrt(fan_in)).astype(cfg.dtype)
 
     layers = []
-    for kl in k_layers:
-        ka, kg, ku, kd = jax.random.split(kl, 4)
-        layers.append({
+    for i, kl in enumerate(k_layers):
+        ka, kg, ku, kd, km = jax.random.split(kl, 5)
+        layer = {
             "attn_norm": jnp.ones((D,), cfg.dtype),
             "attn": init_mla_params(ka, cfg),
             "mlp_norm": jnp.ones((D,), cfg.dtype),
-            "w_gate": dense(kg, D, (D, F)),
-            "w_up": dense(ku, D, (D, F)),
-            "w_down": dense(kd, F, (F, D)),
-        })
+        }
+        if cfg.is_moe_layer(i):
+            E, Fm = cfg.n_routed_experts, cfg.moe_ffn_dim
+            Fs = Fm * max(cfg.n_shared_experts, 1)
+            kge, kue, kde, kgw, ksg, ksu, ksd = jax.random.split(km, 7)
+            layer["moe"] = {
+                "gate_w": dense(kgw, D, (E, D)),
+                "w_gate": dense(kge, D, (E, D, Fm)),
+                "w_up": dense(kue, D, (E, D, Fm)),
+                "w_down": dense(kde, Fm, (E, Fm, D)),
+            }
+            if cfg.n_shared_experts:
+                layer["moe"]["shared"] = {
+                    "w_gate": dense(ksg, D, (D, Fs)),
+                    "w_up": dense(ksu, D, (D, Fs)),
+                    "w_down": dense(ksd, Fs, (Fs, D)),
+                }
+        else:
+            layer.update({
+                "w_gate": dense(kg, D, (D, F)),
+                "w_up": dense(ku, D, (D, F)),
+                "w_down": dense(kd, F, (F, D)),
+            })
+        layers.append(layer)
     return {
         "embed": dense(k_embed, D, (cfg.vocab_size, D)),
         "norm": jnp.ones((D,), cfg.dtype),
@@ -355,6 +388,43 @@ def _mla_mlp(x, layer):
             .astype(x.dtype) @ layer["w_down"])
 
 
+def _deepseek_moe(x, moe, cfg: MLAModelConfig):
+    """DeepSeek MoE (greedy top-k): softmax router scores in f32, top-k
+    weights (optionally re-normalized) scaled by routed_scaling_factor,
+    plus the always-on shared expert. Dense-combine formulation — every
+    expert evaluates every token and a (tokens, E) weight matrix combines
+    them: HF-exact and MXU-shaped; capacity-routed dispatch for
+    production-scale expert counts lives in models/moe.py (moe_ffn)."""
+    E, k = cfg.n_routed_experts, cfg.num_experts_per_tok
+    scores = jax.nn.softmax(
+        (x.astype(jnp.float32) @ moe["gate_w"].astype(jnp.float32).T),
+        axis=-1)                                           # (..., E)
+    topw, topi = jax.lax.top_k(scores, k)
+    if cfg.norm_topk_prob:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    topw = topw * cfg.routed_scaling_factor
+    w_full = jnp.sum(jax.nn.one_hot(topi, E, dtype=jnp.float32)
+                     * topw[..., None], axis=-2)           # (..., E)
+
+    g = jnp.einsum("...d,edf->...ef", x.astype(jnp.float32),
+                   moe["w_gate"].astype(jnp.float32))
+    u = jnp.einsum("...d,edf->...ef", x.astype(jnp.float32),
+                   moe["w_up"].astype(jnp.float32))
+    h = jax.nn.silu(g) * u
+    y = jnp.einsum("...ef,efd->...ed", h,
+                   moe["w_down"].astype(jnp.float32))
+    out = jnp.einsum("...e,...ed->...d", w_full, y)
+    if "shared" in moe:
+        out = out + _mla_mlp(x, moe["shared"]).astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _mla_ffn(x, layer, cfg: MLAModelConfig):
+    if "moe" in layer:
+        return _deepseek_moe(x, layer["moe"], cfg)
+    return _mla_mlp(x, layer)
+
+
 def mla_model_prefill(params, tokens, cfg: MLAModelConfig,
                       max_seq: int | None = None):
     """tokens (B, S) -> (logits (B, S, V), caches [per-layer latent])."""
@@ -365,7 +435,8 @@ def mla_model_prefill(params, tokens, cfg: MLAModelConfig,
                                _mla_rms(x, layer["attn_norm"], cfg.norm_eps),
                                cfg, max_seq=max_seq)
         x = x + a
-        x = x + _mla_mlp(_mla_rms(x, layer["mlp_norm"], cfg.norm_eps), layer)
+        x = x + _mla_ffn(_mla_rms(x, layer["mlp_norm"], cfg.norm_eps),
+                         layer, cfg)
         caches.append(cache)
     x = _mla_rms(x, params["norm"], cfg.norm_eps)
     w_lm = params.get("lm_head", params["embed"])
@@ -382,7 +453,8 @@ def mla_model_decode_step(params, tokens, caches, lengths,
             layer["attn"], _mla_rms(x, layer["attn_norm"], cfg.norm_eps),
             cache, lengths, cfg)
         x = x + a
-        x = x + _mla_mlp(_mla_rms(x, layer["mlp_norm"], cfg.norm_eps), layer)
+        x = x + _mla_ffn(_mla_rms(x, layer["mlp_norm"], cfg.norm_eps),
+                         layer, cfg)
         new_caches.append(cache)
     x = _mla_rms(x, params["norm"], cfg.norm_eps)
     w_lm = params.get("lm_head", params["embed"])
@@ -435,6 +507,20 @@ def config_from_hf_deepseek(hf_cfg) -> "MLAModelConfig":
         "implemented — logits would silently diverge")
     assert not getattr(hf_cfg, "attention_bias", False), (
         "attention biases not implemented")
+    moe = {}
+    n_routed = getattr(hf_cfg, "n_routed_experts", None)
+    if n_routed and hf_cfg.num_hidden_layers > hf_cfg.first_k_dense_replace:
+        assert hf_cfg.topk_method == "greedy", (
+            "only greedy top-k routing implemented (V2-Lite); "
+            "group_limited_greedy would silently mis-route")
+        moe = dict(
+            n_routed_experts=n_routed,
+            num_experts_per_tok=hf_cfg.num_experts_per_tok,
+            moe_ffn_dim=hf_cfg.moe_intermediate_size,
+            n_shared_experts=hf_cfg.n_shared_experts or 0,
+            first_k_dense=hf_cfg.first_k_dense_replace,
+            routed_scaling_factor=hf_cfg.routed_scaling_factor,
+            norm_topk_prob=hf_cfg.norm_topk_prob)
     return MLAModelConfig(
         dim=hf_cfg.hidden_size, n_heads=hf_cfg.num_attention_heads,
         kv_lora_rank=hf_cfg.kv_lora_rank,
@@ -443,12 +529,13 @@ def config_from_hf_deepseek(hf_cfg) -> "MLAModelConfig":
         v_head_dim=hf_cfg.v_head_dim, rope_theta=hf_cfg.rope_theta,
         norm_eps=hf_cfg.rms_norm_eps, vocab_size=hf_cfg.vocab_size,
         n_layers=hf_cfg.num_hidden_layers,
-        ffn_dim=hf_cfg.intermediate_size, dtype=jnp.float32)
+        ffn_dim=hf_cfg.intermediate_size, dtype=jnp.float32, **moe)
 
 
 def load_deepseek_v2(hf_model):
-    """(params, cfg) from a transformers DeepseekV2ForCausalLM (dense
-    layers; MoE layers and the q-LoRA path are out of scope here)."""
+    """(params, cfg) from a transformers DeepseekV2ForCausalLM. Dense and
+    MoE layers (greedy routing + shared experts); the q-LoRA path and
+    yarn rope_scaling assert out."""
     import numpy as np
 
     hf_cfg = hf_model.config
@@ -467,7 +554,7 @@ def load_deepseek_v2(hf_model):
         p = f"model.layers.{i}."
         # kv_b_proj (H*(dn+dv), dc): rows are [head][dn "+" dv]
         kv_b = sd[p + "self_attn.kv_b_proj.weight"].reshape(H, dn + dv, dc)
-        layers.append({
+        layer = {
             "attn_norm": jnp.asarray(sd[p + "input_layernorm.weight"],
                                      cfg.dtype),
             "mlp_norm": jnp.asarray(
@@ -483,10 +570,33 @@ def load_deepseek_v2(hf_model):
                     kv_b[:, dn:].transpose(0, 2, 1), cfg.dtype),
                 "w_o": t(p + "self_attn.o_proj.weight"),
             },
-            "w_gate": t(p + "mlp.gate_proj.weight"),
-            "w_up": t(p + "mlp.up_proj.weight"),
-            "w_down": t(p + "mlp.down_proj.weight"),
-        })
+        }
+        if cfg.is_moe_layer(i):
+            E = cfg.n_routed_experts
+            layer["moe"] = {
+                "gate_w": jnp.asarray(sd[p + "mlp.gate.weight"], cfg.dtype),
+                "w_gate": jnp.stack([t(p + f"mlp.experts.{e}."
+                                         "gate_proj.weight")
+                                     for e in range(E)]),
+                "w_up": jnp.stack([t(p + f"mlp.experts.{e}.up_proj.weight")
+                                   for e in range(E)]),
+                "w_down": jnp.stack(
+                    [t(p + f"mlp.experts.{e}.down_proj.weight")
+                     for e in range(E)]),
+            }
+            if cfg.n_shared_experts:
+                layer["moe"]["shared"] = {
+                    "w_gate": t(p + "mlp.shared_experts.gate_proj.weight"),
+                    "w_up": t(p + "mlp.shared_experts.up_proj.weight"),
+                    "w_down": t(p + "mlp.shared_experts.down_proj.weight"),
+                }
+        else:
+            layer.update({
+                "w_gate": t(p + "mlp.gate_proj.weight"),
+                "w_up": t(p + "mlp.up_proj.weight"),
+                "w_down": t(p + "mlp.down_proj.weight"),
+            })
+        layers.append(layer)
     params = {
         "embed": jnp.asarray(sd["model.embed_tokens.weight"], cfg.dtype),
         "norm": jnp.asarray(sd["model.norm.weight"], cfg.dtype),

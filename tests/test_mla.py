@@ -218,3 +218,53 @@ def test_deepseek_v2_golden_parity():
         np.testing.assert_allclose(np.asarray(lg), want[:, S + t],
                                    atol=3e-3, rtol=3e-3, err_msg=f"t={t}")
         lengths = lengths + 1
+
+
+def test_deepseek_v2_moe_golden_parity():
+    """MoE layers (greedy top-k routing + shared expert): layer 0 dense,
+    layer 1 MoE — prefill logits and the absorbed decode continuation
+    match HF."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers.models.deepseek_v2")
+    from transformers.models.deepseek_v2 import (DeepseekV2Config,
+                                                 DeepseekV2ForCausalLM)
+    from leetcuda_tpu.models.mla import (load_deepseek_v2,
+                                         mla_model_prefill,
+                                         mla_model_decode_step)
+
+    hf_cfg = DeepseekV2Config(
+        hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4, vocab_size=96,
+        q_lora_rank=None, kv_lora_rank=64, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, attention_bias=False,
+        rope_scaling=None, use_cache=False,
+        n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=64,
+        n_shared_experts=2, first_k_dense_replace=1, moe_layer_freq=1,
+        topk_method="greedy", norm_topk_prob=False,
+        routed_scaling_factor=1.0)
+    torch.manual_seed(1)
+    hf = DeepseekV2ForCausalLM(hf_cfg).eval()
+    assert any("mlp.experts.0" in k for k in hf.state_dict()), \
+        "HF config did not produce MoE layers — test setup wrong"
+
+    B, S, T = 2, 10, 2
+    toks = np.random.default_rng(9).integers(0, 96, (B, S + T))
+    with torch.no_grad():
+        want = hf(torch.tensor(toks)).logits.float().numpy()
+
+    params, cfg = load_deepseek_v2(hf)
+    assert cfg.is_moe_layer(1) and not cfg.is_moe_layer(0)
+    got, _ = mla_model_prefill(params, jnp.asarray(toks, jnp.int32), cfg)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+    _, caches = mla_model_prefill(params, jnp.asarray(toks[:, :S],
+                                                      jnp.int32), cfg,
+                                  max_seq=S + T)
+    lengths = jnp.full((B,), S, jnp.int32)
+    for t in range(T):
+        lg, caches = mla_model_decode_step(
+            params, jnp.asarray(toks[:, S + t], jnp.int32), caches,
+            lengths, cfg)
+        np.testing.assert_allclose(np.asarray(lg), want[:, S + t],
+                                   atol=3e-3, rtol=3e-3, err_msg=f"t={t}")
+        lengths = lengths + 1
