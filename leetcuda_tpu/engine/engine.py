@@ -181,12 +181,13 @@ class Engine:
     def __init__(self, params, cfg: ModelConfig, econfig: EngineConfig = None,
                  sample_fn: Callable = _greedy, mesh=None, seed: int = 0,
                  draft=None):
-        """``mesh``: serve data/tensor-parallel — a (dp, sp=1, tp) mesh;
-        weights and caches are sharded here (Megatron TP rules; kv-heads on
-        tp, slots on dp — dp must divide slots; admission prefills through
-        the ragged batch padded to a dp multiple). Every EngineConfig feature
-        composes with the mesh: paged pools shard heads on tp, speculative
-        verify runs the sharded chunk kernel.
+        """``mesh``: serve data/sequence/tensor-parallel — a (dp, sp, tp)
+        mesh; weights and caches are sharded here (Megatron TP rules;
+        kv-heads on tp, slots on dp — dp must divide slots; admission
+        prefills through a dp-padded batch: the ragged kernel when sp=1,
+        per-bucket groups of the sp-sharded Ulysses forward when sp>1).
+        Every EngineConfig feature composes with the mesh: paged pools shard
+        heads on tp, speculative verify runs the sharded chunk kernel.
 
         ``sample_fn(logits, key) -> tokens``: engine/sampling.py samplers
         (greedy default; make_sampler for temperature/top-k/top-p)."""
@@ -220,11 +221,17 @@ class Engine:
         if mesh is not None:
             n_dp = mesh.shape.get("dp", 1)
             if n_dp > 1:
-                # dp>1 admission routes through the ragged-prefill batch
-                # padded to a dp multiple; sequence parallelism is a training/
-                # long-prefill axis, not a serving one
-                assert mesh.shape.get("sp", 1) == 1, "dp>1 requires sp=1"
+                # dp>1 admission routes through a dp-padded prefill batch:
+                # the ragged kernel when sp=1, else per-bucket groups of the
+                # sp-sharded forward (dummy rows dropped) — see _admit
                 assert ec.slots % n_dp == 0, (ec.slots, n_dp)
+            n_sp = mesh.shape.get("sp", 1)
+            if n_sp > 1:
+                # sp>1 prefill shards the padded sequence (multiples of
+                # prefill_bucket) over sp — keep the split exact
+                assert ec.prefill_bucket % n_sp == 0, (
+                    f"prefill_bucket={ec.prefill_bucket} must be a multiple "
+                    f"of sp={n_sp} (sequence shards over sp at prefill)")
             params = shard_llama_params(params, cfg, mesh)
             caches = shard_kv_caches(caches, mesh)
         self.params = params
@@ -432,14 +439,22 @@ class Engine:
                                         for k, v in kvs])
                            for i in range(len(fresh))]
             else:
+                # sp>1: the sequence-sharded forward (Ulysses reshard) is the
+                # prefill; under dp>1 every call pads to an n_dp-row batch so
+                # the dp axis stays divisible (dummy rows' logits/K-V are
+                # dropped — the same trick _chunk_admit plays)
                 per_seq = []
-                for _, req in fresh:
-                    L = len(req.prompt)
-                    s_pad = L + (-L % ec.prefill_bucket)
-                    toks = np.zeros((1, s_pad), np.int32)
-                    toks[0, :L] = req.prompt
+                for g0 in range(0, len(fresh), n_dp):
+                    group = fresh[g0:g0 + n_dp]
+                    s_pad = max(len(r.prompt) for _, r in group)
+                    s_pad += -s_pad % ec.prefill_bucket
+                    toks = np.zeros((n_dp, s_pad), np.int32)
+                    for i, (_, req) in enumerate(group):
+                        toks[i, :len(req.prompt)] = req.prompt
                     lg, kvs = self._prefill(self.params, jnp.asarray(toks))
-                    per_seq.append((lg[0], kvs))
+                    per_seq.extend(
+                        (lg[i], [(k[i:i + 1], v[i:i + 1]) for k, v in kvs])
+                        for i in range(len(group)))
 
             for (slot, req), (logits_i, kvs_i) in zip(fresh, per_seq):
                 L = len(req.prompt)

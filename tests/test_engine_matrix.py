@@ -90,6 +90,26 @@ def test_dp_tp_engine(setup):
         slots=4, max_seq=256, prefill_bucket=16), mesh=mesh)
 
 
+def test_dp_sp_tp_engine(setup):
+    """dp=2 x sp=2 x tp=2 serving (r2 fence `dp>1 requires sp=1` removed):
+    admission runs the sequence-sharded Ulysses prefill in dp-padded groups;
+    decode replicates over sp. Token-exact vs solo greedy."""
+    cfg, params = setup
+    mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2), devices=jax.devices()[:8])
+    run_matrix(cfg, params, EngineConfig(
+        slots=4, max_seq=256, prefill_bucket=16), mesh=mesh)
+
+
+def test_dp_sp_paged_int8(setup):
+    """dp=2 x sp=2 + paged pool + int8 KV: the sp-sharded prefill's K/V
+    slices insert into a head-sharded quantized pool."""
+    cfg, params = setup
+    mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2), devices=jax.devices()[:8])
+    run_matrix(cfg, params, EngineConfig(
+        slots=4, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        kv_quant="int8"), mesh=mesh)
+
+
 def test_everything_at_once(setup, draft):
     """The full stack: paged + int8 KV + TP + dp + speculative + ragged
     admission + sliding window, in one engine."""
