@@ -110,6 +110,19 @@ def test_dp_sp_paged_int8(setup):
         kv_quant="int8"), mesh=mesh)
 
 
+def test_moe_engine_paged_tp(setup):
+    """Mixtral-style MoE model served by the Engine: paged pool + TP mesh.
+    Routed-expert FFN rides the same decode path (layer["moe"] via
+    _proj_mlp); generous capacity so prefill/decode routing agree and the
+    greedy stream is deterministic."""
+    cfg = tiny_config(n_experts=4, expert_topk=2, capacity_factor=4.0)
+    params = init_params(jax.random.key(0), cfg)
+    mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
+    run_matrix(cfg, params, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16),
+        mesh=mesh)
+
+
 def test_everything_at_once(setup, draft):
     """The full stack: paged + int8 KV + TP + dp + speculative + ragged
     admission + sliding window, in one engine."""
