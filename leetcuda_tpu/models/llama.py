@@ -508,23 +508,16 @@ def pipeline_forward(params, tokens, cfg: ModelConfig, mesh: Mesh,
 
     Requires n_layers % pp == 0 and batch % n_microbatches == 0."""
     from leetcuda_tpu.parallel.pipeline import (
-        stack_stage_params, shard_stage_params, pipeline_apply)
+        split_llama_stages, shard_stage_params, pipeline_apply)
 
     n_stages = mesh.shape["pp"]
-    L = cfg.n_layers
-    assert L % n_stages == 0, (L, n_stages)
-    per = L // n_stages
     B, S = tokens.shape
     M = n_microbatches or n_stages
     assert B % M == 0, (B, M)
 
     # (stage, layers-per-stage, ...) weight stacks, stage dim sharded on pp
-    stage_trees = [
-        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                               *params["layers"][s * per:(s + 1) * per])
-        for s in range(n_stages)
-    ]
-    stacked = shard_stage_params(stack_stage_params(stage_trees), mesh)
+    _, staged = split_llama_stages(params, n_stages)
+    stacked = shard_stage_params(staged, mesh)
 
     x = jnp.take(params["embed"], tokens, axis=0)  # (B, S, D)
     if cfg.embed_scale:

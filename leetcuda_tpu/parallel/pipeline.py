@@ -41,13 +41,17 @@ def shard_stage_params(stacked, mesh: Mesh):
 
 
 def pipeline_apply(stage_fn, stacked_params, microbatches, mesh: Mesh,
-                   axis: str = "pp"):
+                   axis: str = "pp", batch_axis: str | None = None):
     """Run a P-stage pipeline over M microbatches.
 
     stage_fn(stage_params, x) -> y with y.shape == x.shape;
     stacked_params: pytree with leading dim P (sharded on ``axis``);
     microbatches: (M, ...) array. Returns (M, ...) outputs =
     stage_{P-1}(...stage_0(mb)...) per microbatch.
+
+    ``batch_axis``: optional mesh axis sharding microbatches' dim 1 (the
+    per-microbatch batch) — the pp x dp hybrid. stage_fn must be
+    batch-elementwise (a transformer stack is); params replicate over it.
     """
     M = microbatches.shape[0]
     nstages = mesh.shape[axis]
@@ -83,15 +87,122 @@ def pipeline_apply(stage_fn, stacked_params, microbatches, mesh: Mesh,
         _, outputs = jax.lax.fori_loop(0, M + last, tick, (state, outputs))
         return outputs
 
+    tail = [None] * (microbatches.ndim - 2)
+    mb_spec = P(None, batch_axis, *tail)
     in_specs = (
         jax.tree_util.tree_map(
             lambda x: P(axis, *([None] * (x.ndim - 1))), stacked_params),
-        P(*([None] * microbatches.ndim)),
+        mb_spec,
     )
     # each stage returns its (mostly-garbage) (M, ...) collection buffer;
     # out_specs concatenates them along dim 0 -> (P*M, ...); the last stage's
     # block is the real result
     out = shard_map(spmd, mesh=mesh, in_specs=in_specs,
-                    out_specs=P(axis, *([None] * (microbatches.ndim - 1))),
+                    out_specs=P(axis, batch_axis, *tail),
                     check_vma=False)(stacked_params, microbatches)
     return out[(nstages - 1) * M:]
+
+# --- full-model pipeline training (llama stack over pp, optional dp) --------
+
+def split_llama_stages(params, n_stages: int):
+    """Split a llama param tree for pipeline training.
+
+    Returns ``(outer, staged)``: ``outer`` = {embed, norm, lm_head?}
+    (replicated — they run outside the pipeline), ``staged`` = the L layer
+    trees stacked to leading dims (P, L/P, ...) ready for
+    ``shard_stage_params``. Layers must be structurally homogeneous (true of
+    init_params / the HF loader; stage boundaries land between layers)."""
+    layers = params["layers"]
+    L, P_ = len(layers), n_stages
+    assert L % P_ == 0, f"n_layers={L} must divide into {P_} stages"
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    staged = jax.tree_util.tree_map(
+        lambda x: x.reshape((P_, L // P_) + x.shape[1:]), stacked)
+    outer = {k: v for k, v in params.items() if k != "layers"}
+    return outer, staged
+
+
+def merge_llama_stages(outer, staged):
+    """Inverse of split_llama_stages — back to the flat llama tree (e.g. to
+    hand a pp-trained model to the Engine or a checkpointer)."""
+    flat = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), staged)
+    L = jax.tree_util.tree_leaves(flat)[0].shape[0]
+    layers = [jax.tree_util.tree_map(lambda x: x[i], flat) for i in range(L)]
+    return {**outer, "layers": layers}
+
+
+def make_pp_train_step(cfg, mesh: Mesh, n_microbatches: int,
+                       learning_rate: float = 3e-4, remat: bool = True,
+                       batch_axis: str | None = None):
+    """GPipe pipeline-parallel AdamW train step for the full llama stack.
+
+    The layer stack runs inside ``pipeline_apply`` (stage weights sharded on
+    the mesh's "pp" axis, activations hopping the ICI ring); embedding, final
+    norm and the LM head run outside, replicated. Reverse-mode AD flows
+    through the schedule (static-bound fori_loop lowers to scan; ppermute and
+    the collect DUS have transpose rules), so the backward is the mirrored
+    pipeline XLA derives — bubbles' garbage gets zero cotangents.
+
+    ``batch_axis``: optional dp axis for the pp x dp hybrid (global batch
+    must then be divisible by n_microbatches * dp). ``remat`` checkpoints
+    each layer inside a stage. The loss is EXACTLY models/llama.loss_fn —
+    microbatching a mean CE changes nothing (equal microbatch sizes).
+
+    Usage:
+        outer, staged = split_llama_stages(params, mesh.shape["pp"])
+        staged = shard_stage_params(staged, mesh)
+        init_opt, step = make_pp_train_step(cfg, mesh, n_microbatches=4)
+        state = ((outer, staged), init_opt((outer, staged)))
+    """
+    import math
+
+    import optax
+
+    from leetcuda_tpu.models.llama import _rms_norm, apply_layer
+
+    tx = optax.adamw(learning_rate)
+
+    def stage_fn(stage_params, x):
+        B, S, _ = x.shape
+        positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+
+        def body(h, layer):
+            h2, _ = apply_layer(layer, h, positions=positions, cfg=cfg,
+                                mesh=None)
+            return h2, None
+
+        body_fn = jax.checkpoint(body) if remat else body
+        x, _ = jax.lax.scan(body_fn, x, stage_params)
+        return x
+
+    def loss_pp(train_params, tokens):
+        outer, staged = train_params
+        M = n_microbatches
+        B, S = tokens.shape
+        assert B % M == 0, (B, M)
+        x = jnp.take(outer["embed"], tokens, axis=0)
+        if cfg.embed_scale:
+            x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
+        mbs = x.reshape(M, B // M, S, x.shape[-1])
+        y = pipeline_apply(stage_fn, staged, mbs, mesh,
+                           batch_axis=batch_axis)
+        y = y.reshape(B, S, -1)
+        h = _rms_norm(y, outer["norm"], cfg.norm_eps, cfg.rms_offset)
+        w_lm = outer.get("lm_head", outer["embed"])
+        logits = (h @ w_lm.T).astype(jnp.float32)[:, :-1]
+        targets = tokens[:, 1:]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return -jnp.mean(ll)
+
+    def init_opt(train_params):
+        return tx.init(train_params)
+
+    def step(train_params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_pp)(train_params, tokens)
+        updates, opt_state = tx.update(grads, opt_state, train_params)
+        train_params = optax.apply_updates(train_params, updates)
+        return train_params, opt_state, loss
+
+    return init_opt, jax.jit(step, donate_argnums=(0, 1))

@@ -82,3 +82,87 @@ def test_pipeline_llama_forward_matches_plain():
     got = pipeline_forward(params, tokens, cfg, mesh, n_microbatches=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_pp_train_step_matches_solo():
+    """Pipeline-parallel TRAINING: the GPipe step's loss and gradients equal
+    the plain single-device train step's (reverse AD through the schedule —
+    static-bound fori_loop lowers to scan, ppermute transposes to the
+    inverted ring)."""
+    from leetcuda_tpu.models.llama import tiny_config, init_params, loss_fn
+    from leetcuda_tpu.parallel.pipeline import (
+        split_llama_stages, shard_stage_params, merge_llama_stages,
+        make_pp_train_step)
+
+    cfg = tiny_config(n_layers=4)
+    params = init_params(jax.random.key(0), cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("pp",))
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (4, 32)), jnp.int32)
+
+    # the step donates its state and `params` is compared below -> copy
+    outer, staged = split_llama_stages(
+        jax.tree_util.tree_map(jnp.copy, params), 4)
+    staged = shard_stage_params(staged, mesh)
+    init_opt, step = make_pp_train_step(cfg, mesh, n_microbatches=2,
+                                        learning_rate=1e-3)
+    tp = (outer, staged)
+    (outer2, staged2), opt, loss = step(tp, init_opt(tp), tokens)
+
+    solo = float(loss_fn(params, tokens, cfg))
+    np.testing.assert_allclose(float(loss), solo, atol=1e-5, rtol=1e-5)
+
+    # gradient parity: one adamw step from identical state must produce the
+    # same updated weights as the plain step (same tx, same lr)
+    from leetcuda_tpu.models.llama import make_train_step
+    init_opt_s, step_s = make_train_step(cfg, learning_rate=1e-3, remat=False)
+    p_solo = jax.tree_util.tree_map(jnp.copy, params)
+    p_solo, _, _ = step_s(p_solo, init_opt_s(p_solo), tokens)
+    merged = merge_llama_stages(outer2, staged2)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(merged),
+            jax.tree_util.tree_leaves_with_path(p_solo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3,
+                                   err_msg=str(ka))
+
+
+def test_pp_dp_hybrid_train():
+    """pp=4 x dp=2 hybrid: microbatch batch dim sharded over dp; loss equals
+    the solo step's."""
+    from leetcuda_tpu.models.llama import tiny_config, init_params, loss_fn
+    from leetcuda_tpu.parallel.pipeline import (
+        split_llama_stages, shard_stage_params, make_pp_train_step)
+
+    cfg = tiny_config(n_layers=4)
+    params = init_params(jax.random.key(1), cfg)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                axis_names=("pp", "dp"))
+    tokens = jnp.asarray(np.random.default_rng(1).integers(
+        0, cfg.vocab_size, (8, 32)), jnp.int32)
+
+    outer, staged = split_llama_stages(
+        jax.tree_util.tree_map(jnp.copy, params), 4)
+    staged = shard_stage_params(staged, mesh)
+    init_opt, step = make_pp_train_step(cfg, mesh, n_microbatches=2,
+                                        batch_axis="dp")
+    tp = (outer, staged)
+    _, _, loss = step(tp, init_opt(tp), tokens)
+    solo = float(loss_fn(params, tokens, cfg))
+    np.testing.assert_allclose(float(loss), solo, atol=1e-5, rtol=1e-5)
+
+
+def test_merge_llama_stages_roundtrip():
+    from leetcuda_tpu.models.llama import tiny_config, init_params
+    from leetcuda_tpu.parallel.pipeline import (
+        split_llama_stages, merge_llama_stages)
+
+    cfg = tiny_config(n_layers=4)
+    params = init_params(jax.random.key(2), cfg)
+    outer, staged = split_llama_stages(params, 2)
+    back = merge_llama_stages(outer, staged)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(back)):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
