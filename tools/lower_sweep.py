@@ -134,6 +134,48 @@ def e2e_cases():
 
     yield ("train_step_with_flash_bwd", train)
 
+    # Meshed paths cross-lower for TPU over an AbstractMesh (no devices
+    # needed): the GSPMD partitioning + shard_map collectives (ppermute ring,
+    # Ulysses all-to-all) take the exact lowering route the chip would.
+    from jax.sharding import AbstractMesh
+
+    def meshed_decode():
+        m = AbstractMesh((2, 2, 2), ("dp", "sp", "tp"))
+        export.export(
+            jax.jit(functools.partial(decode_step_impl, cfg=cfg, mesh=m)),
+            platforms=("tpu",))(params, tok1, caches(None), lens)
+
+    yield ("decode_step_mesh_dp2sp2tp2", meshed_decode)
+
+    def meshed_prefill():
+        m = AbstractMesh((2, 2, 2), ("dp", "sp", "tp"))
+        export.export(
+            jax.jit(functools.partial(forward, cfg=cfg, mesh=m)),
+            platforms=("tpu",))(params, toks)
+
+    yield ("prefill_ulysses_mesh_dp2sp2tp2", meshed_prefill)
+
+    def pp_train():
+        import optax
+
+        from leetcuda_tpu.parallel.pipeline import (
+            split_llama_stages, make_pp_train_step)
+
+        m = AbstractMesh((4, 2), ("pp", "dp"))
+        outer, staged = jax.eval_shape(
+            lambda k: split_llama_stages(init_params(k, cfg), 4),
+            jax.random.key(0))
+        _, step = make_pp_train_step(cfg, m, n_microbatches=2,
+                                     batch_axis="dp")
+        tp_ = (outer, staged)
+        opt = jax.eval_shape(
+            lambda: optax.adamw(1e-4).init(jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tp_)))
+        export.export(step, platforms=("tpu",))(
+            tp_, opt, jax.ShapeDtypeStruct((8, 2048), jnp.int32))
+
+    yield ("pp_dp_train_step", pp_train)
+
 
 def main():
     ap = argparse.ArgumentParser()
