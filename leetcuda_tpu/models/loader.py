@@ -42,8 +42,11 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
            else lambda k, d=None: getattr(hf_cfg, k, d))
     mtype = str(get("model_type", "llama") or "llama")
     is_gemma = "gemma" in mtype
+    is_mixtral = "mixtral" in mtype
     head_dim = get("head_dim", None)
     derived = get("hidden_size") // get("num_attention_heads")
+    n_experts = int(get("num_local_experts", 0) or 0) if is_mixtral else 0
+    topk = int(get("num_experts_per_tok", 2) or 2)
     return ModelConfig(
         vocab_size=get("vocab_size"),
         dim=get("hidden_size"),
@@ -62,6 +65,15 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
         sliding_window=(get("sliding_window", None)
                         if get("use_sliding_window", True) else None),
         qk_norm="qwen3" in mtype,  # per-head q/k RMS norm before rope
+        # Mixtral: top-k routed experts with gates renormalized over the
+        # selected k (HF semantics). capacity = E/topk x the even share ->
+        # capacity(T) == T: NO token is ever dropped, so logits reproduce
+        # transformers exactly; production configs dial capacity_factor
+        # down (or use moe_ffn_dropless)
+        n_experts=n_experts,
+        expert_topk=topk,
+        moe_renorm=is_mixtral,
+        capacity_factor=(n_experts / topk if n_experts else 2.0),
     )
 
 
@@ -101,10 +113,29 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
             "wo": mat(pre + "self_attn.o_proj.weight", lspec["wo"]),
             "mlp_norm": put(_to_np(sd[pre + "post_attention_layernorm.weight"]),
                             lspec["mlp_norm"]),
-            "w_gate": mat(pre + "mlp.gate_proj.weight", lspec["w_gate"]),
-            "w_up": mat(pre + "mlp.up_proj.weight", lspec["w_up"]),
-            "w_down": mat(pre + "mlp.down_proj.weight", lspec["w_down"]),
         }
+        if pre + "block_sparse_moe.gate.weight" in sd:
+            # Mixtral routed experts: gate (E, D) -> router (D, E) f32;
+            # experts.{e}.{w1,w3,w2} -> w_gate/w_up/w_down stacks
+            mspec = lspec.get("moe") or {k: None for k in (
+                "router", "w_gate", "w_up", "w_down")}
+            stack = lambda w: np.stack(
+                [_to_np(sd[pre + f"block_sparse_moe.experts.{e}.{w}.weight"]).T
+                 for e in range(cfg.n_experts)])
+            layer["moe"] = {
+                "router": put(
+                    _to_np(sd[pre + "block_sparse_moe.gate.weight"]).T,
+                    mspec["router"], dtype=jnp.float32),
+                "w_gate": put(stack("w1"), mspec["w_gate"]),
+                "w_up": put(stack("w3"), mspec["w_up"]),
+                "w_down": put(stack("w2"), mspec["w_down"]),
+            }
+        else:
+            layer.update(
+                w_gate=mat(pre + "mlp.gate_proj.weight", lspec["w_gate"]),
+                w_up=mat(pre + "mlp.up_proj.weight", lspec["w_up"]),
+                w_down=mat(pre + "mlp.down_proj.weight", lspec["w_down"]),
+            )
         if pre + "self_attn.q_norm.weight" in sd:  # Qwen3 QK-norm
             layer["q_norm"] = put(
                 _to_np(sd[pre + "self_attn.q_norm.weight"]),

@@ -34,6 +34,10 @@ class MoEConfig:
     dim: int = 256
     ffn_dim: int = 512
     dtype: object = jnp.float32
+    # Mixtral semantics: gate weights renormalize over the SELECTED top-k
+    # (HF MixtralSparseMoeBlock divides by their sum); GShard/Switch keep the
+    # raw softmax probabilities
+    renorm_topk: bool = False
 
     def capacity(self, n_tokens: int) -> int:
         c = math.ceil(n_tokens * self.topk * self.capacity_factor
@@ -81,6 +85,7 @@ def _routing(logits, cfg: MoEConfig, capacity: int):
 
     dispatch = jnp.zeros((T, E, capacity), jnp.float32)
     combine = jnp.zeros((T, E, capacity), jnp.float32)
+    gsum = jnp.zeros((T,), jnp.float32)
     masked = probs
     for _ in range(cfg.topk):
         # current best expert per token
@@ -99,7 +104,10 @@ def _routing(logits, cfg: MoEConfig, capacity: int):
         sel = within.astype(jnp.float32)[..., None] * pos_oh
         dispatch = dispatch + sel
         combine = combine + gate[:, None, None] * sel
+        gsum = gsum + gate  # selected gates (capacity drops still count)
         masked = masked * (1.0 - onehot)  # exclude chosen expert next round
+    if cfg.renorm_topk:
+        combine = combine / gsum[:, None, None]
     return dispatch, combine
 
 
@@ -149,6 +157,8 @@ def moe_ffn_dropless(x, params, cfg: MoEConfig, block_m: int = 128):
     logits = xf.astype(jnp.float32) @ params["router"]
     probs = jax.nn.softmax(logits, axis=-1)
     gate_w, expert_id = jax.lax.top_k(probs, k)       # (T, k)
+    if cfg.renorm_topk:
+        gate_w = gate_w / jnp.sum(gate_w, axis=-1, keepdims=True)
     e_flat = expert_id.reshape(-1)                     # (T*k,)
     token_of_copy = jnp.repeat(jnp.arange(T), k)
 
@@ -192,6 +202,8 @@ def moe_ffn_dropless_ref(x, params, cfg: MoEConfig):
     logits = xf.astype(jnp.float32) @ params["router"]
     probs = jax.nn.softmax(logits, axis=-1)
     gate_w, topi = jax.lax.top_k(probs, cfg.topk)
+    if cfg.renorm_topk:
+        gate_w = gate_w / jnp.sum(gate_w, axis=-1, keepdims=True)
 
     out = jnp.zeros((xf.shape[0], D), jnp.float32)
     for e in range(cfg.n_experts):
@@ -211,7 +223,9 @@ def moe_ffn_ref(x, params, cfg: MoEConfig):
     xf = x.reshape(-1, D)
     logits = xf.astype(jnp.float32) @ params["router"]
     probs = jax.nn.softmax(logits, axis=-1)
-    _, topi = jax.lax.top_k(probs, cfg.topk)  # (T, k)
+    topg, topi = jax.lax.top_k(probs, cfg.topk)  # (T, k)
+    if cfg.renorm_topk:
+        probs = probs / jnp.sum(topg, axis=-1, keepdims=True)
 
     def expert(e, v):
         g = jax.nn.silu((v @ params["w_gate"][e]).astype(jnp.float32))

@@ -237,3 +237,43 @@ def test_qwen3_golden_parity():
         outs.append(np.asarray(lg))
         lengths = lengths + 1
     np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
+
+
+def test_mixtral_golden_parity():
+    """Mixtral = Llama attention + top-2 routed sparse MoE FFN with gates
+    renormalized over the selected experts. The loader maps
+    block_sparse_moe.{gate,experts.*.w1/w3/w2} and sets capacity to the
+    no-drop bound, so logits reproduce transformers exactly."""
+    hf_cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True, sliding_window=None,
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(3)
+    model = transformers.MixtralForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.n_experts == 4 and cfg.expert_topk == 2 and cfg.moe_renorm
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    assert "moe" in params["layers"][0]
+    assert params["layers"][0]["moe"]["w_gate"].shape == (4, 64, 128)
+
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+    # decode path routes per-token (T=B per call) through the same experts
+    caches = init_kv_caches(cfg, 2, 128)
+    lengths = jnp.zeros((2,), jnp.int32)
+    outs = []
+    for t in range(12):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)

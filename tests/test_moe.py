@@ -168,3 +168,27 @@ def test_moe_dropless_skewed_load():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
     assert bool(jnp.all(jnp.any(got != 0, axis=-1)))  # nobody dropped
+
+
+def test_renorm_topk_all_paths_agree():
+    """Mixtral gate renormalization: capacity (no-drop), dropless-gmm and the
+    dense oracle produce identical outputs, and they differ from the
+    unnormalized GShard gates."""
+    from leetcuda_tpu.models.moe import moe_ffn_dropless, moe_ffn_dropless_ref
+
+    cfg = MoEConfig(n_experts=4, topk=2, dim=64, ffn_dim=128,
+                    capacity_factor=2.0, renorm_topk=True)
+    params = init_moe_params(jax.random.key(3), cfg)
+    x = jax.random.normal(jax.random.key(4), (2, 32, 64), jnp.float32)
+
+    cap = moe_ffn(x, params, cfg)
+    ref = moe_ffn_ref(x, params, cfg)
+    dl = moe_ffn_dropless(x, params, cfg)
+    dlr = moe_ffn_dropless_ref(x, params, cfg)
+    for name, got in (("ref", ref), ("dropless", dl), ("dropless_ref", dlr)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(cap),
+                                   atol=2e-5, rtol=2e-5, err_msg=name)
+
+    raw = moe_ffn(x, params, MoEConfig(n_experts=4, topk=2, dim=64,
+                                       ffn_dim=128, capacity_factor=2.0))
+    assert float(jnp.max(jnp.abs(raw - cap))) > 1e-3
