@@ -421,5 +421,17 @@ register_op(
 )(make_flash_attention(block_q=512, block_k=512, causal=True,
                        two_phase=True))
 
+register_op(
+    # Mistral-style sliding window: band masking + off-band block skipping.
+    # Trainable via make_flash_attention_trainable(window=...) — the FA-2
+    # backward kernels implement the same band (attention/flash_bwd.py).
+    "flash_attn_mma_stages_split_q_sliding_window",
+    ref=functools.partial(mha_ref, causal=True, window=1024),
+    flops=_fa_flops,
+    atol=1e-2, rtol=1e-2,
+    family="flash-attn",
+    tags=("causal", "window1024"),
+)(make_flash_attention(causal=True, window=1024))
+
 flash_attention = make_flash_attention()
 flash_attention_causal = make_flash_attention(causal=True)

@@ -34,7 +34,7 @@ from leetcuda_tpu.attention.flash import (
 _NEG_INF = -1e30
 
 
-def _bwd_dq_kernel(causal, scale, bq, bk,
+def _bwd_dq_kernel(causal, window, scale, bq, bk,
                    q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                    dq_ref, acc):
     qi, ki = pl.program_id(1), pl.program_id(2)
@@ -56,7 +56,10 @@ def _bwd_dq_kernel(causal, scale, bq, bk,
         if causal:
             rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(rows >= cols, s, _NEG_INF)
+            keep = rows >= cols
+            if window:  # forward's band: attend to the last `window` cols
+                keep &= rows - cols < window
+            s = jnp.where(keep, s, _NEG_INF)
         p = jnp.exp(s - lse)                     # masked -> exp(-inf)≈0
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32),
@@ -69,7 +72,11 @@ def _bwd_dq_kernel(causal, scale, bq, bk,
             preferred_element_type=jnp.float32) * scale
 
     if causal:
-        @pl.when(ki * bk <= qi * bq + bq - 1)
+        on_band = ki * bk <= qi * bq + bq - 1
+        if window:  # block fully left of every row's band start -> skip
+            on_band &= ki * bk + bk - 1 >= qi * bq - window + 1
+
+        @pl.when(on_band)
         def _():
             compute()
     else:
@@ -80,7 +87,7 @@ def _bwd_dq_kernel(causal, scale, bq, bk,
         dq_ref[0] = acc[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(causal, scale, bq, bk,
+def _bwd_dkv_kernel(causal, window, scale, bq, bk,
                     q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc):
     ki, qi = pl.program_id(1), pl.program_id(2)
@@ -103,7 +110,10 @@ def _bwd_dkv_kernel(causal, scale, bq, bk,
         if causal:
             krows = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
             qcols = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
-            s_t = jnp.where(qcols >= krows, s_t, _NEG_INF)
+            keep = qcols >= krows
+            if window:
+                keep &= qcols - krows < window
+            s_t = jnp.where(keep, s_t, _NEG_INF)
         p_t = jnp.exp(s_t - lse)                 # (bk, bq)
         dv_acc[:] += jax.lax.dot_general(
             p_t.astype(do_ref.dtype), do_ref[0],
@@ -120,7 +130,11 @@ def _bwd_dkv_kernel(causal, scale, bq, bk,
 
     if causal:
         # q blocks entirely before this kv block see none of it
-        @pl.when(qi * bq + bq - 1 >= ki * bk)
+        on_band = qi * bq + bq - 1 >= ki * bk
+        if window:  # q blocks entirely past the band's end see none either
+            on_band &= qi * bq - (ki * bk + bk - 1) < window
+
+        @pl.when(on_band)
         def _():
             compute()
     else:
@@ -132,7 +146,7 @@ def _bwd_dkv_kernel(causal, scale, bq, bk,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd(causal, scale, bq, bk, q, k, v, out, lse, do):
+def _bwd(causal, window, scale, bq, bk, q, k, v, out, lse, do):
     """q,k,v,out,do (BH, N, D); lse (BH, N) natural-log. Returns dq, dk, dv."""
     BH, N, D = q.shape
     Nk = k.shape[1]
@@ -162,7 +176,7 @@ def _bwd(causal, scale, bq, bk, q, k, v, out, lse, do):
     cspec = pl.BlockSpec((1, bq_, 1), lambda bh, qi, ki: (bh, qi, 0),
                          memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, causal, scale, bq_, bk_),
+        functools.partial(_bwd_dq_kernel, causal, window, scale, bq_, bk_),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(BH, N // bq_, Nk // bk_),
         in_specs=[qspec, kspec, kspec, qspec, cspec, cspec],
@@ -180,7 +194,7 @@ def _bwd(causal, scale, bq, bk, q, k, v, out, lse, do):
     rspec2 = pl.BlockSpec((1, 1, bq_), lambda bh, ki, qi: (bh, 0, qi),
                           memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, causal, scale, bq_, bk_),
+        functools.partial(_bwd_dkv_kernel, causal, window, scale, bq_, bk_),
         out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)),
         grid=(BH, Nk // bk_, N // bq_),
@@ -196,8 +210,15 @@ def _bwd(causal, scale, bq, bk, q, k, v, out, lse, do):
 
 def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
                                    block_q: int | None = None,
-                                   block_k: int | None = None):
-    """Differentiable flash attention (B, H, N, D) with GQA, custom FA-2 VJP."""
+                                   block_k: int | None = None,
+                                   window: int | None = None):
+    """Differentiable flash attention (B, H, N, D) with GQA, custom FA-2 VJP.
+
+    ``window``: Mistral-style causal sliding window (implies causal masking,
+    matching attention/flash.py's band convention rows - cols < window); the
+    backward kernels skip off-band blocks in both passes."""
+    if window:
+        causal = True
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
     def fa(q, k, v):
@@ -208,7 +229,8 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
         B, H, N, D = q.shape
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
         f = make_flash_attention(causal=causal, with_lse=True, sm_scale=scale,
-                                 block_q=block_q, block_k=block_k)
+                                 block_q=block_q, block_k=block_k,
+                                 window=window)
         out, lse = f(q, k, v)
         return out, (q, k, v, out, lse)
 
@@ -226,7 +248,7 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
         vx = jnp.repeat(v, group, axis=1) if group > 1 else v
 
         flat = lambda x: x.reshape(B * H, *x.shape[2:])
-        dq, dk, dv = _bwd(causal, scale, bq, bk,
+        dq, dk, dv = _bwd(causal, window, scale, bq, bk,
                           flat(q), flat(kx), flat(vx), flat(out), flat(lse),
                           flat(do))
         dq = dq.reshape(B, H, N, D)

@@ -347,12 +347,7 @@ def _attention(q, k, v, mesh: Mesh | None, causal: bool,
     Ulysses all-to-all reshard (differentiable end to end — all_to_all has a
     transpose rule, so the FA-2 custom VJP is the only hand-written gradient);
     the ring/ppermute variant (parallel/ring.py) is the inference-path choice."""
-    if window:
-        # sliding window (Mistral): the windowed kernel is inference-only
-        # (the FA-2 custom VJP doesn't implement the band yet)
-        fa = make_flash_attention(causal=True, window=window)
-    else:
-        fa = make_flash_attention_trainable(causal=causal)
+    fa = make_flash_attention_trainable(causal=causal, window=window)
     if mesh is None:
         return fa(q, k, v)
 

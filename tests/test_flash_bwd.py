@@ -32,3 +32,55 @@ def test_flash_grads_match_autodiff(causal, Hkv, rng):
         np.testing.assert_allclose(
             gp, gr, atol=2e-3, rtol=1e-2,
             err_msg=f"d{name} mismatch (causal={causal}, Hkv={Hkv})")
+
+
+@pytest.mark.parametrize("window", [24, 128, 500])
+@pytest.mark.parametrize("Hkv", [2, 1])
+def test_windowed_grads_match_autodiff(window, Hkv, rng):
+    """Sliding-window (Mistral) training: band masking + off-band block
+    skipping in both backward passes vs the dense autodiff oracle. window=24
+    (band inside one block), 128 (block-aligned), 500 (spans blocks,
+    non-aligned); 500 > N/2 also covers near-full bands."""
+    B, H, N, D = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, N, D)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, N, D)) * 0.5, jnp.float32)
+
+    fa = make_flash_attention_trainable(window=window, block_q=128,
+                                        block_k=128)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(jnp.sin(fa(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(mha_ref(q, k, v, causal=True, window=window)))
+
+    np.testing.assert_allclose(
+        np.asarray(fa(q, k, v)),
+        np.asarray(mha_ref(q, k, v, causal=True, window=window)),
+        atol=2e-3, rtol=1e-2)
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gp, gr, name in zip(g_pallas, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), atol=2e-3, rtol=1e-2,
+            err_msg=f"d{name} mismatch (window={window}, Hkv={Hkv})")
+
+
+def test_mistral_windowed_training():
+    """Sliding-window model end-to-end training (previously fenced:
+    'the FA-2 custom VJP doesn't implement the band yet'): loss falls."""
+    from leetcuda_tpu.models.llama import (
+        tiny_config, init_params, make_train_step)
+
+    cfg = tiny_config(sliding_window=24)
+    params = init_params(jax.random.key(0), cfg)
+    init_opt, step = make_train_step(cfg, learning_rate=1e-3, remat=False)
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 64)), jnp.int32)
+    opt = init_opt(params)
+    losses = []
+    for _ in range(5):
+        params, opt, loss = step(params, opt, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

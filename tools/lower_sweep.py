@@ -134,6 +134,22 @@ def e2e_cases():
 
     yield ("train_step_with_flash_bwd", train)
 
+    def train_windowed():
+        # Mistral-style: the banded FA-2 backward kernels lower for TPU
+        wcfg = ModelConfig(sliding_window=1024)
+        wparams = jax.eval_shape(lambda k: init_params(k, wcfg),
+                                 jax.random.key(0))
+        _, step = make_train_step(wcfg)
+        import optax
+
+        opt = jax.eval_shape(
+            lambda: optax.adamw(1e-4).init(jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), wparams)))
+        export.export(step, platforms=("tpu",))(
+            wparams, opt, jax.ShapeDtypeStruct((8, 2048), jnp.int32))
+
+    yield ("train_step_sliding_window_bwd", train_windowed)
+
     # Meshed paths cross-lower for TPU over an AbstractMesh (no devices
     # needed): the GSPMD partitioning + shard_map collectives (ppermute ring,
     # Ulysses all-to-all) take the exact lowering route the chip would.
