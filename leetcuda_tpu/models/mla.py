@@ -605,3 +605,36 @@ def load_deepseek_v2(hf_model):
     if "lm_head.weight" in sd and not hf_cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(sd["lm_head.weight"], cfg.dtype)
     return params, cfg
+
+
+def mla_loss_fn(params, tokens, cfg: MLAModelConfig):
+    """Next-token cross-entropy over the MLA model (shifted, mean) — the
+    same form as models/llama.loss_fn so trainers are interchangeable."""
+    logits, _ = mla_model_prefill(params, tokens, cfg)
+    logits = logits[:, :-1]
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return -jnp.mean(ll)
+
+
+def make_mla_train_step(cfg: MLAModelConfig, learning_rate: float = 3e-4):
+    """AdamW train step for the DeepSeek-style MLA model (dense + MoE
+    layers; the greedy top-k router trains through its gate weights, the
+    standard straight-through-free MoE gradient). Prefill attention is the
+    dense expanded-MHA form — exact, differentiable, O(S^2) activations;
+    long-context training should wrap layers in jax.checkpoint upstream."""
+    import optax
+
+    tx = optax.adamw(learning_rate)
+
+    def init_opt(params):
+        return tx.init(params)
+
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(mla_loss_fn)(params, tokens, cfg)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_opt, jax.jit(step, donate_argnums=(0, 1))

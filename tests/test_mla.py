@@ -268,3 +268,33 @@ def test_deepseek_v2_moe_golden_parity():
         np.testing.assert_allclose(np.asarray(lg), want[:, S + t],
                                    atol=3e-3, rtol=3e-3, err_msg=f"t={t}")
         lengths = lengths + 1
+
+
+def test_mla_model_trains():
+    """DeepSeek-style MLA model training: loss falls through the latent
+    attention AND the MoE layers (router gates get gradients)."""
+    from leetcuda_tpu.models.mla import (
+        MLAModelConfig, init_mla_model, make_mla_train_step, mla_loss_fn)
+
+    cfg = MLAModelConfig(
+        vocab_size=128, dim=64, n_layers=2, n_heads=4, kv_lora_rank=32,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16, ffn_dim=96,
+        n_routed_experts=4, num_experts_per_tok=2, moe_ffn_dim=48,
+        n_shared_experts=1, first_k_dense=1,
+        dtype=jnp.float32)
+    params = init_mla_model(jax.random.key(0), cfg)
+    init_opt, step = make_mla_train_step(cfg, learning_rate=2e-3)
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 24)), jnp.int32)
+
+    # router gradient actually flows
+    g = jax.grad(mla_loss_fn)(params, toks, cfg)
+    moe_layer = g["layers"][1]  # layer 0 is dense (first_k_dense_replace=1)
+    assert "moe" in moe_layer or "router" in str(moe_layer.keys())
+
+    opt = init_opt(params)
+    losses = []
+    for _ in range(6):
+        params, opt, loss = step(params, opt, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
