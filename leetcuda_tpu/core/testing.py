@@ -169,6 +169,11 @@ def _extra_args(spec, rng):
             return (q, cq, s, lengths)
         cache = randn((B, 1, S, D), jnp.float32, 0.3)
         return (q, cache, lengths)
+    if spec.family == "gemm-grouped":
+        # 2 row tiles of bm=128, 4 expert panels; tiles pick experts 0 and 2
+        lhs = randn((256, 128), jnp.bfloat16, 0.3)
+        rhs = randn((4, 128, 128), jnp.bfloat16, 0.3)
+        return (lhs, rhs, jnp.asarray([0, 2], jnp.int32))
     if spec.family == "gemm-resident":
         M = 128
         a = randn((M, M), jnp.bfloat16, 1 / np.sqrt(M))

@@ -119,3 +119,26 @@ def gmm_ref(lhs, rhs, group_sizes):
         out.append(lhs[o:o + s] @ rhs[g])
         o += s
     return jnp.concatenate(out, axis=0)
+
+
+def gmm_tile_ref(lhs, rhs, tile_group, bm: int = 128):
+    """Per-row-tile oracle matching make_gmm's signature (gmm_ref takes
+    group sizes; the registry needs ref(args) == fn(args))."""
+    tiles = np.asarray(tile_group)
+    return jnp.concatenate(
+        [lhs[i * bm:(i + 1) * bm] @ rhs[int(g)] for i, g in enumerate(tiles)],
+        axis=0)
+
+
+from leetcuda_tpu.core.registry import register_op  # noqa: E402
+
+register_op(
+    # the MoE dropless workhorse (models/moe.py moe_ffn_dropless): row tiles
+    # DMA their own expert's panel via scalar-prefetch index maps
+    "grouped_gemm_scalar_prefetch",
+    ref=gmm_tile_ref,
+    flops=lambda lhs, rhs, tg: float(2 * lhs.shape[0] * lhs.shape[1]
+                                     * rhs.shape[2]),
+    atol=2e-2, rtol=2e-2,
+    family="gemm-grouped", tags=("bf16", "moe"),
+)(make_gmm(block=(128, 128, 512)))

@@ -11,6 +11,7 @@ import leetcuda_tpu.ops  # noqa: F401  (registers the corpus)
 import leetcuda_tpu.attention.chunk  # noqa: F401  (chunk-verify family)
 import leetcuda_tpu.gemm.fused_decode  # noqa: F401  (fused decode block)
 import leetcuda_tpu.attention.decode  # noqa: F401  (quantized-KV decode rungs)
+import leetcuda_tpu.gemm.grouped  # noqa: F401  (MoE grouped matmul)
 from leetcuda_tpu.core.registry import OPS
 from leetcuda_tpu.core.testing import make_args as _make_args
 

@@ -30,6 +30,7 @@ MODULES = [
     "ops.histogram", "ops.transpose", "ops.dot_product",
     "ops.merge_attn_states", "gemm.matmul", "gemm.gemv", "gemm.quant",
     "attention.flash", "attention.chunk", "gemm.fused_decode", "attention.decode",
+    "gemm.grouped",
 ]
 
 
