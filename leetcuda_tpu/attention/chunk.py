@@ -40,7 +40,7 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
-def _chunk_kernel(scale, Hkv, group, T, block_k, quantized, window,
+def _chunk_kernel(scale, softcap, Hkv, group, T, block_k, quantized, window,
                   len_ref, q_ref, k_ref, v_ref, *rest):
     """q_ref (1, H, T, D); cache blocks (1, Hkv, bk, D); len_ref[b] = base
     length EXCLUDING the chunk. Scratch rows are (kv-head, group, t)-major so
@@ -86,6 +86,8 @@ def _chunk_kernel(scale, Hkv, group, T, block_k, quantized, window,
             if quantized:
                 # dequant folded past the dot (attention/decode.py trick)
                 s = s * ks_ref[0, kvh].astype(jnp.float32)[None, :]
+            if softcap:  # Gemma2 logit capping, pre-mask
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
             s = jnp.where(valid, s, _NEG_INF)
 
             sl = slice(kvh * rows, (kvh + 1) * rows)
@@ -136,7 +138,8 @@ def _scratch(H, T, D):
 
 
 def make_chunk_attention(*, block_k: int = 512, sm_scale=None,
-                         window: int | None = None, quantized: bool = False):
+                         window: int | None = None, quantized: bool = False,
+                         softcap: float | None = None):
     """fn(q, k_cache, v_cache, [k_scale, v_scale,] base_lengths) -> (B,H,T,D).
 
     q (B, H, T, D) — T chunk tokens at positions base..base+T-1 (already
@@ -187,7 +190,8 @@ def make_chunk_attention(*, block_k: int = 512, sm_scale=None,
             scratch_shapes=_scratch(H, T, D),
         )
         return pl.pallas_call(
-            functools.partial(_chunk_kernel, scale, Hkv, group, T, bk,
+            functools.partial(_chunk_kernel, scale, softcap, Hkv, group, T,
+                              bk,
                               quantized, window),
             out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
             grid_spec=grid_spec,
@@ -199,7 +203,8 @@ def make_chunk_attention(*, block_k: int = 512, sm_scale=None,
 
 
 def make_paged_chunk_attention(*, sm_scale=None, window: int | None = None,
-                               quantized: bool = False):
+                               quantized: bool = False,
+                               softcap: float | None = None):
     """fn(q, k_pages, v_pages, [k_scales, v_scales,] page_table, base_lengths)
     -> (B, H, T, D). Paged-cache chunk attention: same kernel body, block-table
     index maps (attention/paged.py semantics)."""
@@ -250,8 +255,8 @@ def make_paged_chunk_attention(*, sm_scale=None, window: int | None = None,
             scratch_shapes=_scratch(H, T, D),
         )
         def body(pt_ref, *refs):  # page table is index-map-only
-            return _chunk_kernel(scale, Hkv, group, T, page, quantized,
-                                 window, *refs)
+            return _chunk_kernel(scale, softcap, Hkv, group, T, page,
+                                 quantized, window, *refs)
 
         return pl.pallas_call(
             body,

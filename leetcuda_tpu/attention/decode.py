@@ -36,8 +36,8 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
-def _decode_kernel(scale, Hkv, group, block_k, quantized, window, with_lse,
-                   len_ref, q_ref, k_ref, v_ref, *rest):
+def _decode_kernel(scale, softcap, Hkv, group, block_k, quantized, window,
+                   with_lse, len_ref, q_ref, k_ref, v_ref, *rest):
     if quantized:
         ks_ref, vs_ref, *rest = rest
     if with_lse:
@@ -79,6 +79,8 @@ def _decode_kernel(scale, Hkv, group, block_k, quantized, window, with_lse,
                 # a (group, bk) row-scale instead of a (bk, D) dequant — D/group
                 # times less VPU work. V's scale folds into P the same way.
                 s = s * ks_ref[0, kvh].astype(jnp.float32)[None, :]
+            if softcap:  # Gemma2: cap AFTER the dequant fold, before masking
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
             s = jnp.where(valid, s, _NEG_INF)
 
             rows = slice(kvh * group, (kvh + 1) * group)
@@ -145,7 +147,8 @@ def _vmem_params():
 
 def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
                           window: int | None = None, with_lse: bool = False,
-                          shared_kv: bool = False):
+                          shared_kv: bool = False,
+                          softcap: float | None = None):
     """decode_attention(q, k_cache, v_cache, lengths) -> (B, H, D).
 
     q (B, H, D); caches (B, Hkv, S_max, D); lengths (B,) int32 — number of valid
@@ -199,8 +202,8 @@ def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
         if with_lse:
             out_shape = (out_shape,
                          jax.ShapeDtypeStruct((B, H, _LANES), jnp.float32))
-        body = functools.partial(_decode_kernel, scale, Hkv, group, bk,
-                                 False, window, with_lse)
+        body = functools.partial(_decode_kernel, scale, softcap, Hkv, group,
+                                 bk, False, window, with_lse)
         if shared_kv:
             def body(len_ref, q_ref, kv_ref, *rest, _b=body):  # noqa: F811
                 _b(len_ref, q_ref, kv_ref, kv_ref, *rest)
@@ -225,7 +228,8 @@ def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
 
 def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
                                     window: int | None = None,
-                                    shared_kv: bool = False):
+                                    shared_kv: bool = False,
+                                    softcap: float | None = None):
     """Quantized-cache decode: caches int8/fp8, per-(b, head, pos) f32 scales.
 
     fn(q, k_cache_q, v_cache_q, k_scale, v_scale, lengths); scales (B, Hkv, S).
@@ -275,7 +279,8 @@ def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
                 pltpu.VMEM((H, D), jnp.float32),
             ],
         )
-        body = functools.partial(_decode_kernel, scale, Hkv, group, bk, True,
+        body = functools.partial(_decode_kernel, scale, softcap, Hkv, group,
+                                 bk, True,
                                  window, False)
         if shared_kv:
             def body(len_ref, q_ref, kv_ref, s_ref, *rest, _b=body):  # noqa: F811

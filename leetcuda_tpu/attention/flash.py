@@ -43,25 +43,27 @@ _NEG_INF = -1e30  # big-negative instead of -inf: avoids exp(-inf - -inf) = nan
 _LANES = 128
 
 
-def _fa_kernel(causal, window, scale, block_q, block_k, with_lse,
+def _fa_kernel(causal, window, scale, softcap, block_q, block_k, with_lse,
                q_ref, k_ref, v_ref, o_ref, *rest):
-    return _fa_body(causal, window, scale, block_q, block_k, with_lse, None,
-                    None, q_ref, k_ref, v_ref, o_ref, rest)
+    return _fa_body(causal, window, scale, softcap, block_q, block_k,
+                    with_lse, None, None, q_ref, k_ref, v_ref, o_ref, rest)
 
 
-def _fa_kernel_two_phase(causal, window, scale, block_q, block_k, with_lse,
-                         q_ref, k_ref, v_ref, o_ref, *rest):
-    return _fa_body(causal, window, scale, block_q, block_k, with_lse, None,
-                    None, q_ref, k_ref, v_ref, o_ref, rest, two_phase=True)
+def _fa_kernel_two_phase(causal, window, scale, softcap, block_q, block_k,
+                         with_lse, q_ref, k_ref, v_ref, o_ref, *rest):
+    return _fa_body(causal, window, scale, softcap, block_q, block_k,
+                    with_lse, None, None, q_ref, k_ref, v_ref, o_ref, rest,
+                    two_phase=True)
 
 
-def _fa_ragged_kernel(causal, window, scale, block_q, block_k, with_lse, H,
-                      len_ref, q_ref, k_ref, v_ref, o_ref, *rest):
-    return _fa_body(causal, window, scale, block_q, block_k, with_lse, H,
-                    len_ref, q_ref, k_ref, v_ref, o_ref, rest)
+def _fa_ragged_kernel(causal, window, scale, softcap, block_q, block_k,
+                      with_lse, H, len_ref, q_ref, k_ref, v_ref, o_ref,
+                      *rest):
+    return _fa_body(causal, window, scale, softcap, block_q, block_k,
+                    with_lse, H, len_ref, q_ref, k_ref, v_ref, o_ref, rest)
 
 
-def _fa_body(causal, window, scale, block_q, block_k, with_lse, H,
+def _fa_body(causal, window, scale, softcap, block_q, block_k, with_lse, H,
              len_ref, q_ref, k_ref, v_ref, o_ref, rest, two_phase=False):
     if with_lse:
         lse_ref, m_sc, l_sc, acc_sc = rest
@@ -88,6 +90,8 @@ def _fa_body(causal, window, scale, block_q, block_k, with_lse, H,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (Bq, Bk)
+        if softcap:  # Gemma2: cap scaled logits BEFORE masking (HF order)
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
 
         if masked and (causal or window or seq_len is not None):
             rows = qi * block_q + jax.lax.broadcasted_iota(
@@ -194,6 +198,7 @@ def make_flash_attention(
     sm_scale: float | None = None,
     num_kv_heads: int | None = None,
     two_phase: bool = False,
+    softcap: float | None = None,
 ):
     """Flash attention on (B, H, N, D) tensors.
 
@@ -204,6 +209,8 @@ def make_flash_attention(
     blocks are skipped entirely (compute cost O(N·window), not O(N²)).
     ``two_phase``: causal-only — branch per KV tile so fully-below-diagonal
     tiles run the unmasked fast path (pairs with a wide block_k at small D).
+    ``softcap``: Gemma2 attention-logit soft capping — scaled scores pass
+    through cap*tanh(s/cap) before masking.
     """
     assert window is None or window > 0
 
@@ -251,7 +258,7 @@ def make_flash_attention(
                 if two_phase and causal and not window else _fa_kernel)
         res = pl.pallas_call(
             functools.partial(kern, causal or bool(window), window,
-                              scale, bq, bk, with_lse),
+                              scale, softcap, bq, bk, with_lse),
             out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
             grid=grid,
             in_specs=[
@@ -292,6 +299,7 @@ def make_flash_attention_ragged(
     causal: bool = True,
     window: int | None = None,
     sm_scale: float | None = None,
+    softcap: float | None = None,
 ):
     """Length-masked flash attention: fn(q, k, v, lengths) with per-sequence
     valid lengths (B,) — key positions >= lengths[b] are neither attended nor
@@ -345,8 +353,8 @@ def make_flash_attention_ragged(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             )
         return pl.pallas_call(
-            functools.partial(_fa_ragged_kernel, causal, window, scale, bq,
-                              bk, False, H),
+            functools.partial(_fa_ragged_kernel, causal, window, scale,
+                              softcap, bq, bk, False, H),
             out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),
@@ -356,7 +364,8 @@ def make_flash_attention_ragged(
     return fn
 
 
-def mha_ref(q, k, v, *, causal=False, window=None, sm_scale=None):
+def mha_ref(q, k, v, *, causal=False, window=None, sm_scale=None,
+            softcap=None):
     """SDPA oracle (the reference's flash_attn_func / F.sdpa parity bar)."""
     B, H, N, D = q.shape
     Hkv = k.shape[1]
@@ -366,6 +375,8 @@ def mha_ref(q, k, v, *, causal=False, window=None, sm_scale=None):
         v = jnp.repeat(v, H // Hkv, axis=1)
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
     if causal or window:
         rows = jnp.arange(N)[:, None]
         cols = jnp.arange(k.shape[2])[None, :]

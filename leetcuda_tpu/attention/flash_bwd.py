@@ -34,7 +34,7 @@ from leetcuda_tpu.attention.flash import (
 _NEG_INF = -1e30
 
 
-def _bwd_dq_kernel(causal, window, scale, bq, bk,
+def _bwd_dq_kernel(causal, window, scale, softcap, bq, bk,
                    q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                    dq_ref, acc):
     qi, ki = pl.program_id(1), pl.program_id(2)
@@ -53,6 +53,9 @@ def _bwd_dq_kernel(causal, window, scale, bq, bk,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        if softcap:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
+            sc = s  # pre-mask capped score: |sc| <= cap, derivative finite
         if causal:
             rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -66,6 +69,8 @@ def _bwd_dq_kernel(causal, window, scale, bq, bk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
+        if softcap:  # chain rule through cap*tanh(s/cap): x (1 - (s/cap)^2)
+            ds = ds * (1.0 - jnp.square(sc * (1.0 / softcap)))
         acc[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -87,7 +92,7 @@ def _bwd_dq_kernel(causal, window, scale, bq, bk,
         dq_ref[0] = acc[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(causal, window, scale, bq, bk,
+def _bwd_dkv_kernel(causal, window, scale, softcap, bq, bk,
                     q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc):
     ki, qi = pl.program_id(1), pl.program_id(2)
@@ -107,6 +112,9 @@ def _bwd_dkv_kernel(causal, window, scale, bq, bk,
         s_t = jax.lax.dot_general(
             k, q, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (bk, bq)
+        if softcap:
+            s_t = softcap * jnp.tanh(s_t * (1.0 / softcap))
+            sc_t = s_t
         if causal:
             krows = ki * bk + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
             qcols = qi * bq + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
@@ -123,6 +131,8 @@ def _bwd_dkv_kernel(causal, window, scale, bq, bk,
             v, do, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (bk, bq)
         ds_t = p_t * (dp_t - delta)
+        if softcap:
+            ds_t = ds_t * (1.0 - jnp.square(sc_t * (1.0 / softcap)))
         dk_acc[:] += jax.lax.dot_general(
             ds_t.astype(q.dtype), q,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -146,7 +156,7 @@ def _bwd_dkv_kernel(causal, window, scale, bq, bk,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd(causal, window, scale, bq, bk, q, k, v, out, lse, do):
+def _bwd(causal, window, scale, softcap, bq, bk, q, k, v, out, lse, do):
     """q,k,v,out,do (BH, N, D); lse (BH, N) natural-log. Returns dq, dk, dv."""
     BH, N, D = q.shape
     Nk = k.shape[1]
@@ -176,7 +186,8 @@ def _bwd(causal, window, scale, bq, bk, q, k, v, out, lse, do):
     cspec = pl.BlockSpec((1, bq_, 1), lambda bh, qi, ki: (bh, qi, 0),
                          memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, causal, window, scale, bq_, bk_),
+        functools.partial(_bwd_dq_kernel, causal, window, scale, softcap,
+                          bq_, bk_),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(BH, N // bq_, Nk // bk_),
         in_specs=[qspec, kspec, kspec, qspec, cspec, cspec],
@@ -194,7 +205,8 @@ def _bwd(causal, window, scale, bq, bk, q, k, v, out, lse, do):
     rspec2 = pl.BlockSpec((1, 1, bq_), lambda bh, ki, qi: (bh, 0, qi),
                           memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, causal, window, scale, bq_, bk_),
+        functools.partial(_bwd_dkv_kernel, causal, window, scale, softcap,
+                          bq_, bk_),
         out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)),
         grid=(BH, Nk // bk_, N // bq_),
@@ -211,7 +223,8 @@ def _bwd(causal, window, scale, bq, bk, q, k, v, out, lse, do):
 def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
                                    block_q: int | None = None,
                                    block_k: int | None = None,
-                                   window: int | None = None):
+                                   window: int | None = None,
+                                   softcap: float | None = None):
     """Differentiable flash attention (B, H, N, D) with GQA, custom FA-2 VJP.
 
     ``window``: Mistral-style causal sliding window (implies causal masking,
@@ -230,7 +243,7 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
         f = make_flash_attention(causal=causal, with_lse=True, sm_scale=scale,
                                  block_q=block_q, block_k=block_k,
-                                 window=window)
+                                 window=window, softcap=softcap)
         out, lse = f(q, k, v)
         return out, (q, k, v, out, lse)
 
@@ -248,7 +261,7 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
         vx = jnp.repeat(v, group, axis=1) if group > 1 else v
 
         flat = lambda x: x.reshape(B * H, *x.shape[2:])
-        dq, dk, dv = _bwd(causal, window, scale, bq, bk,
+        dq, dk, dv = _bwd(causal, window, scale, softcap, bq, bk,
                           flat(q), flat(kx), flat(vx), flat(out), flat(lse),
                           flat(do))
         dq = dq.reshape(B, H, N, D)
