@@ -34,7 +34,8 @@ _NEG_INF = -1e30
 _LANES = 128
 
 
-def _paged_kernel(scale, Hkv, group, page, quantized, window, pt_ref, len_ref,
+def _paged_kernel(scale, softcap, Hkv, group, page, quantized, window,
+                  pt_ref, len_ref,
                   q_ref, k_ref, v_ref, *rest):
     if quantized:
         ks_ref, vs_ref, o_ref, m_sc, l_sc, acc_sc = rest
@@ -72,6 +73,8 @@ def _paged_kernel(scale, Hkv, group, page, quantized, window, pt_ref, len_ref,
             if quantized:
                 # dequant folded past the dots (see attention/decode.py)
                 s = s * ks_ref[0, kvh].astype(jnp.float32)[None, :]
+            if softcap:  # Gemma2 logit capping, pre-mask
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
             s = jnp.where(valid, s, _NEG_INF)
 
             rows = slice(kvh * group, (kvh + 1) * group)
@@ -95,6 +98,7 @@ def _paged_kernel(scale, Hkv, group, page, quantized, window, pt_ref, len_ref,
 
 
 def make_paged_attention(*, sm_scale=None, quantized: bool = False,
+                         softcap: float | None = None,
                          window: int | None = None):
     """fn(q, k_pages, v_pages, [k_scales, v_scales,] page_table, lengths)
     -> (B, H, D).
@@ -167,7 +171,8 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)
         return pl.pallas_call(
-            functools.partial(_paged_kernel, scale, Hkv, group, page,
+            functools.partial(_paged_kernel, scale, softcap, Hkv, group,
+                              page,
                               quantized, window),
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,

@@ -170,6 +170,19 @@ class ModelConfig:
     embed_scale: bool = False         # x = embed[tokens] * sqrt(dim)
     head_dim_override: int | None = None
     qk_norm: bool = False             # Qwen3: per-head RMS norm on q/k pre-rope
+    # Gemma2 family switches
+    attn_softcap: float | None = None   # cap*tanh(s/cap) on attention logits
+    final_softcap: float | None = None  # same cap on the LM-head logits
+    query_scale: float | None = None    # attention scale override
+    alt_window: bool = False     # sliding window on EVEN layers only (Gemma2)
+    sandwich_norms: bool = False  # post-attn / post-mlp output norms (Gemma2)
+
+    def layer_window(self, i: int | None = None) -> int | None:
+        """Per-layer sliding window: alternating local/global when
+        alt_window (HF Gemma2 layer_types — even layers slide)."""
+        if self.alt_window and i is not None and i % 2 != 0:
+            return None
+        return self.sliding_window
 
     @property
     def head_dim(self):
@@ -217,6 +230,9 @@ def init_params(key, cfg: ModelConfig):
         if cfg.qk_norm:
             layer["q_norm"] = jnp.ones((Dh,), cfg.dtype)
             layer["k_norm"] = jnp.ones((Dh,), cfg.dtype)
+        if cfg.sandwich_norms:  # Gemma2 block-output norms
+            layer["post_attn_norm"] = jnp.ones((D,), cfg.dtype)
+            layer["post_mlp_norm"] = jnp.ones((D,), cfg.dtype)
         if cfg.n_experts:
             from leetcuda_tpu.models.moe import init_moe_params
 
@@ -250,6 +266,9 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh):
     if cfg.qk_norm:
         layer["q_norm"] = P(None)
         layer["k_norm"] = P(None)
+    if cfg.sandwich_norms:
+        layer["post_attn_norm"] = P(None)
+        layer["post_mlp_norm"] = P(None)
     if cfg.n_experts:
         for k in ("w_gate", "w_up", "w_down"):
             del layer[k]
@@ -341,13 +360,15 @@ def _rms_norm(x, w, eps, offset: bool = False):
 
 
 def _attention(q, k, v, mesh: Mesh | None, causal: bool,
-               window: int | None = None):
+               window: int | None = None, softcap: float | None = None,
+               sm_scale: float | None = None):
     """(B, H, N, D) attention: direct Pallas kernel single-chip; under a mesh,
     shard_map with batch->dp, heads->tp, sequence->sp. The sp axis uses the
     Ulysses all-to-all reshard (differentiable end to end — all_to_all has a
     transpose rule, so the FA-2 custom VJP is the only hand-written gradient);
     the ring/ppermute variant (parallel/ring.py) is the inference-path choice."""
-    fa = make_flash_attention_trainable(causal=causal, window=window)
+    fa = make_flash_attention_trainable(causal=causal, window=window,
+                                        softcap=softcap, sm_scale=sm_scale)
     if mesh is None:
         return fa(q, k, v)
 
@@ -380,9 +401,13 @@ def _attention(q, k, v, mesh: Mesh | None, causal: bool,
 
 
 def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
-                mesh: Mesh | None = None):
+                mesh: Mesh | None = None, layer_idx: int | None = None):
     """One transformer layer (prefill/training path). x (B, S, D) ->
-    (x, (k, v)) with the post-rope K/V the decode path would cache."""
+    (x, (k, v)) with the post-rope K/V the decode path would cache.
+
+    ``layer_idx`` feeds cfg.layer_window for alternating-window families
+    (Gemma2); None means the global window. Sandwich norms (post_attn_norm /
+    post_mlp_norm keys) are structure-driven like bq/q_norm."""
     B, S, _ = x.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
@@ -397,12 +422,21 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     k = apply_rope_half(k, positions, cfg.rope_theta)
     k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
     o = _attention(q.transpose(0, 2, 1, 3), k, v, mesh, causal=True,
-                   window=cfg.sliding_window)
+                   window=cfg.layer_window(layer_idx),
+                   softcap=cfg.attn_softcap, sm_scale=cfg.query_scale)
     o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
-    x = x + linear(o, layer["wo"])
+    attn_out = linear(o, layer["wo"])
+    if "post_attn_norm" in layer:  # Gemma2: norm the block OUTPUT too
+        attn_out = _rms_norm(attn_out, layer["post_attn_norm"], cfg.norm_eps,
+                             cfg.rms_offset)
+    x = x + attn_out
 
     h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
-    x = x + _proj_mlp(h, layer, cfg)
+    mlp_out = _proj_mlp(h, layer, cfg)
+    if "post_mlp_norm" in layer:
+        mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"], cfg.norm_eps,
+                            cfg.rms_offset)
+    x = x + mlp_out
     return x, (k, v)
 
 
@@ -423,13 +457,12 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
 
-    layer_fn = functools.partial(apply_layer, positions=positions, cfg=cfg,
-                                 mesh=mesh)
-    if remat:
-        layer_fn = jax.checkpoint(layer_fn)
-
     kvs = []
-    for layer in params["layers"]:
+    for i, layer in enumerate(params["layers"]):
+        layer_fn = functools.partial(apply_layer, positions=positions,
+                                     cfg=cfg, mesh=mesh, layer_idx=i)
+        if remat:
+            layer_fn = jax.checkpoint(layer_fn)
         x, kv = layer_fn(layer, x)
         if return_kv:
             kvs.append(kv)
@@ -438,6 +471,8 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
     # tied lm head by default; HF checkpoints may carry an untied one
     w_lm = params.get("lm_head", params["embed"])
     logits = (x @ w_lm.T).astype(jnp.float32)
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return (logits, kvs) if return_kv else logits
 
 
@@ -461,17 +496,25 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
     if cfg.embed_scale:
         x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
-    fa = make_flash_attention_ragged(causal=True,
-                                     window=cfg.sliding_window)
-    if mesh is not None:
-        fa = shard_map(fa, mesh=mesh,
-                       in_specs=(P("dp", "tp", None, None),
-                                 P("dp", "tp", None, None),
-                                 P("dp", "tp", None, None), P("dp")),
-                       out_specs=P("dp", "tp", None, None), check_vma=False)
+    def build_fa(window):
+        fa = make_flash_attention_ragged(causal=True, window=window,
+                                         softcap=cfg.attn_softcap,
+                                         sm_scale=cfg.query_scale)
+        if mesh is not None:
+            fa = shard_map(fa, mesh=mesh,
+                           in_specs=(P("dp", "tp", None, None),
+                                     P("dp", "tp", None, None),
+                                     P("dp", "tp", None, None), P("dp")),
+                           out_specs=P("dp", "tp", None, None),
+                           check_vma=False)
+        return fa
+
+    fa_by_window = {w: build_fa(w) for w in
+                    {cfg.layer_window(i) for i in range(cfg.n_layers)}}
 
     kvs = []
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
+        fa = fa_by_window[cfg.layer_window(li)]
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
         q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
         q = q.reshape(B, S, H, Dh)
@@ -486,13 +529,24 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
         kvs.append((k, v))
         o = fa(q.transpose(0, 2, 1, 3), k, v, lengths)  # kernel handles GQA
         o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
-        x = x + linear(o, layer["wo"])
+        attn_out = linear(o, layer["wo"])
+        if "post_attn_norm" in layer:
+            attn_out = _rms_norm(attn_out, layer["post_attn_norm"],
+                                 cfg.norm_eps, cfg.rms_offset)
+        x = x + attn_out
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
-        x = x + _proj_mlp(h, layer, cfg)
+        mlp_out = _proj_mlp(h, layer, cfg)
+        if "post_mlp_norm" in layer:
+            mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"],
+                                cfg.norm_eps, cfg.rms_offset)
+        x = x + mlp_out
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps, cfg.rms_offset)
     w_lm = params.get("lm_head", params["embed"])
-    return (x @ w_lm.T).astype(jnp.float32), kvs
+    logits = (x @ w_lm.T).astype(jnp.float32)
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits, kvs
 
 
 def pipeline_forward(params, tokens, cfg: ModelConfig, mesh: Mesh,
@@ -720,7 +774,9 @@ def _cache_append(cache, k, v, pos, page_table=None):
 
 
 def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
-                  page_table=None, window: int | None = None):
+                  page_table=None, window: int | None = None,
+                  softcap: float | None = None,
+                  sm_scale: float | None = None):
     """Decode attention over the cache. Under a mesh the Pallas kernel is
     wrapped in shard_map (GSPMD cannot partition a custom call): batch on dp,
     heads on tp — each shard runs the kernel on its local head group."""
@@ -728,7 +784,8 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
         from leetcuda_tpu.attention.paged import make_paged_attention
 
         quantized = "k_scales" in cache
-        pa = make_paged_attention(quantized=quantized, window=window)
+        pa = make_paged_attention(quantized=quantized, window=window,
+                                  softcap=softcap, sm_scale=sm_scale)
         if quantized:
             args = (q, cache["k_pages"], cache["v_pages"], cache["k_scales"],
                     cache["v_scales"], page_table, lengths)
@@ -748,14 +805,17 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
                          out_specs=P("dp", "tp", None), check_vma=False)(*args)
     quantized = "k_scale" in cache
     if quantized:
-        da = make_decode_attention_quantized(block_k=block_k, window=window)
+        da = make_decode_attention_quantized(block_k=block_k, window=window,
+                                             softcap=softcap,
+                                             sm_scale=sm_scale)
         args = (q, cache["k"], cache["v"], cache["k_scale"],
                 cache["v_scale"], lengths)
         in_specs = (P("dp", "tp", None), P("dp", "tp", None, None),
                     P("dp", "tp", None, None), P("dp", "tp", None),
                     P("dp", "tp", None), P("dp"))
     else:
-        da = make_decode_attention(block_k=block_k, window=window)
+        da = make_decode_attention(block_k=block_k, window=window,
+                                   softcap=softcap, sm_scale=sm_scale)
         args = (q, cache["k"], cache["v"], lengths)
         in_specs = (P("dp", "tp", None), P("dp", "tp", None, None),
                     P("dp", "tp", None, None), P("dp"))
@@ -808,7 +868,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
             theta=cfg.rope_theta, rms_offset=cfg.rms_offset)
 
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    for li, (layer, cache) in enumerate(zip(params["layers"], caches)):
         if (fused_qkv is not None and "wqkv" in layer
                 and not isinstance(layer["wqkv"], dict)
                 and "bq" not in layer and "q_norm" not in layer):
@@ -832,15 +892,27 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
         cache = _cache_append(cache, k, v, pos, page_table=page_table)
         new_caches.append(cache)
         o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1, mesh=mesh,
-                          page_table=page_table, window=cfg.sliding_window)
-        x = x + linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
+                          page_table=page_table,
+                          window=cfg.layer_window(li),
+                          softcap=cfg.attn_softcap, sm_scale=cfg.query_scale)
+        attn_out = linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
+        if "post_attn_norm" in layer:
+            attn_out = _rms_norm(attn_out, layer["post_attn_norm"],
+                                 cfg.norm_eps, cfg.rms_offset)
+        x = x + attn_out
 
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
-        x = x + _proj_mlp(h, layer, cfg)
+        mlp_out = _proj_mlp(h, layer, cfg)
+        if "post_mlp_norm" in layer:
+            mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"],
+                                cfg.norm_eps, cfg.rms_offset)
+        x = x + mlp_out
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps, cfg.rms_offset)
     w_lm = params.get("lm_head", params["embed"])
     logits = (x @ w_lm.T).astype(jnp.float32)
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits, new_caches
 
 

@@ -42,6 +42,7 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
            else lambda k, d=None: getattr(hf_cfg, k, d))
     mtype = str(get("model_type", "llama") or "llama")
     is_gemma = "gemma" in mtype
+    is_gemma2 = mtype == "gemma2"
     is_mixtral = "mixtral" in mtype
     head_dim = get("head_dim", None)
     derived = get("hidden_size") // get("num_attention_heads")
@@ -65,6 +66,17 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
         sliding_window=(get("sliding_window", None)
                         if get("use_sliding_window", True) else None),
         qk_norm="qwen3" in mtype,  # per-head q/k RMS norm before rope
+        # Gemma2: logit soft caps, decoupled attention scale, alternating
+        # local/global layers, block-output (sandwich) norms
+        attn_softcap=get("attn_logit_softcapping", None) if is_gemma2
+        else None,
+        final_softcap=get("final_logit_softcapping", None) if is_gemma2
+        else None,
+        query_scale=(float(get("query_pre_attn_scalar")) ** -0.5
+                     if is_gemma2 and get("query_pre_attn_scalar", None)
+                     else None),
+        alt_window=is_gemma2,
+        sandwich_norms=is_gemma2,
         # Mixtral: top-k routed experts with gates renormalized over the
         # selected k (HF semantics). capacity = E/topk x the even share ->
         # capacity(T) == T: NO token is ever dropped, so logits reproduce
@@ -111,9 +123,22 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
             "wk": mat(pre + "self_attn.k_proj.weight", lspec["wk"]),
             "wv": mat(pre + "self_attn.v_proj.weight", lspec["wv"]),
             "wo": mat(pre + "self_attn.o_proj.weight", lspec["wo"]),
-            "mlp_norm": put(_to_np(sd[pre + "post_attention_layernorm.weight"]),
-                            lspec["mlp_norm"]),
+            # Gemma2 renames: pre_feedforward_layernorm is the pre-MLP norm
+            # (llama's post_attention_layernorm slot); post_attention/
+            # post_feedforward become the sandwich output norms
+            "mlp_norm": put(_to_np(sd[
+                pre + ("pre_feedforward_layernorm.weight"
+                       if pre + "pre_feedforward_layernorm.weight" in sd
+                       else "post_attention_layernorm.weight")]),
+                lspec["mlp_norm"]),
         }
+        if pre + "pre_feedforward_layernorm.weight" in sd:
+            layer["post_attn_norm"] = put(
+                _to_np(sd[pre + "post_attention_layernorm.weight"]),
+                lspec.get("post_attn_norm"))
+            layer["post_mlp_norm"] = put(
+                _to_np(sd[pre + "post_feedforward_layernorm.weight"]),
+                lspec.get("post_mlp_norm"))
         if pre + "block_sparse_moe.gate.weight" in sd:
             # Mixtral routed experts: gate (E, D) -> router (D, E) f32;
             # experts.{e}.{w1,w3,w2} -> w_gate/w_up/w_down stacks

@@ -161,6 +161,11 @@ def make_pp_train_step(cfg, mesh: Mesh, n_microbatches: int,
 
     from leetcuda_tpu.models.llama import _rms_norm, apply_layer
 
+    # the stage scans layers with ONE static config — per-layer alternating
+    # windows (Gemma2 alt_window) would need a static window per scan step
+    assert not getattr(cfg, "alt_window", False), (
+        "alt_window models need per-layer static kernels; unroll the stage "
+        "(pp training currently supports uniform-window configs)")
     tx = optax.adamw(learning_rate)
 
     def stage_fn(stage_params, x):
@@ -191,6 +196,8 @@ def make_pp_train_step(cfg, mesh: Mesh, n_microbatches: int,
         h = _rms_norm(y, outer["norm"], cfg.norm_eps, cfg.rms_offset)
         w_lm = outer.get("lm_head", outer["embed"])
         logits = (h @ w_lm.T).astype(jnp.float32)[:, :-1]
+        if cfg.final_softcap:
+            logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
         targets = tokens[:, 1:]
         logp = jax.nn.log_softmax(logits, axis=-1)
         ll = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]

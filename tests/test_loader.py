@@ -277,3 +277,44 @@ def test_mixtral_golden_parity():
         outs.append(np.asarray(lg))
         lengths = lengths + 1
     np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
+
+
+def test_gemma2_golden_parity():
+    """Gemma2 = Gemma + attention/final logit soft caps + decoupled query
+    scale + ALTERNATING local/global layers + sandwich (block-output) norms.
+    sliding_window=8 < S so the even layer's band actually masks."""
+    hf_cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-6,
+        rope_theta=10000.0, hidden_activation="gelu_pytorch_tanh",
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        query_pre_attn_scalar=32, sliding_window=8,
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(4)
+    model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.attn_softcap == 50.0 and cfg.final_softcap == 30.0
+    assert cfg.alt_window and cfg.sandwich_norms
+    assert cfg.layer_window(0) == 8 and cfg.layer_window(1) is None
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    assert "post_attn_norm" in params["layers"][0]
+
+    rng = np.random.default_rng(8)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=3e-3, rtol=3e-3)
+
+    # decode: per-layer window + capped decode kernels reproduce the stream
+    caches = init_kv_caches(cfg, 2, 128)
+    lengths = jnp.zeros((2,), jnp.int32)
+    outs = []
+    for t in range(12):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=6e-3, rtol=6e-3)
