@@ -145,7 +145,7 @@ def _chunk_append(cache, k, v, pos, page_table=None, page_aligned=False):
 
 
 def _chunk_cache_attend(q, cache, base_lengths, cfg, mesh=None,
-                        page_table=None):
+                        page_table=None, window=None):
     """Chunk attention over any cache layout via the attention/chunk.py
     kernels; q (B, T, H, Dh) -> (B, T, H, Dh). Under a mesh: shard_map with
     batch on dp, heads on tp (mirrors llama._cache_attend)."""
@@ -154,11 +154,12 @@ def _chunk_cache_attend(q, cache, base_lengths, cfg, mesh=None,
     from leetcuda_tpu.attention.chunk import (
         make_chunk_attention, make_paged_chunk_attention)
 
-    window = cfg.sliding_window
+    softcap, sm_scale = cfg.attn_softcap, cfg.query_scale
     qk = q.transpose(0, 2, 1, 3).astype(cfg.dtype)  # (B, H, T, Dh)
     if "k_pages" in cache:
         quantized = "k_scales" in cache
-        fn = make_paged_chunk_attention(window=window, quantized=quantized)
+        fn = make_paged_chunk_attention(window=window, quantized=quantized,
+                                        softcap=softcap, sm_scale=sm_scale)
         if quantized:
             args = (qk, cache["k_pages"], cache["v_pages"],
                     cache["k_scales"], cache["v_scales"], page_table,
@@ -173,7 +174,8 @@ def _chunk_cache_attend(q, cache, base_lengths, cfg, mesh=None,
                         P(None, "tp", None, None), P("dp", None), P("dp"))
     else:
         quantized = "k_scale" in cache
-        fn = make_chunk_attention(window=window, quantized=quantized)
+        fn = make_chunk_attention(window=window, quantized=quantized,
+                                  softcap=softcap, sm_scale=sm_scale)
         if quantized:
             args = (qk, cache["k"], cache["v"], cache["k_scale"],
                     cache["v_scale"], base_lengths)
@@ -211,7 +213,7 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
     pos = lengths[:, None] + jnp.arange(T)[None, :]  # (B, T)
 
     new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    for li, (layer, cache) in enumerate(zip(params["layers"], caches)):
         h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
         q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
         q = q.reshape(B, T, H, Dh)
@@ -226,14 +228,27 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
                           page_aligned=page_aligned)
         new_caches.append(c)
         o = _chunk_cache_attend(q, c, lengths, cfg, mesh=mesh,
-                                page_table=page_table)  # (B, T, H, Dh) f32
-        x = x + linear(o.reshape(B, T, H * Dh).astype(x.dtype), layer["wo"])
+                                page_table=page_table,
+                                window=cfg.layer_window(li))  # (B,T,H,Dh) f32
+        attn_out = linear(o.reshape(B, T, H * Dh).astype(x.dtype),
+                          layer["wo"])
+        if "post_attn_norm" in layer:
+            attn_out = _rms_norm(attn_out, layer["post_attn_norm"],
+                                 cfg.norm_eps, cfg.rms_offset)
+        x = x + attn_out
         h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
-        x = x + _proj_mlp(h, layer, cfg)
+        mlp_out = _proj_mlp(h, layer, cfg)
+        if "post_mlp_norm" in layer:
+            mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"],
+                                cfg.norm_eps, cfg.rms_offset)
+        x = x + mlp_out
 
     x = _rms_norm(x, params["norm"], cfg.norm_eps, cfg.rms_offset)
     w_lm = params.get("lm_head", params["embed"])
-    return (x @ w_lm.T).astype(jnp.float32), new_caches
+    logits = (x @ w_lm.T).astype(jnp.float32)
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits, new_caches
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))

@@ -311,3 +311,18 @@ def test_spec_sampled_paged_int8(setup, draft):
     for toks in got.values():
         assert all(0 <= t < cfg.vocab_size for t in toks)
     assert 0.0 <= eng.acceptance_rate <= 1.0
+
+
+def test_gemma2_engine_paged_chunked_tp(setup):
+    """Gemma2-style model (softcaps + alternating local/global layers +
+    sandwich norms) served end-to-end: paged pool + TP + chunked prefill,
+    so decode_chunk's per-layer windows and capped kernels are on the hot
+    path. Token-exact vs solo greedy."""
+    cfg = tiny_config(sliding_window=24, alt_window=True, attn_softcap=30.0,
+                      final_softcap=20.0, query_scale=0.15,
+                      sandwich_norms=True)
+    params = init_params(jax.random.key(4), cfg)
+    mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
+    run_matrix(cfg, params, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        prefill_chunk=32), mesh=mesh)
