@@ -300,7 +300,7 @@ def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
 
 
 def decode_attention_ref(q, k_cache, v_cache, lengths, sm_scale=None,
-                         window=None):
+                         window=None, softcap=None):
     B, H, D = q.shape
     _, Hkv, S, _ = k_cache.shape
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
@@ -309,6 +309,8 @@ def decode_attention_ref(q, k_cache, v_cache, lengths, sm_scale=None,
         v_cache = jnp.repeat(v_cache, H // Hkv, axis=1)
     s = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32),
                    k_cache.astype(jnp.float32)) * scale
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
     mask = jnp.arange(S)[None, None, :] < lengths[:, None, None]
     if window is not None:
         mask &= (jnp.arange(S)[None, None, :]
@@ -389,3 +391,14 @@ for _name, _tag in [("decode_attn_shared_kv_int8", "int8"),
         family="decode-attn-shared", tags=(_tag, "shared-kv", "mla",
                                            "decode"),
     )(_decode_shared_q_fn)
+
+
+register_op(
+    # Gemma2 decode semantics: capped logits over the KV cache
+    "decode_attn_softcap",
+    ref=functools.partial(decode_attention_ref, softcap=30.0),
+    flops=lambda q, k, v, l: float(
+        2 * 2 * q.shape[0] * q.shape[1] * k.shape[2] * q.shape[2]),
+    atol=2e-2, rtol=2e-2,
+    family="decode-attn-softcap", tags=("softcap", "decode"),
+)(make_decode_attention(block_k=128, softcap=30.0))

@@ -444,5 +444,16 @@ register_op(
     tags=("causal", "window1024"),
 )(make_flash_attention(causal=True, window=1024))
 
+register_op(
+    # Gemma2 attention semantics at the flash level (training path pairs it
+    # with the capped FA-2 backward in attention/flash_bwd.py)
+    "flash_attn_mma_stages_split_q_softcap",
+    ref=functools.partial(mha_ref, causal=True, softcap=50.0),
+    flops=_fa_flops,
+    atol=1e-2, rtol=1e-2,
+    family="flash-attn",
+    tags=("causal", "softcap50"),
+)(make_flash_attention(causal=True, softcap=50.0))
+
 flash_attention = make_flash_attention()
 flash_attention_causal = make_flash_attention(causal=True)

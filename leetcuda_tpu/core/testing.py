@@ -169,6 +169,12 @@ def _extra_args(spec, rng):
             return (q, cq, s, lengths)
         cache = randn((B, 1, S, D), jnp.float32, 0.3)
         return (q, cache, lengths)
+    if spec.family == "decode-attn-softcap":
+        B, H, Hkv, S, D = 2, 4, 2, 256, 64
+        q = randn((B, H, D), jnp.float32, 0.5)
+        k = randn((B, Hkv, S, D), jnp.float32, 0.5)
+        v = randn((B, Hkv, S, D), jnp.float32, 0.5)
+        return (q, k, v, jnp.asarray([100, 200], jnp.int32))
     if spec.family == "gemm-grouped":
         # 2 row tiles of bm=128, 4 expert panels; tiles pick experts 0 and 2
         lhs = randn((256, 128), jnp.bfloat16, 0.3)
