@@ -176,6 +176,27 @@ class ModelConfig:
     query_scale: float | None = None    # attention scale override
     alt_window: bool = False     # sliding window on EVEN layers only (Gemma2)
     sandwich_norms: bool = False  # post-attn / post-mlp output norms (Gemma2)
+    # rope scaling, hashable for jit-static configs:
+    # ("llama3", factor, low_freq_factor, high_freq_factor, original_max_pos)
+    # or ("linear", factor)
+    rope_scaling: tuple | None = None
+
+    def rope_inv_freq(self):
+        """Scaled (head_dim/2,) inverse frequencies, or None (plain θ)."""
+        if self.rope_scaling is None:
+            return None
+        from leetcuda_tpu.ops.rope import llama3_scaled_inv_freq
+        kind = self.rope_scaling[0]
+        if kind == "llama3":
+            _, f, lo, hi, orig = self.rope_scaling
+            return llama3_scaled_inv_freq(self.head_dim, self.rope_theta,
+                                          f, lo, hi, orig)
+        if kind == "linear":
+            half = self.head_dim // 2
+            base = self.rope_theta ** (
+                -jnp.arange(half, dtype=jnp.float32) / half)
+            return base / self.rope_scaling[1]
+        raise NotImplementedError(f"rope_scaling kind {kind!r}")
 
     def layer_window(self, i: int | None = None) -> int | None:
         """Per-layer sliding window: alternating local/global when
@@ -418,8 +439,9 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     if cfg.qk_norm:  # Qwen3: per-head RMS norm before rope
         q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
         k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-    q = apply_rope_half(q, positions, cfg.rope_theta)
-    k = apply_rope_half(k, positions, cfg.rope_theta)
+    invf = cfg.rope_inv_freq()
+    q = apply_rope_half(q, positions, cfg.rope_theta, inv_freq=invf)
+    k = apply_rope_half(k, positions, cfg.rope_theta, inv_freq=invf)
     k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
     o = _attention(q.transpose(0, 2, 1, 3), k, v, mesh, causal=True,
                    window=cfg.layer_window(layer_idx),
@@ -522,8 +544,9 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
         if cfg.qk_norm:
             q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
             k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-        q = apply_rope_half(q, positions, cfg.rope_theta)
-        k = apply_rope_half(k, positions, cfg.rope_theta)
+        invf = cfg.rope_inv_freq()
+        q = apply_rope_half(q, positions, cfg.rope_theta, inv_freq=invf)
+        k = apply_rope_half(k, positions, cfg.rope_theta, inv_freq=invf)
         v = v.reshape(B, S, Hkv, Dh)
         k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
         kvs.append((k, v))
@@ -859,7 +882,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
     else:
         s_cap = page_table.shape[1] * caches[0]["k_pages"].shape[2]
     fused_qkv = None
-    if (mesh is None and s_cap >= 2048
+    if (mesh is None and s_cap >= 2048 and cfg.rope_scaling is None
             and not os.environ.get("LEETCUDA_NO_FUSED_DECODE")):
         from leetcuda_tpu.gemm.fused_decode import make_fused_norm_qkv_rope
 
@@ -885,10 +908,11 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
             if cfg.qk_norm:
                 q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
                 k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-            q = apply_rope_half(q[:, None], pos[:, None],
-                                cfg.rope_theta)[:, 0]
-            k = apply_rope_half(k[:, None], pos[:, None],
-                                cfg.rope_theta)[:, 0]
+            invf = cfg.rope_inv_freq()
+            q = apply_rope_half(q[:, None], pos[:, None], cfg.rope_theta,
+                                inv_freq=invf)[:, 0]
+            k = apply_rope_half(k[:, None], pos[:, None], cfg.rope_theta,
+                                inv_freq=invf)[:, 0]
         cache = _cache_append(cache, k, v, pos, page_table=page_table)
         new_caches.append(cache)
         o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1, mesh=mesh,

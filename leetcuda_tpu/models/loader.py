@@ -34,6 +34,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from leetcuda_tpu.models.llama import ModelConfig, param_shardings
 
 
+def _rope_scaling_from_hf(rs) -> tuple | None:
+    """HF rope_scaling dict -> the hashable ModelConfig tuple. Supports
+    "llama3" (Llama-3.1 wavelength remap) and "linear"; "default"/None pass
+    through; anything else fails loudly rather than silently degrading long-
+    context quality."""
+    if not rs:
+        return None
+    kind = rs.get("rope_type", rs.get("type", "default"))
+    if kind in (None, "default"):
+        return None
+    if kind == "llama3":
+        return ("llama3", float(rs["factor"]),
+                float(rs.get("low_freq_factor", 1.0)),
+                float(rs.get("high_freq_factor", 4.0)),
+                int(rs["original_max_position_embeddings"]))
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    raise NotImplementedError(
+        f"rope_scaling type {kind!r} (supported: llama3, linear)")
+
+
 def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
     """Build a ModelConfig from a transformers Llama/Qwen2/Gemma config (or
     its dict). Gemma flips the family switches: GeGLU (gelu_tanh), (1+w)
@@ -77,6 +98,7 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
                      else None),
         alt_window=is_gemma2,
         sandwich_norms=is_gemma2,
+        rope_scaling=_rope_scaling_from_hf(get("rope_scaling", None)),
         # Mixtral: top-k routed experts with gates renormalized over the
         # selected k (HF semantics). capacity = E/topk x the even share ->
         # capacity(T) == T: NO token is ever dropped, so logits reproduce

@@ -82,24 +82,48 @@ def rope_ref(x, theta: float = DEFAULT_THETA):
     return out.reshape(S, D).astype(x.dtype)
 
 
-def _rope_angles(positions, D, theta):
+def _rope_angles(positions, D, theta, inv_freq=None):
     """(cos, sin) of pos·θ^{-2i/D}, shaped (..., S, 1, half) to broadcast
-    over a heads axis — shared by both model-level rotation conventions."""
+    over a heads axis — shared by both model-level rotation conventions.
+    ``inv_freq`` (half,) overrides the plain power ladder (rope scaling)."""
     half = D // 2
-    inv_freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    if inv_freq is None:
+        inv_freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
     ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., S, half)
     return jnp.cos(ang)[..., None, :], jnp.sin(ang)[..., None, :]
 
 
-def apply_rope_half(x, positions, theta: float = DEFAULT_THETA):
+def llama3_scaled_inv_freq(D: int, theta: float, factor: float,
+                           low_freq_factor: float, high_freq_factor: float,
+                           original_max_pos: int):
+    """Llama-3.1 rope scaling (HF _compute_llama3_parameters semantics):
+    long-wavelength frequencies divide by ``factor``, short wavelengths stay,
+    the middle band interpolates smoothly. Returns (D/2,) f32."""
+    half = D // 2
+    inv_freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    wavelen = 2.0 * jnp.pi / inv_freq
+    low_wl = original_max_pos / low_freq_factor
+    high_wl = original_max_pos / high_freq_factor
+    smooth = ((original_max_pos / wavelen - low_freq_factor)
+              / (high_freq_factor - low_freq_factor))
+    mid = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+    out = jnp.where(wavelen > low_wl, inv_freq / factor,
+                    jnp.where(wavelen < high_wl, inv_freq, mid))
+    return out
+
+
+def apply_rope_half(x, positions, theta: float = DEFAULT_THETA,
+                    inv_freq=None):
     """Half-rotation RoPE for models: x (..., S, H, D), positions (..., S).
 
     rotate_half convention: the first D/2 lanes pair with the last D/2 lanes —
     layout-friendly on TPU (contiguous halves, no interleave relayout).
+    ``inv_freq``: optional (D/2,) scaled frequencies (Llama-3.1 / linear
+    rope scaling) overriding the θ power ladder.
     """
     D = x.shape[-1]
     half = D // 2
-    c, s = _rope_angles(positions, D, theta)
+    c, s = _rope_angles(positions, D, theta, inv_freq)
     x1 = x[..., :half].astype(jnp.float32)
     x2 = x[..., half:].astype(jnp.float32)
     return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],

@@ -318,3 +318,47 @@ def test_gemma2_golden_parity():
         outs.append(np.asarray(lg))
         lengths = lengths + 1
     np.testing.assert_allclose(np.stack(outs, 1), want, atol=6e-3, rtol=6e-3)
+
+
+def test_llama31_rope_scaling_golden_parity():
+    """Llama-3.1 rope scaling (wavelength remap): long-frequency bands
+    divide by factor, short stay, middle interpolates — transformers golden
+    parity on forward AND decode. original_max_position_embeddings is set
+    small so all three bands are exercised at D/2=16 frequencies."""
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True, attention_bias=False,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64},
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(5)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.rope_scaling == ("llama3", 8.0, 1.0, 4.0, 64)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(9)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+    # the scaled frequencies must actually differ from the plain ladder
+    plain = forward(params, jnp.asarray(tokens, jnp.int32),
+                    cfg.__class__(**{**cfg.__dict__, "rope_scaling": None}))
+    assert float(jnp.max(jnp.abs(plain - got))) > 1e-3
+
+    caches = init_kv_caches(cfg, 2, 128)
+    lengths = jnp.zeros((2,), jnp.int32)
+    outs = []
+    for t in range(12):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
