@@ -162,6 +162,7 @@ class ModelConfig:
     expert_topk: int = 2
     capacity_factor: float = 2.0
     moe_renorm: bool = False          # Mixtral: renormalize top-k gates
+    moe_ffn_dim: int = 0              # expert hidden dim (0 = ffn_dim)
     # family switches (Gemma: gelu_tanh + (1+w) norm + sqrt(D) embed scaling
     # + decoupled head_dim; Llama/Qwen2 defaults otherwise)
     hidden_act: str = "silu"          # "silu" | "gelu_tanh"
@@ -215,8 +216,8 @@ class ModelConfig:
 
         return MoEConfig(n_experts=self.n_experts, topk=self.expert_topk,
                          capacity_factor=self.capacity_factor, dim=self.dim,
-                         ffn_dim=self.ffn_dim, dtype=self.dtype,
-                         renorm_topk=self.moe_renorm)
+                         ffn_dim=self.moe_ffn_dim or self.ffn_dim,
+                         dtype=self.dtype, renorm_topk=self.moe_renorm)
 
 
 def tiny_config(**kw) -> ModelConfig:

@@ -65,9 +65,11 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
     is_gemma = "gemma" in mtype
     is_gemma2 = mtype == "gemma2"
     is_mixtral = "mixtral" in mtype
+    is_qwen3moe = mtype == "qwen3_moe"
     head_dim = get("head_dim", None)
     derived = get("hidden_size") // get("num_attention_heads")
-    n_experts = int(get("num_local_experts", 0) or 0) if is_mixtral else 0
+    n_experts = int(get("num_local_experts", 0) or 0) if is_mixtral else (
+        int(get("num_experts", 0) or 0) if is_qwen3moe else 0)
     topk = int(get("num_experts_per_tok", 2) or 2)
     return ModelConfig(
         vocab_size=get("vocab_size"),
@@ -106,7 +108,10 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
         # down (or use moe_ffn_dropless)
         n_experts=n_experts,
         expert_topk=topk,
-        moe_renorm=is_mixtral,
+        moe_renorm=(is_mixtral
+                    or bool(is_qwen3moe and get("norm_topk_prob", False))),
+        moe_ffn_dim=(int(get("moe_intermediate_size", 0) or 0)
+                     if is_qwen3moe else 0),
         capacity_factor=(n_experts / topk if n_experts else 2.0),
     )
 
@@ -161,7 +166,20 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
             layer["post_mlp_norm"] = put(
                 _to_np(sd[pre + "post_feedforward_layernorm.weight"]),
                 lspec.get("post_mlp_norm"))
-        if pre + "block_sparse_moe.gate.weight" in sd:
+        if pre + "mlp.gate.weight" in sd:  # Qwen3-MoE routed experts
+            mspec = lspec.get("moe") or {k: None for k in (
+                "router", "w_gate", "w_up", "w_down")}
+            estack = lambda w: np.stack(
+                [_to_np(sd[pre + f"mlp.experts.{e}.{w}.weight"]).T
+                 for e in range(cfg.n_experts)])
+            layer["moe"] = {
+                "router": put(_to_np(sd[pre + "mlp.gate.weight"]).T,
+                              mspec["router"], dtype=jnp.float32),
+                "w_gate": put(estack("gate_proj"), mspec["w_gate"]),
+                "w_up": put(estack("up_proj"), mspec["w_up"]),
+                "w_down": put(estack("down_proj"), mspec["w_down"]),
+            }
+        elif pre + "block_sparse_moe.gate.weight" in sd:
             # Mixtral routed experts: gate (E, D) -> router (D, E) f32;
             # experts.{e}.{w1,w3,w2} -> w_gate/w_up/w_down stacks
             mspec = lspec.get("moe") or {k: None for k in (

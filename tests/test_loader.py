@@ -362,3 +362,43 @@ def test_llama31_rope_scaling_golden_parity():
         outs.append(np.asarray(lg))
         lengths = lengths + 1
     np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
+
+
+def test_qwen3_moe_golden_parity():
+    """Qwen3-MoE = Qwen3 attention (per-head QK norms) + routed experts with
+    their own hidden dim (moe_intermediate_size) and norm_topk_prob gate
+    renormalization — transformers golden parity on forward AND decode."""
+    hf_cfg = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=48,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[],
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(6)
+    model = transformers.Qwen3MoeForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.qk_norm and cfg.n_experts == 4 and cfg.moe_renorm
+    assert cfg.moe.ffn_dim == 48
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    assert "moe" in params["layers"][0] and "q_norm" in params["layers"][0]
+    assert params["layers"][0]["moe"]["w_gate"].shape == (4, 64, 48)
+
+    rng = np.random.default_rng(10)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+    caches = init_kv_caches(cfg, 2, 128)
+    lengths = jnp.zeros((2,), jnp.int32)
+    outs = []
+    for t in range(12):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
