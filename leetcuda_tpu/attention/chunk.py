@@ -270,7 +270,7 @@ def make_paged_chunk_attention(*, sm_scale=None, window: int | None = None,
 
 
 def chunk_attention_ref(q, k_cache, v_cache, base_lengths, sm_scale=None,
-                        window=None):
+                        window=None, softcap=None):
     """jnp oracle. q (B, H, T, D); row t attends cols < base + t + 1
     (minus the window band when set)."""
     B, H, T, D = q.shape
@@ -281,6 +281,8 @@ def chunk_attention_ref(q, k_cache, v_cache, base_lengths, sm_scale=None,
         v_cache = jnp.repeat(v_cache, H // Hkv, axis=1)
     s = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32),
                    k_cache.astype(jnp.float32)) * scale
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
     limit = (base_lengths[:, None, None, None]
              + jnp.arange(T)[None, None, :, None] + 1)
     cols = jnp.arange(S)[None, None, None, :]

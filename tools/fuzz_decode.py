@@ -57,6 +57,7 @@ def main():
         S = int(rng.choice([256, 640, 1024, 2176, 1152, 3072, 333, 1021]))
         bk = int(rng.choice([128, 256, 512, 1024]))
         window = int(rng.choice([0, 64, 500]))
+        softcap = float(rng.choice([0.0, 30.0]))  # Gemma2 capped-logit path
         mode = rng.choice(["plain", "quant", "paged", "chunk"])
         lengths = jnp.asarray(rng.integers(1, S + 1, (B,)), jnp.int32)
         dt = jnp.bfloat16
@@ -64,13 +65,16 @@ def main():
         k = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), dt)
         v = jnp.asarray(rng.standard_normal((B, Hkv, S, D)), dt)
         w = window or None
+        cap = softcap or None
         tag = (f"{mode} B{B} H{H}/{Hkv} D{D} S{S} bk{bk} win{window} "
                f"len{list(np.asarray(lengths))[:3]}")
         try:
             if mode == "plain":
-                got = make_decode_attention(block_k=bk, window=w)(
+                got = make_decode_attention(block_k=bk, window=w,
+                                            softcap=cap)(
                     q, k, v, lengths)
-                want = decode_attention_ref(q, k, v, lengths, window=w)
+                want = decode_attention_ref(q, k, v, lengths, window=w,
+                                            softcap=cap)
             elif mode == "quant":
                 kf = k.astype(jnp.float32)
                 vf = v.astype(jnp.float32)
@@ -78,12 +82,13 @@ def main():
                 vs = jnp.maximum(jnp.max(jnp.abs(vf), -1), 1e-8) / 127.0
                 kq = jnp.round(kf / ks[..., None]).astype(jnp.int8)
                 vq = jnp.round(vf / vs[..., None]).astype(jnp.int8)
-                got = make_decode_attention_quantized(block_k=bk, window=w)(
+                got = make_decode_attention_quantized(block_k=bk, window=w,
+                                                      softcap=cap)(
                     q, kq, vq, ks, vs, lengths)
                 want = decode_attention_ref(
                     q, (kq.astype(jnp.float32) * ks[..., None]).astype(dt),
                     (vq.astype(jnp.float32) * vs[..., None]).astype(dt),
-                    lengths, window=w)
+                    lengths, window=w, softcap=cap)
             elif mode == "paged":
                 page = int(rng.choice([64, 128]))
                 P_max = -(-S // page)
@@ -104,17 +109,20 @@ def main():
                         table[b, i] = p
                         kp = kp.at[p].set(kpad[b, :, i * page:(i + 1) * page])
                         vp = vp.at[p].set(vpad[b, :, i * page:(i + 1) * page])
-                got = make_paged_attention(window=w)(
+                got = make_paged_attention(window=w, softcap=cap)(
                     q, kp, vp, jnp.asarray(table), lengths)
-                want = decode_attention_ref(q, k, v, lengths, window=w)
+                want = decode_attention_ref(q, k, v, lengths, window=w,
+                                            softcap=cap)
             else:  # chunk
                 T = int(rng.choice([2, 4, 8]))
                 base = jnp.asarray(
                     rng.integers(0, S - T + 1, (B,)), jnp.int32)
                 qc = jnp.asarray(rng.standard_normal((B, H, T, D)), dt)
-                got = make_chunk_attention(block_k=bk, window=w)(
+                got = make_chunk_attention(block_k=bk, window=w,
+                                           softcap=cap)(
                     qc, k, v, base)
-                want = chunk_attention_ref(qc, k, v, base, window=w)
+                want = chunk_attention_ref(qc, k, v, base, window=w,
+                                           softcap=cap)
             err = float(jnp.max(jnp.abs(
                 jnp.asarray(got, jnp.float32) - jnp.asarray(want,
                                                             jnp.float32))))

@@ -13,7 +13,7 @@ run() {
   echo "=== [$name] exit=$? ==="
 }
 
-stages="${*:-fp8verify sweep resident d64 int4 mla hwsweep}"
+stages="${*:-fp8verify sweep resident d64 int4 mla hwsweep fuzz}"
 
 for s in $stages; do
   case "$s" in
@@ -24,6 +24,7 @@ for s in $stages; do
     int4)      run int4 python -u tools/diagnose_int4.py ;;
     mla)       run mla python -u tools/bench_mla.py ;;
     hwsweep)   run hwsweep python -u tools/hw_sweep.py ;;
+    fuzz)      run fuzz python -u tools/fuzz_decode.py --iters 30 ;;
     benchall)  run benchall python -u tools/bench_all.py ;;
     *) echo "unknown stage $s" ;;
   esac
