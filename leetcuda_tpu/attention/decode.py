@@ -396,9 +396,10 @@ for _name, _tag in [("decode_attn_shared_kv_int8", "int8"),
 register_op(
     # Gemma2 decode semantics: capped logits over the KV cache
     "decode_attn_softcap",
-    ref=functools.partial(decode_attention_ref, softcap=30.0),
+    # cap chosen to BITE at canonical score scale — see the flash softcap rung
+    ref=functools.partial(decode_attention_ref, softcap=0.5),
     flops=lambda q, k, v, l: float(
         2 * 2 * q.shape[0] * q.shape[1] * k.shape[2] * q.shape[2]),
     atol=2e-2, rtol=2e-2,
     family="decode-attn-softcap", tags=("softcap", "decode"),
-)(make_decode_attention(block_k=128, softcap=30.0))
+)(make_decode_attention(block_k=128, softcap=0.5))

@@ -235,8 +235,15 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
     def fa(q, k, v):
-        out, _ = _fwd(q, k, v)
-        return out
+        # primal (inference) path: NO LSE output — serving prefill through
+        # this wrapper must not pay an (B*H, N, 128) f32 write it discards.
+        # Only the VJP forward below materializes LSE for the backward.
+        B, H, N, D = q.shape
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+        f = make_flash_attention(causal=causal, sm_scale=scale,
+                                 block_q=block_q, block_k=block_k,
+                                 window=window, softcap=softcap)
+        return f(q, k, v)
 
     def _fwd(q, k, v):
         B, H, N, D = q.shape

@@ -99,8 +99,10 @@ def _proj_qkv(h, layer, H, Hkv, Dh):
 
 def _proj_mlp(h, layer, cfg=None):
     if "moe" in layer:
-        from leetcuda_tpu.models.moe import moe_ffn
+        from leetcuda_tpu.models.moe import moe_ffn, moe_ffn_dropless
 
+        if cfg.moe_dropless:
+            return moe_ffn_dropless(h, layer["moe"], cfg.moe)
         return moe_ffn(h, layer["moe"], cfg.moe)
     if "w_gate_up" in layer:
         gu = linear(h, layer["w_gate_up"])
@@ -163,6 +165,11 @@ class ModelConfig:
     capacity_factor: float = 2.0
     moe_renorm: bool = False          # Mixtral: renormalize top-k gates
     moe_ffn_dim: int = 0              # expert hidden dim (0 = ffn_dim)
+    # route the FFN through the dropless grouped matmul: EXACT (no capacity
+    # drops) at O(T) memory — the serving/eval path for loaded checkpoints.
+    # Inference-only (the gmm kernel has no VJP); set False (+ pick a
+    # capacity_factor) to fine-tune.
+    moe_dropless: bool = False
     # family switches (Gemma: gelu_tanh + (1+w) norm + sqrt(D) embed scaling
     # + decoupled head_dim; Llama/Qwen2 defaults otherwise)
     hidden_act: str = "silu"          # "silu" | "gelu_tanh"
@@ -586,6 +593,10 @@ def pipeline_forward(params, tokens, cfg: ModelConfig, mesh: Mesh,
         split_llama_stages, shard_stage_params, pipeline_apply)
 
     n_stages = mesh.shape["pp"]
+    # the stage scan applies ONE static window to every layer it carries
+    assert not cfg.alt_window, (
+        "alt_window models need per-layer static kernels; pipeline paths "
+        "support uniform-window configs only")
     B, S = tokens.shape
     M = n_microbatches or n_stages
     assert B % M == 0, (B, M)
@@ -611,7 +622,10 @@ def pipeline_forward(params, tokens, cfg: ModelConfig, mesh: Mesh,
     x = pipeline_apply(stage_fn, stacked, mbs, mesh).reshape(B, S, cfg.dim)
     x = _rms_norm(x, params["norm"], cfg.norm_eps, cfg.rms_offset)
     w_lm = params.get("lm_head", params["embed"])
-    return (x @ w_lm.T).astype(jnp.float32)
+    logits = (x @ w_lm.T).astype(jnp.float32)
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits
 
 
 def loss_fn(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
@@ -643,6 +657,10 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
     shardings match its structure."""
     import optax
 
+    assert not cfg.moe_dropless, (
+        "moe_dropless routes the FFN through the grouped-matmul kernel, "
+        "which has no VJP — fine-tune with "
+        "dataclasses.replace(cfg, moe_dropless=False, capacity_factor=...)")
     tx = optax.adamw(learning_rate)
 
     def init_opt(params):

@@ -101,18 +101,17 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
         alt_window=is_gemma2,
         sandwich_norms=is_gemma2,
         rope_scaling=_rope_scaling_from_hf(get("rope_scaling", None)),
-        # Mixtral: top-k routed experts with gates renormalized over the
-        # selected k (HF semantics). capacity = E/topk x the even share ->
-        # capacity(T) == T: NO token is ever dropped, so logits reproduce
-        # transformers exactly; production configs dial capacity_factor
-        # down (or use moe_ffn_dropless)
         n_experts=n_experts,
         expert_topk=topk,
         moe_renorm=(is_mixtral
                     or bool(is_qwen3moe and get("norm_topk_prob", False))),
         moe_ffn_dim=(int(get("moe_intermediate_size", 0) or 0)
                      if is_qwen3moe else 0),
-        capacity_factor=(n_experts / topk if n_experts else 2.0),
+        # loaded checkpoints serve through the DROPLESS grouped-matmul path:
+        # exact (HF parity needs zero capacity drops) at O(T) memory — the
+        # no-drop capacity bound (E/topk) would make the dispatch einsums
+        # O(T^2 E) and OOM a real prefill
+        moe_dropless=bool(n_experts),
     )
 
 

@@ -173,7 +173,9 @@ def moe_ffn_dropless(x, params, cfg: MoEConfig, block_m: int = 128):
     e_sorted = e_flat[order]
     pos = off_pad[e_sorted] + (jnp.arange(T * k) - off_raw[e_sorted])
 
-    T_buf = T * k + E * block_m                        # static worst case
+    # static worst case, rounded so the row-tile grid divides exactly for
+    # ANY token count (decode calls come in with T as small as B)
+    T_buf = -(-T * k // block_m) * block_m + E * block_m
     buf = jnp.zeros((T_buf, D), x.dtype).at[pos].set(xf[token_of_copy[order]])
 
     n_tiles = T_buf // block_m

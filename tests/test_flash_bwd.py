@@ -84,3 +84,33 @@ def test_mistral_windowed_training():
         params, opt, loss = step(params, opt, toks)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("softcap,causal", [(0.5, True), (0.5, False)])
+def test_softcap_grads_match_autodiff(softcap, causal, rng):
+    """Capped-logit (Gemma2) backward: the chain rule multiplies by
+    1 - (s/cap)^2 computed from the PRE-mask capped score (the post-mask
+    -1e30 would make it -inf and 0*inf=NaN). Caps chosen to BITE at this
+    score scale so a kernel ignoring softcap fails loudly."""
+    B, H, N, D = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, 1, N, D)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, 1, N, D)) * 0.5, jnp.float32)
+
+    from leetcuda_tpu.attention.flash import mha_ref
+    fa = make_flash_attention_trainable(causal=causal, softcap=softcap,
+                                        block_q=128, block_k=128)
+    # forward bites: capped must differ from uncapped beyond tolerance
+    fa_plain = make_flash_attention_trainable(causal=causal, block_q=128,
+                                              block_k=128)
+    assert float(jnp.max(jnp.abs(fa(q, k, v) - fa_plain(q, k, v)))) > 1e-2
+
+    g_pallas = jax.grad(lambda q, k, v: jnp.sum(jnp.sin(fa(q, k, v))),
+                        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(jnp.sin(
+        mha_ref(q, k, v, causal=causal, softcap=softcap))),
+        argnums=(0, 1, 2))(q, k, v)
+    for gp, gr, name in zip(g_pallas, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gr), atol=2e-3, rtol=1e-2,
+            err_msg=f"d{name} (softcap={softcap}, causal={causal})")

@@ -288,14 +288,16 @@ def test_gemma2_golden_parity():
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         head_dim=32, max_position_embeddings=256, rms_norm_eps=1e-6,
         rope_theta=10000.0, hidden_activation="gelu_pytorch_tanh",
-        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        # caps chosen to BITE at random-init logit scale (~1): 50/30 would
+        # differ from uncapped by O(s^3/cap^2) ~ 1e-6, making parity vacuous
+        attn_logit_softcapping=1.0, final_logit_softcapping=0.5,
         query_pre_attn_scalar=32, sliding_window=8,
     )
     hf_cfg._attn_implementation = "eager"
     torch.manual_seed(4)
     model = transformers.Gemma2ForCausalLM(hf_cfg).eval()
     cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
-    assert cfg.attn_softcap == 50.0 and cfg.final_softcap == 30.0
+    assert cfg.attn_softcap == 1.0 and cfg.final_softcap == 0.5
     assert cfg.alt_window and cfg.sandwich_norms
     assert cfg.layer_window(0) == 8 and cfg.layer_window(1) is None
     params = params_from_hf_state_dict(model.state_dict(), cfg)
@@ -307,6 +309,13 @@ def test_gemma2_golden_parity():
         want = model(torch.from_numpy(tokens)).logits.numpy()
     got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
     np.testing.assert_allclose(got, want, atol=3e-3, rtol=3e-3)
+
+    # the caps must actually bite: uncapped forward differs beyond tolerance
+    import dataclasses
+    uncapped = forward(params, jnp.asarray(tokens, jnp.int32),
+                       dataclasses.replace(cfg, attn_softcap=None,
+                                           final_softcap=None))
+    assert float(jnp.max(jnp.abs(uncapped - got))) > 1e-2
 
     # decode: per-layer window + capped decode kernels reproduce the stream
     caches = init_kv_caches(cfg, 2, 128)

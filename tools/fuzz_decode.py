@@ -57,7 +57,8 @@ def main():
         S = int(rng.choice([256, 640, 1024, 2176, 1152, 3072, 333, 1021]))
         bk = int(rng.choice([128, 256, 512, 1024]))
         window = int(rng.choice([0, 64, 500]))
-        softcap = float(rng.choice([0.0, 30.0]))  # Gemma2 capped-logit path
+        softcap = float(rng.choice([0.0, 0.5]))  # capped-logit path; 0.5
+        # bites at fuzz score scale (30-50 would be numerically invisible)
         mode = rng.choice(["plain", "quant", "paged", "chunk"])
         lengths = jnp.asarray(rng.integers(1, S + 1, (B,)), jnp.int32)
         dt = jnp.bfloat16
@@ -67,6 +68,7 @@ def main():
         w = window or None
         cap = softcap or None
         tag = (f"{mode} B{B} H{H}/{Hkv} D{D} S{S} bk{bk} win{window} "
+               f"cap{softcap} "
                f"len{list(np.asarray(lengths))[:3]}")
         try:
             if mode == "plain":
