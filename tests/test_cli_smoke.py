@@ -67,6 +67,26 @@ def test_train_example():
     assert "loss" in out and "checkpoint ->" in out
 
 
+def test_train_example_native_loader(tmp_path):
+    out = run_script("examples/train.py", "--steps", "2", "--loader",
+                     "--data", str(tmp_path))
+    assert "native loader:" in out and "loss" in out
+
+
+def test_train_example_pipeline(tmp_path):
+    import os
+    r = subprocess.run(
+        [sys.executable, "examples/train.py", "--pp", "2", "--steps", "2",
+         "--loader", "--data", str(tmp_path)],
+        capture_output=True, text=True, timeout=600,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": ".",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "(pp=2)" in r.stdout and "merged pp stages" in r.stdout
+
+
 def test_serve_example():
     out = run_script("examples/serve.py", "--paged", "--temperature", "0.8")
     assert "request 1:" in out
