@@ -99,9 +99,15 @@ def _paged_kernel(scale, softcap, Hkv, group, page, quantized, window,
 
 def make_paged_attention(*, sm_scale=None, quantized: bool = False,
                          softcap: float | None = None,
-                         window: int | None = None):
+                         window: int | None = None,
+                         shared_kv: bool = False):
     """fn(q, k_pages, v_pages, [k_scales, v_scales,] page_table, lengths)
     -> (B, H, D).
+
+    ``shared_kv``: fn(q, pages, [scales,] page_table, lengths) — ONE page
+    pool (and one scale pool) serves as both K and V (MLA's paged latent
+    cache): one DMA per page, matching the slot-cache shared_kv decode
+    kernel.
 
     q (B, H, D); pages (N_pages, Hkv, page, D); page_table (B, P_max) int32
     physical page ids (entries past a sequence's last page are ignored);
@@ -112,8 +118,7 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
     entirely before the window are neither fetched nor computed (the index map
     clamps them onto the window's first page so their DMA is elided)."""
 
-    @jax.jit
-    def fn(q, k_pages, v_pages, *rest):
+    def impl(q, k_pages, v_pages, *rest):
         if quantized:
             k_scales, v_scales, page_table, lengths = rest
         else:
@@ -145,14 +150,18 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
         in_specs = [
             pl.BlockSpec((1, H, D), lambda b, si, pt, L: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            page_spec, page_spec,
+            page_spec,
         ]
-        args = [q, k_pages, v_pages]
+        args = [q, k_pages]
+        if not shared_kv:
+            in_specs.append(page_spec)
+            args.append(v_pages)
         if quantized:
             scale_spec = pl.BlockSpec((1, Hkv, page), s_map,
                                       memory_space=pltpu.VMEM)
-            in_specs += [scale_spec, scale_spec]
-            args += [k_scales, v_scales]
+            in_specs += [scale_spec] if shared_kv else [scale_spec,
+                                                        scale_spec]
+            args += [k_scales] if shared_kv else [k_scales, v_scales]
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page_table, lengths
@@ -170,17 +179,29 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
         if not interpret_default():
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)
+        body = functools.partial(_paged_kernel, scale, softcap, Hkv, group,
+                                 page, quantized, window)
+        if shared_kv:
+            if quantized:
+                def body(pt, L, q_r, kv_r, s_r, *rest, _b=body):  # noqa: F811
+                    _b(pt, L, q_r, kv_r, kv_r, s_r, s_r, *rest)
+            else:
+                def body(pt, L, q_r, kv_r, *rest, _b=body):  # noqa: F811
+                    _b(pt, L, q_r, kv_r, kv_r, *rest)
         return pl.pallas_call(
-            functools.partial(_paged_kernel, scale, softcap, Hkv, group,
-                              page,
-                              quantized, window),
+            body,
             out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
             grid_spec=grid_spec,
             interpret=interpret_default(),
             **params,
         )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), *args)
 
-    return fn
+    if shared_kv:
+        if quantized:
+            return jax.jit(lambda q, pages, scales, pt, L: impl(
+                q, pages, pages, scales, scales, pt, L))
+        return jax.jit(lambda q, pages, pt, L: impl(q, pages, pages, pt, L))
+    return jax.jit(impl)
 
 
 def _dus_pool(pool, vals, phys, offs):

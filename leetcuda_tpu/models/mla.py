@@ -227,8 +227,32 @@ def _decode_kernel(block_k: int, scale: float, quantized: bool = False):
     return make(block_k=block_k, sm_scale=scale, shared_kv=True)
 
 
+@functools.lru_cache(maxsize=None)
+def _paged_decode_kernel(scale: float, quantized: bool = False):
+    from leetcuda_tpu.attention.paged import make_paged_attention
+
+    return make_paged_attention(sm_scale=scale, quantized=quantized,
+                                shared_kv=True)
+
+
+def init_paged_latent_cache(cfg: MLAConfig, num_pages: int, page: int,
+                            quant: str | None = None):
+    """Paged latent pool for long-context MLA serving: (num_pages, 1,
+    page, d_c + d_r) — block-table indirection over the ALREADY-compressed
+    latent rows compounds with the 9-18x cache shrink. ``quant``
+    ("int8"|"fp8") adds a per-(page, position) f32 scale pool. Allocate
+    pages with attention/paged.PageManager exactly like the llama engine."""
+    L = cfg.latent_dim
+    if quant is None:
+        return jnp.zeros((num_pages, 1, page, L), cfg.dtype)
+    qdt = jnp.int8 if quant == "int8" else jnp.float8_e4m3fn
+    return (jnp.zeros((num_pages, 1, page, L), qdt),
+            jnp.zeros((num_pages, 1, page), jnp.float32))
+
+
 def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
-                    block_k: int = 1024, mesh: Mesh | None = None):
+                    block_k: int = 1024, mesh: Mesh | None = None,
+                    page_table=None):
     """One absorbed-MQA decode step. x_t (B, D) hidden states at positions
     ``lengths``; cache (B, 1, max_seq, d_c + d_r). Returns (y (B, D),
     cache with this token's latent appended).
@@ -236,7 +260,13 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
     The latent cache is the decode kernel's single shared-KV operand
     (one DMA per block): lanes [:d_c] of the attended output are
     sum_t A(t)·c_t, which W_uv expands per head. Lanes [d_c:] (sum A·k_rope)
-    are discarded — 11% extra VPU work, no extra memory traffic."""
+    are discarded — 11% extra VPU work, no extra memory traffic.
+
+    ``page_table`` (B, P_max) int32: the cache is a PAGED latent pool from
+    ``init_paged_latent_cache`` ((num_pages, 1, page, L) or its quantized
+    (pool, scales) pair) — block-table serving for long-context DeepSeek
+    with the same PageManager the llama engine uses. The page holding
+    position lengths[b] must be allocated."""
     B, D = x_t.shape
     H, dc = cfg.n_heads, cfg.kv_lora_rank
     pos = lengths
@@ -269,7 +299,44 @@ def mla_decode_step(params, x_t, cache, lengths, cfg: MLAConfig,
             in_specs=(P("dp", "tp", None), *cache_specs, P("dp")),
             out_specs=P("dp", "tp", None), check_vma=False)(*args)
 
-    if isinstance(cache, tuple):                           # quantized latent
+    if page_table is not None:
+        from leetcuda_tpu.attention.paged import _dus_pool
+
+        def run_paged(kern, *args):
+            # pool/scale pools have NO batch dim — shared across dp shards
+            # (each shard attends its own page-table rows into the common
+            # pool); q heads shard on tp, latent lanes replicated
+            if mesh is None:
+                return kern(*args)
+            specs = [P("dp", "tp", None)]
+            for a in args[1:-2]:
+                specs.append(P(None, None, None, None) if a.ndim == 4
+                             else P(None, None, None))
+            specs += [P("dp", None), P("dp")]
+            return shard_map(kern, mesh=mesh, in_specs=tuple(specs),
+                             out_specs=P("dp", "tp", None),
+                             check_vma=False)(*args)
+
+        page = (cache[0] if isinstance(cache, tuple) else cache).shape[2]
+        phys = page_table[jnp.arange(B), pos // page]
+        offs = pos % page
+        if isinstance(cache, tuple):                       # quantized pool
+            pool, scales = cache
+            quant = "int8" if pool.dtype == jnp.int8 else "fp8"
+            lat_q, lat_s = _quantize_latent(latent_t, quant)
+            pool = _dus_pool(pool, lat_q, phys, offs)
+            scales = _dus_pool(scales, lat_s[:, :, None], phys, offs)
+            cache = (pool, scales)
+            att = run_paged(_paged_decode_kernel(sm, quantized=True),
+                            q_cat.astype(jnp.float32), pool, scales,
+                            page_table, lengths + 1)
+        else:
+            pool = _dus_pool(cache, latent_t, phys, offs)
+            cache = pool
+            att = run_paged(_paged_decode_kernel(sm),
+                            q_cat.astype(pool.dtype), pool, page_table,
+                            lengths + 1)
+    elif isinstance(cache, tuple):                         # quantized latent
         rows, scales = cache
         quant = "int8" if rows.dtype == jnp.int8 else "fp8"
         lat_q, lat_s = _quantize_latent(latent_t, quant)

@@ -298,3 +298,123 @@ def test_mla_model_trains():
         params, opt, loss = step(params, opt, toks)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_mla_paged_latent_matches_slot():
+    """Paged latent cache == slot latent cache, with a SHUFFLED page table
+    (physical pages out of order) and a capacity that doesn't divide the
+    page size budget evenly."""
+    from leetcuda_tpu.models.mla import (
+        MLAConfig, init_mla_params, mla_prefill, mla_decode_step,
+        init_paged_latent_cache)
+    from leetcuda_tpu.attention.paged import _dus_pool
+
+    cfg = MLAConfig(dim=128, n_heads=4, kv_lora_rank=64, qk_nope_head_dim=32,
+                    qk_rope_head_dim=16, v_head_dim=32, dtype=jnp.float32)
+    params = init_mla_params(jax.random.key(0), cfg)
+    B, S0, page, pmax = 2, 12, 8, 6
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 0.5, (B, S0 + 4,
+                                                             cfg.dim)),
+                    cfg.dtype)
+    _, slot_cache = mla_prefill(params, x[:, :S0], cfg, max_seq=48)
+    lengths = jnp.full((B,), S0, jnp.int32)
+
+    # paged: copy the prefix latents into shuffled physical pages
+    rng = np.random.default_rng(1)
+    table = rng.permutation(B * pmax).reshape(B, pmax).astype(np.int32)
+    pool = init_paged_latent_cache(cfg, B * pmax + 1, page)
+    # remap: logical page p of seq b -> physical table[b, p]
+    for b in range(B):
+        for p in range((S0 + page - 1) // page):
+            n = min(page, S0 - p * page)
+            pool = pool.at[table[b, p], :, :n].set(
+                slot_cache[b, :, p * page:p * page + n])
+    table = jnp.asarray(table)
+
+    pc, sc = pool, slot_cache
+    for t in range(4):
+        y_ref, sc = mla_decode_step(params, x[:, S0 + t], sc, lengths, cfg,
+                                    block_k=8)
+        y_pg, pc = mla_decode_step(params, x[:, S0 + t], pc, lengths, cfg,
+                                   page_table=table)
+        np.testing.assert_allclose(np.asarray(y_pg), np.asarray(y_ref),
+                                   atol=2e-4, rtol=2e-4, err_msg=f"t={t}")
+        lengths = lengths + 1
+
+
+def test_mla_paged_quantized_matches_slot_quantized():
+    """int8 paged latent == int8 slot latent (same quantizer both sides)."""
+    from leetcuda_tpu.models.mla import (
+        MLAConfig, init_mla_params, mla_prefill, mla_decode_step,
+        init_paged_latent_cache)
+
+    cfg = MLAConfig(dim=128, n_heads=4, kv_lora_rank=64, qk_nope_head_dim=32,
+                    qk_rope_head_dim=16, v_head_dim=32, dtype=jnp.float32)
+    params = init_mla_params(jax.random.key(2), cfg)
+    B, S0, page, pmax = 2, 8, 8, 4
+    x = jnp.asarray(np.random.default_rng(2).normal(0, 0.5, (B, S0 + 3,
+                                                             cfg.dim)),
+                    cfg.dtype)
+    _, (rows, scales) = mla_prefill(params, x[:, :S0], cfg, max_seq=32,
+                                    quant="int8")
+    lengths = jnp.full((B,), S0, jnp.int32)
+
+    table = np.arange(B * pmax).reshape(B, pmax).astype(np.int32)
+    pool, spool = init_paged_latent_cache(cfg, B * pmax + 1, page,
+                                          quant="int8")
+    for b in range(B):
+        for p in range((S0 + page - 1) // page):
+            n = min(page, S0 - p * page)
+            pool = pool.at[table[b, p], :, :n].set(
+                rows[b, :, p * page:p * page + n])
+            spool = spool.at[table[b, p], :, :n].set(
+                scales[b, :, p * page:p * page + n])
+    table = jnp.asarray(table)
+
+    pc, sc = (pool, spool), (rows, scales)
+    for t in range(3):
+        y_ref, sc = mla_decode_step(params, x[:, S0 + t], sc, lengths, cfg,
+                                    block_k=8)
+        y_pg, pc = mla_decode_step(params, x[:, S0 + t], pc, lengths, cfg,
+                                   page_table=table)
+        np.testing.assert_allclose(np.asarray(y_pg), np.asarray(y_ref),
+                                   atol=2e-4, rtol=2e-4, err_msg=f"t={t}")
+        lengths = lengths + 1
+
+
+def test_mla_paged_tp_mesh():
+    """Paged latent decode under a (dp, tp) mesh: the pool is shared across
+    dp shards; heads shard on tp. Parity vs single-device paged."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from leetcuda_tpu.parallel.mesh import make_mesh, MeshConfig
+    from leetcuda_tpu.models.mla import (
+        MLAConfig, init_mla_params, mla_prefill, mla_decode_step,
+        init_paged_latent_cache, shard_mla_params)
+
+    cfg = MLAConfig(dim=128, n_heads=4, kv_lora_rank=64, qk_nope_head_dim=32,
+                    qk_rope_head_dim=16, v_head_dim=32, dtype=jnp.float32)
+    params = init_mla_params(jax.random.key(3), cfg)
+    B, S0, page, pmax = 4, 8, 8, 3
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 0.5, (B, S0 + 1,
+                                                             cfg.dim)),
+                    cfg.dtype)
+    _, slot_cache = mla_prefill(params, x[:, :S0], cfg, max_seq=16)
+    lengths = jnp.full((B,), S0, jnp.int32)
+    table = np.arange(B * pmax).reshape(B, pmax).astype(np.int32)
+    pool = init_paged_latent_cache(cfg, B * pmax + 1, page)
+    for b in range(B):
+        pool = pool.at[table[b, 0], :, :S0].set(slot_cache[b, :, :S0])
+    table = jnp.asarray(table)
+
+    y_ref, _ = mla_decode_step(params, x[:, S0], pool, lengths, cfg,
+                               page_table=table)
+    mesh = make_mesh(MeshConfig(dp=2, sp=1, tp=2), devices=jax.devices()[:4])
+    y_tp, _ = mla_decode_step(
+        shard_mla_params(params, cfg, mesh),
+        jax.device_put(x[:, S0], NamedSharding(mesh, P("dp", None))),
+        jax.device_put(pool, NamedSharding(mesh, P(None, None, None, None))),
+        jax.device_put(lengths, NamedSharding(mesh, P("dp"))),
+        cfg, mesh=mesh,
+        page_table=jax.device_put(table, NamedSharding(mesh, P("dp", None))))
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               atol=2e-4, rtol=2e-4)

@@ -118,6 +118,12 @@ def e2e_cases():
                       platforms=("tpu",))(mp, x)
         export.export(jax.jit(functools.partial(mla_decode_step, cfg=mcfg)),
                       platforms=("tpu",))(mp, xt, lat, lens)
+        # paged latent pool (block-table long-context serving)
+        pool = jax.ShapeDtypeStruct((65, 1, 128, mcfg.latent_dim),
+                                    mcfg.dtype)
+        pt = jax.ShapeDtypeStruct((B, MAX_SEQ // 128), jnp.int32)
+        export.export(jax.jit(functools.partial(mla_decode_step, cfg=mcfg)),
+                      platforms=("tpu",))(mp, xt, pool, lens, page_table=pt)
 
     yield ("mla_prefill_and_absorbed_decode", mla)
 
