@@ -7,9 +7,9 @@ reduction at long context, minus the absorbed-projection overhead.
 
     python tools/bench_mla.py [--b 8] [--s 2048] [--iters 100]
 
-Rows: shared-KV latent kernel (bf16 + int8), the equivalent GQA kernel
-(Hkv=8, D=128, bf16 + int8), each with achieved GB/s vs the valid-prefix
-byte count, interleaved best-of-3.
+Rows: shared-KV latent kernel (bf16 + int8 + PAGED pool), the equivalent
+GQA kernel (Hkv=8, D=128, bf16 + int8), each with achieved GB/s vs the
+valid-prefix byte count, interleaved best-of-3.
 """
 
 from __future__ import annotations
@@ -82,6 +82,21 @@ def main():
     rows["gqa_int8"] = (make_decode_attention_quantized(),
                         (q, kq, vq, ks, vs, lengths),
                         B * Hkv * S * (Dh + 4) * 2)
+
+    # paged latent pool: same bytes as the slot latent + table indirection —
+    # the cost of block-table serving should be ~the page-chase overhead
+    from leetcuda_tpu.attention.paged import make_paged_attention
+
+    PAGE = 128
+    pmax = S // PAGE
+    table_np = np.arange(B * pmax, dtype=np.int32).reshape(B, pmax)
+    pool = jnp.asarray(
+        np.asarray(lat, np.float32).transpose(0, 2, 1, 3)
+        .reshape(B * pmax, PAGE, 1, Dlat).transpose(0, 2, 1, 3),
+        jnp.bfloat16)
+    rows["mla_latent_paged"] = (
+        make_paged_attention(sm_scale=sm, shared_kv=True),
+        (q_lat, pool, jnp.asarray(table_np), lengths), B * S * Dlat * 2)
 
     print(f"B={B} H={H} S={S} latent D={Dlat} vs GQA Hkv={Hkv} Dh={Dh}")
     results = {}
