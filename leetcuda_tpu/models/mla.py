@@ -511,14 +511,18 @@ def mla_model_prefill(params, tokens, cfg: MLAModelConfig,
 
 
 def mla_model_decode_step(params, tokens, caches, lengths,
-                          cfg: MLAModelConfig):
-    """tokens (B,) -> (logits (B, V), caches) via absorbed latent decode."""
+                          cfg: MLAModelConfig, page_table=None):
+    """tokens (B,) -> (logits (B, V), caches) via absorbed latent decode.
+
+    ``page_table``: caches are per-layer PAGED latent pools
+    (init_paged_latent_cache); all layers share one block table — the same
+    layout the llama engine's paged pools use."""
     x = jnp.take(params["embed"], tokens, axis=0)
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         a, cache = mla_decode_step(
             layer["attn"], _mla_rms(x, layer["attn_norm"], cfg.norm_eps),
-            cache, lengths, cfg)
+            cache, lengths, cfg, page_table=page_table)
         x = x + a
         x = x + _mla_ffn(_mla_rms(x, layer["mlp_norm"], cfg.norm_eps),
                          layer, cfg)

@@ -418,3 +418,46 @@ def test_mla_paged_tp_mesh():
         page_table=jax.device_put(table, NamedSharding(mesh, P("dp", None))))
     np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_mla_model_paged_decode_matches_slot():
+    """Whole-model paged latent decode (per-layer pools, one shared block
+    table) emits the same greedy stream as slot caches."""
+    from leetcuda_tpu.models.mla import (
+        MLAModelConfig, init_mla_model, mla_model_prefill,
+        mla_model_decode_step, init_paged_latent_cache)
+
+    cfg = MLAModelConfig(
+        vocab_size=128, dim=64, n_layers=2, n_heads=4, kv_lora_rank=32,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16, ffn_dim=96,
+        dtype=jnp.float32)
+    params = init_mla_model(jax.random.key(5), cfg)
+    B, S0, page, pmax = 2, 8, 8, 4
+    toks = jnp.asarray(np.random.default_rng(5).integers(
+        0, cfg.vocab_size, (B, S0)), jnp.int32)
+    logits, slot_caches = mla_model_prefill(params, toks, cfg, max_seq=32)
+    cur = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    lengths = jnp.full((B,), S0, jnp.int32)
+
+    table_np = np.arange(B * pmax).reshape(B, pmax).astype(np.int32)
+    pools = []
+    for sc in slot_caches:
+        pool = init_paged_latent_cache(cfg, B * pmax + 1, page)
+        for b in range(B):
+            pool = pool.at[table_np[b, 0], :, :S0].set(sc[b, :, :S0])
+        pools.append(pool)
+    table = jnp.asarray(table_np)
+
+    cur_p, lengths_p = cur, lengths
+    sc, pc = slot_caches, pools
+    stream_s, stream_p = [], []
+    for _ in range(5):
+        lg_s, sc = mla_model_decode_step(params, cur, sc, lengths, cfg)
+        lg_p, pc = mla_model_decode_step(params, cur_p, pc, lengths_p, cfg,
+                                         page_table=table)
+        cur = jnp.argmax(lg_s, axis=-1).astype(jnp.int32)
+        cur_p = jnp.argmax(lg_p, axis=-1).astype(jnp.int32)
+        stream_s.append(np.asarray(cur))
+        stream_p.append(np.asarray(cur_p))
+        lengths, lengths_p = lengths + 1, lengths_p + 1
+    np.testing.assert_array_equal(np.stack(stream_p), np.stack(stream_s))
