@@ -247,6 +247,22 @@ def test_everything_with_prefix(setup, draft):
     assert eng.pm.hits > 0
 
 
+def test_everything_three_axis(setup, draft):
+    """The full stack on ALL THREE serving axes at once: dp=2 x sp=2 x tp=2
+    + paged + int8 KV + speculative + sliding window. sp>1 forces the
+    Ulysses-prefill admission groups under dp padding."""
+    cfg = tiny_config(sliding_window=24)
+    params = init_params(jax.random.key(0), cfg)
+    d_params, _ = draft
+    d_cfg = tiny_config(n_layers=1, dim=128, n_heads=2, n_kv_heads=1,
+                        ffn_dim=256, sliding_window=24)
+    mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2), devices=jax.devices()[:8])
+    run_matrix(cfg, params, EngineConfig(
+        slots=4, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        kv_quant="int8", spec_k=2), mesh=mesh,
+        draft_model=(d_params, d_cfg), max_new=8)
+
+
 def test_fp8kv_paged_tp_matches_singleshard(setup):
     """fp8 KV (the north-star cache dtype) composes with paged pools and a TP
     mesh. fp8 is lossy, so the oracle is the single-shard fp8-KV paged engine
