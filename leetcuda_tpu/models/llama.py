@@ -97,7 +97,40 @@ def _proj_qkv(h, layer, H, Hkv, Dh):
     return q, k, v
 
 
+def _gptoss_moe(h, moe, cfg):
+    """GPT-OSS routed experts (HF GptOssExperts semantics): biased router
+    whose top-k logits softmax AMONG THEMSELVES; experts read an interleaved
+    gate/up projection with biases, clamp (gate <= limit, |up| <= limit),
+    gate swishes at alpha=1.702 and combines as (up + 1) * glu. Dense-combine
+    formulation (every expert evaluates every token, a (tokens, E) weight
+    matrix combines) — exact and MXU-shaped; production-scale expert counts
+    route through gemm/grouped.py instead."""
+    alpha, limit = 1.702, 7.0
+    E, k = moe["w_gate_up"].shape[0], cfg.expert_topk
+    hf = h.astype(jnp.float32)
+    logits = hf @ moe["router_w"] + moe["router_b"]        # (..., E)
+    topv, topi = jax.lax.top_k(logits, k)
+    topw = jax.nn.softmax(topv, axis=-1)                    # over the k only
+    w_full = jnp.sum(jax.nn.one_hot(topi, E, dtype=jnp.float32)
+                     * topw[..., None], axis=-2)            # (..., E)
+
+    gu = (jnp.einsum("...d,edf->...ef", hf,
+                     moe["w_gate_up"].astype(jnp.float32))
+          + moe["b_gate_up"].astype(jnp.float32))           # (..., E, 2F)
+    gate, up = gu[..., ::2], gu[..., 1::2]
+    gate = jnp.minimum(gate, limit)
+    up = jnp.clip(up, -limit, limit)
+    glu = gate * jax.nn.sigmoid(gate * alpha)
+    y = (jnp.einsum("...ef,efd->...ed", (up + 1.0) * glu,
+                    moe["w_down"].astype(jnp.float32))
+         + moe["b_down"].astype(jnp.float32))               # (..., E, D)
+    out = jnp.einsum("...e,...ed->...d", w_full, y)
+    return out.astype(h.dtype)
+
+
 def _proj_mlp(h, layer, cfg=None):
+    if "moe_oss" in layer:
+        return _gptoss_moe(h, layer["moe_oss"], cfg)
     if "moe" in layer:
         from leetcuda_tpu.models.moe import moe_ffn, moe_ffn_dropless
 
@@ -187,6 +220,8 @@ class ModelConfig:
     # rope scaling, hashable for jit-static configs:
     # ("llama3", factor, low_freq_factor, high_freq_factor, original_max_pos)
     # or ("linear", factor)
+    # or ("yarn", factor, beta_fast, beta_slow, original_max_pos, truncate,
+    #     attention_factor_or_None)
     rope_scaling: tuple | None = None
 
     def rope_inv_freq(self):
@@ -204,7 +239,23 @@ class ModelConfig:
             base = self.rope_theta ** (
                 -jnp.arange(half, dtype=jnp.float32) / half)
             return base / self.rope_scaling[1]
+        if kind == "yarn":
+            from leetcuda_tpu.ops.rope import yarn_scaled_inv_freq
+            _, f, bf, bs, orig, trunc, af = self.rope_scaling
+            return yarn_scaled_inv_freq(self.head_dim, self.rope_theta, f,
+                                        bf, bs, orig, truncate=trunc,
+                                        attention_factor=af)[0]
         raise NotImplementedError(f"rope_scaling kind {kind!r}")
+
+    def rope_mscale(self) -> float:
+        """YaRN attention factor scaling cos/sin (1.0 otherwise)."""
+        if self.rope_scaling is None or self.rope_scaling[0] != "yarn":
+            return 1.0
+        from leetcuda_tpu.ops.rope import yarn_scaled_inv_freq
+        _, f, bf, bs, orig, trunc, af = self.rope_scaling
+        return yarn_scaled_inv_freq(self.head_dim, self.rope_theta, f, bf,
+                                    bs, orig, truncate=trunc,
+                                    attention_factor=af)[1]
 
     def layer_window(self, i: int | None = None) -> int | None:
         """Per-layer sliding window: alternating local/global when
@@ -390,12 +441,35 @@ def _rms_norm(x, w, eps, offset: bool = False):
 
 def _attention(q, k, v, mesh: Mesh | None, causal: bool,
                window: int | None = None, softcap: float | None = None,
-               sm_scale: float | None = None):
+               sm_scale: float | None = None, sinks=None):
     """(B, H, N, D) attention: direct Pallas kernel single-chip; under a mesh,
     shard_map with batch->dp, heads->tp, sequence->sp. The sp axis uses the
     Ulysses all-to-all reshard (differentiable end to end — all_to_all has a
     transpose rule, so the FA-2 custom VJP is the only hand-written gradient);
     the ring/ppermute variant (parallel/ring.py) is the inference-path choice."""
+    if sinks is not None:
+        # GPT-OSS attention sinks: a learned per-head logit joins the
+        # softmax denominator. probs_j = softmax_j * L/(L + exp(sink - M)),
+        # so the kernel output just rescales by sigmoid(lse - sink) —
+        # LSE-carrying kernels need no modification.
+        assert mesh is None or mesh.shape.get("sp", 1) == 1, \
+            "attention sinks: sp>1 (Ulysses) resharding not wired yet"
+        fa_lse = make_flash_attention(causal=causal, window=window,
+                                      softcap=softcap, sm_scale=sm_scale,
+                                      with_lse=True)
+
+        def sink_fa(q, k, v, s):
+            out, lse = fa_lse(q, k, v)
+            return out * jax.nn.sigmoid(
+                lse - s[None, :, None]).astype(out.dtype)[..., None]
+
+        if mesh is None:
+            return sink_fa(q, k, v, sinks)
+        spec = P("dp", "tp", None, None)
+        return shard_map(sink_fa, mesh=mesh,
+                         in_specs=(spec, spec, spec, P("tp")),
+                         out_specs=spec, check_vma=False)(q, k, v, sinks)
+
     fa = make_flash_attention_trainable(causal=causal, window=window,
                                         softcap=softcap, sm_scale=sm_scale)
     if mesh is None:
@@ -447,15 +521,20 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     if cfg.qk_norm:  # Qwen3: per-head RMS norm before rope
         q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
         k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-    invf = cfg.rope_inv_freq()
-    q = apply_rope_half(q, positions, cfg.rope_theta, inv_freq=invf)
-    k = apply_rope_half(k, positions, cfg.rope_theta, inv_freq=invf)
+    invf, msc = cfg.rope_inv_freq(), cfg.rope_mscale()
+    q = apply_rope_half(q, positions, cfg.rope_theta, inv_freq=invf,
+                        mscale=msc)
+    k = apply_rope_half(k, positions, cfg.rope_theta, inv_freq=invf,
+                        mscale=msc)
     k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
     o = _attention(q.transpose(0, 2, 1, 3), k, v, mesh, causal=True,
                    window=cfg.layer_window(layer_idx),
-                   softcap=cfg.attn_softcap, sm_scale=cfg.query_scale)
+                   softcap=cfg.attn_softcap, sm_scale=cfg.query_scale,
+                   sinks=layer.get("sinks"))
     o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
     attn_out = linear(o, layer["wo"])
+    if "bo" in layer:
+        attn_out = attn_out + layer["bo"]
     if "post_attn_norm" in layer:  # Gemma2: norm the block OUTPUT too
         attn_out = _rms_norm(attn_out, layer["post_attn_norm"], cfg.norm_eps,
                              cfg.rms_offset)
@@ -552,9 +631,11 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
         if cfg.qk_norm:
             q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
             k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-        invf = cfg.rope_inv_freq()
-        q = apply_rope_half(q, positions, cfg.rope_theta, inv_freq=invf)
-        k = apply_rope_half(k, positions, cfg.rope_theta, inv_freq=invf)
+        invf, msc = cfg.rope_inv_freq(), cfg.rope_mscale()
+        q = apply_rope_half(q, positions, cfg.rope_theta, inv_freq=invf,
+                            mscale=msc)
+        k = apply_rope_half(k, positions, cfg.rope_theta, inv_freq=invf,
+                            mscale=msc)
         v = v.reshape(B, S, Hkv, Dh)
         k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
         kvs.append((k, v))
@@ -818,10 +899,33 @@ def _cache_append(cache, k, v, pos, page_table=None):
 def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
                   page_table=None, window: int | None = None,
                   softcap: float | None = None,
-                  sm_scale: float | None = None):
+                  sm_scale: float | None = None, sinks=None):
     """Decode attention over the cache. Under a mesh the Pallas kernel is
     wrapped in shard_map (GSPMD cannot partition a custom call): batch on dp,
     heads on tp — each shard runs the kernel on its local head group."""
+    if sinks is not None:
+        # GPT-OSS sinks: rescale by sigmoid(lse - sink) (see _attention)
+        assert "k" in cache and "k_scale" not in cache, (
+            "attention sinks currently serve plain slot caches "
+            "(paged/quantized pools need with_lse kernel variants)")
+        da = make_decode_attention(block_k=block_k, window=window,
+                                   softcap=softcap, sm_scale=sm_scale,
+                                   with_lse=True)
+
+        def sink_da(q, k, v, lengths, s):
+            out, lse = da(q, k, v, lengths)
+            return out * jax.nn.sigmoid(lse - s[None, :]
+                                        ).astype(out.dtype)[..., None]
+
+        if mesh is None:
+            return sink_da(q, cache["k"], cache["v"], lengths, sinks)
+        return shard_map(
+            sink_da, mesh=mesh,
+            in_specs=(P("dp", "tp", None), P("dp", "tp", None, None),
+                      P("dp", "tp", None, None), P("dp"), P("tp")),
+            out_specs=P("dp", "tp", None), check_vma=False)(
+            q, cache["k"], cache["v"], lengths, sinks)
+
     if "k_pages" in cache:
         from leetcuda_tpu.attention.paged import make_paged_attention
 
@@ -927,18 +1031,21 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
             if cfg.qk_norm:
                 q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
                 k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-            invf = cfg.rope_inv_freq()
+            invf, msc = cfg.rope_inv_freq(), cfg.rope_mscale()
             q = apply_rope_half(q[:, None], pos[:, None], cfg.rope_theta,
-                                inv_freq=invf)[:, 0]
+                                inv_freq=invf, mscale=msc)[:, 0]
             k = apply_rope_half(k[:, None], pos[:, None], cfg.rope_theta,
-                                inv_freq=invf)[:, 0]
+                                inv_freq=invf, mscale=msc)[:, 0]
         cache = _cache_append(cache, k, v, pos, page_table=page_table)
         new_caches.append(cache)
         o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1, mesh=mesh,
                           page_table=page_table,
                           window=cfg.layer_window(li),
-                          softcap=cfg.attn_softcap, sm_scale=cfg.query_scale)
+                          softcap=cfg.attn_softcap, sm_scale=cfg.query_scale,
+                          sinks=layer.get("sinks"))
         attn_out = linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
+        if "bo" in layer:
+            attn_out = attn_out + layer["bo"]
         if "post_attn_norm" in layer:
             attn_out = _rms_norm(attn_out, layer["post_attn_norm"],
                                  cfg.norm_eps, cfg.rms_offset)

@@ -51,8 +51,16 @@ def _rope_scaling_from_hf(rs) -> tuple | None:
                 int(rs["original_max_position_embeddings"]))
     if kind == "linear":
         return ("linear", float(rs["factor"]))
+    if kind == "yarn":
+        af = rs.get("attention_factor")
+        return ("yarn", float(rs["factor"]),
+                float(rs.get("beta_fast", 32.0) or 32.0),
+                float(rs.get("beta_slow", 1.0) or 1.0),
+                int(rs["original_max_position_embeddings"]),
+                bool(rs.get("truncate", True)),
+                float(af) if af is not None else None)
     raise NotImplementedError(
-        f"rope_scaling type {kind!r} (supported: llama3, linear)")
+        f"rope_scaling type {kind!r} (supported: llama3, linear, yarn)")
 
 
 def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
@@ -66,6 +74,7 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
     is_gemma2 = mtype == "gemma2"
     is_mixtral = "mixtral" in mtype
     is_qwen3moe = mtype == "qwen3_moe"
+    is_gptoss = mtype == "gpt_oss"
     head_dim = get("head_dim", None)
     derived = get("hidden_size") // get("num_attention_heads")
     n_experts = int(get("num_local_experts", 0) or 0) if is_mixtral else (
@@ -98,11 +107,14 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
         query_scale=(float(get("query_pre_attn_scalar")) ** -0.5
                      if is_gemma2 and get("query_pre_attn_scalar", None)
                      else None),
-        alt_window=is_gemma2,
+        alt_window=is_gemma2 or is_gptoss,
         sandwich_norms=is_gemma2,
+        # GPT-OSS: experts live in layer["moe_oss"] (structure-driven);
+        # expert_topk still parameterizes its router
+        expert_topk=(int(get("num_experts_per_tok", 2) or 2) if is_gptoss
+                     else topk),
         rope_scaling=_rope_scaling_from_hf(get("rope_scaling", None)),
         n_experts=n_experts,
-        expert_topk=topk,
         moe_renorm=(is_mixtral
                     or bool(is_qwen3moe and get("norm_topk_prob", False))),
         moe_ffn_dim=(int(get("moe_intermediate_size", 0) or 0)
@@ -165,7 +177,9 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
             layer["post_mlp_norm"] = put(
                 _to_np(sd[pre + "post_feedforward_layernorm.weight"]),
                 lspec.get("post_mlp_norm"))
-        if pre + "mlp.gate.weight" in sd:  # Qwen3-MoE routed experts
+        if pre + "mlp.experts.gate_up_proj" in sd:
+            pass  # GPT-OSS experts (mapped with the attention extras below)
+        elif pre + "mlp.gate.weight" in sd:  # Qwen3-MoE routed experts
             mspec = lspec.get("moe") or {k: None for k in (
                 "router", "w_gate", "w_up", "w_down")}
             estack = lambda w: np.stack(
@@ -213,6 +227,29 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
                 layer[ours] = put(
                     _to_np(sd[pre + f"self_attn.{theirs}.bias"]),
                     P("tp") if mesh else None)
+        if pre + "self_attn.o_proj.bias" in sd:
+            layer["bo"] = put(_to_np(sd[pre + "self_attn.o_proj.bias"]),
+                              P(None) if mesh else None)
+        if pre + "self_attn.sinks" in sd:  # GPT-OSS attention sinks
+            layer["sinks"] = put(_to_np(sd[pre + "self_attn.sinks"]),
+                                 P("tp") if mesh else None,
+                                 dtype=jnp.float32)
+        if pre + "mlp.experts.gate_up_proj" in sd:  # GPT-OSS experts
+            layer["moe_oss"] = {
+                "router_w": put(_to_np(sd[pre + "mlp.router.weight"]).T,
+                                None, dtype=jnp.float32),
+                "router_b": put(_to_np(sd[pre + "mlp.router.bias"]),
+                                None, dtype=jnp.float32),
+                # HF stores bmm-ready layouts: (E, D, 2F) and (E, F, D)
+                "w_gate_up": put(_to_np(sd[pre + "mlp.experts.gate_up_proj"]),
+                                 None),
+                "b_gate_up": put(
+                    _to_np(sd[pre + "mlp.experts.gate_up_proj_bias"]), None),
+                "w_down": put(_to_np(sd[pre + "mlp.experts.down_proj"]),
+                              None),
+                "b_down": put(
+                    _to_np(sd[pre + "mlp.experts.down_proj_bias"]), None),
+            }
         layers.append(layer)
 
     params = {

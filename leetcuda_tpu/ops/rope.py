@@ -112,18 +112,57 @@ def llama3_scaled_inv_freq(D: int, theta: float, factor: float,
     return out
 
 
+def yarn_scaled_inv_freq(D: int, theta: float, factor: float,
+                         beta_fast: float, beta_slow: float,
+                         original_max_pos: int, truncate: bool = True,
+                         attention_factor: float | None = None):
+    """YaRN (NTK-by-parts) scaling — HF _compute_yarn_parameters semantics:
+    interpolated (inv_freq/factor) and extrapolated (raw) frequencies blend
+    through a linear ramp between the beta_fast/beta_slow correction dims.
+    Returns ((D/2,) f32 inv_freq, attention_factor) — the factor scales
+    cos/sin (the paper's sqrt-mscale on attention logits)."""
+    import math as _math
+
+    half = D // 2
+    pos_freqs = theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D)
+    inv_extra = 1.0 / pos_freqs
+    inv_inter = 1.0 / (factor * pos_freqs)
+
+    def corr_dim(n_rot):
+        return (D * _math.log(original_max_pos / (n_rot * 2 * _math.pi))
+                / (2 * _math.log(theta)))
+
+    low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+    if truncate:
+        low, high = _math.floor(low), _math.ceil(high)
+    low, high = max(low, 0), min(high, D - 1)
+    if low == high:
+        high += 0.001
+    ramp = jnp.clip((jnp.arange(half, dtype=jnp.float32) - low)
+                    / (high - low), 0, 1)
+    extra_w = 1.0 - ramp
+    inv_freq = inv_inter * (1.0 - extra_w) + inv_extra * extra_w
+    if attention_factor is None:
+        attention_factor = (0.1 * _math.log(factor) + 1.0 if factor > 1
+                            else 1.0)
+    return inv_freq, float(attention_factor)
+
+
 def apply_rope_half(x, positions, theta: float = DEFAULT_THETA,
-                    inv_freq=None):
+                    inv_freq=None, mscale: float = 1.0):
     """Half-rotation RoPE for models: x (..., S, H, D), positions (..., S).
 
     rotate_half convention: the first D/2 lanes pair with the last D/2 lanes —
     layout-friendly on TPU (contiguous halves, no interleave relayout).
-    ``inv_freq``: optional (D/2,) scaled frequencies (Llama-3.1 / linear
-    rope scaling) overriding the θ power ladder.
+    ``inv_freq``: optional (D/2,) scaled frequencies (Llama-3.1 / linear /
+    YaRN rope scaling) overriding the θ power ladder. ``mscale``: YaRN
+    attention factor multiplying cos/sin.
     """
     D = x.shape[-1]
     half = D // 2
     c, s = _rope_angles(positions, D, theta, inv_freq)
+    if mscale != 1.0:
+        c, s = c * mscale, s * mscale
     x1 = x[..., :half].astype(jnp.float32)
     x2 = x[..., half:].astype(jnp.float32)
     return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],

@@ -411,3 +411,57 @@ def test_qwen3_moe_golden_parity():
         outs.append(np.asarray(lg))
         lengths = lengths + 1
     np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
+
+
+def test_gpt_oss_golden_parity():
+    """GPT-OSS: YaRN rope scaling + attention SINKS (per-head learned logit
+    in the softmax denominator — realized as out * sigmoid(lse - sink) on
+    the LSE-carrying kernels) + alternating sliding/full layers + biased
+    attention incl. o_proj + clamped-swiglu MoE whose top-k router
+    softmaxes over the selected logits only. Transformers golden parity on
+    forward AND decode."""
+    hf_cfg = transformers.GptOssConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=150000.0, tie_word_embeddings=True,
+        num_local_experts=4, num_experts_per_tok=2, sliding_window=8,
+        layer_types=["sliding_attention", "full_attention"],
+        rope_scaling={"rope_type": "yarn", "factor": 32.0,
+                      "beta_fast": 32.0, "beta_slow": 1.0, "truncate": False,
+                      "original_max_position_embeddings": 64},
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(7)
+    model = transformers.GptOssForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.rope_scaling[0] == "yarn" and cfg.alt_window
+    assert cfg.layer_window(0) == 8 and cfg.layer_window(1) is None
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    l0 = params["layers"][0]
+    assert "sinks" in l0 and "bo" in l0 and "moe_oss" in l0
+    assert l0["moe_oss"]["w_gate_up"].shape == (4, 64, 96)
+
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=3e-3, rtol=3e-3)
+
+    # the sinks must bite: zeroed sinks change the logits
+    nosink = {**params, "layers": [
+        {k: v for k, v in l.items() if k != "sinks"}
+        for l in params["layers"]]}
+    alt = forward(nosink, jnp.asarray(tokens, jnp.int32), cfg)
+    assert float(jnp.max(jnp.abs(alt - got))) > 1e-3
+
+    caches = init_kv_caches(cfg, 2, 128)
+    lengths = jnp.zeros((2,), jnp.int32)
+    outs = []
+    for t in range(12):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=6e-3, rtol=6e-3)
