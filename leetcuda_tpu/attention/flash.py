@@ -300,6 +300,7 @@ def make_flash_attention_ragged(
     window: int | None = None,
     sm_scale: float | None = None,
     softcap: float | None = None,
+    with_lse: bool = False,
 ):
     """Length-masked flash attention: fn(q, k, v, lengths) with per-sequence
     valid lengths (B,) — key positions >= lengths[b] are neither attended nor
@@ -338,9 +339,15 @@ def make_flash_attention_ragged(
                 pl.BlockSpec((1, bk, D), kv_map, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bk, D), kv_map, memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, bq, D),
-                                   lambda bh, qi, ki, L: (bh, qi, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=(
+                pl.BlockSpec((1, bq, D), lambda bh, qi, ki, L: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, _LANES),
+                             lambda bh, qi, ki, L: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+            ) if with_lse else pl.BlockSpec(
+                (1, bq, D), lambda bh, qi, ki, L: (bh, qi, 0),
+                memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((bq, _LANES), jnp.float32),
                 pltpu.VMEM((bq, _LANES), jnp.float32),
@@ -352,14 +359,24 @@ def make_flash_attention_ragged(
             params["compiler_params"] = pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             )
-        return pl.pallas_call(
+        out_shape = jax.ShapeDtypeStruct((B * H, N, D), q.dtype)
+        if with_lse:
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((B * H, N, _LANES),
+                                              jnp.float32))
+        res = pl.pallas_call(
             functools.partial(_fa_ragged_kernel, causal, window, scale,
-                              softcap, bq, bk, False, H),
-            out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
+                              softcap, bq, bk, with_lse, H),
+            out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret_default(),
             **params,
-        )(lengths.astype(jnp.int32), qf, kf, vf).reshape(B, H, N, D)
+        )(lengths.astype(jnp.int32), qf, kf, vf)
+        if with_lse:
+            out, lse = res
+            return (out.reshape(B, H, N, D),
+                    lse[..., 0].reshape(B, H, N))
+        return res.reshape(B, H, N, D)
 
     return fn
 

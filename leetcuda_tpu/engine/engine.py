@@ -195,6 +195,16 @@ class Engine:
         self.ec = econfig or EngineConfig()
         assert not self.ec.prefix_cache or self.ec.paged, \
             "prefix_cache requires paged=True"
+        if "sinks" in params["layers"][0]:
+            # GPT-OSS sinks serve the plain decode + ragged/per-seq prefill
+            # paths; the chunk kernel (spec verify / chunked prefill /
+            # prefix admission) has no with_lse variant yet, and paged/
+            # quantized pools would need one too
+            assert not (self.ec.spec_k or self.ec.prefill_chunk
+                        or self.ec.prefix_cache or self.ec.paged
+                        or self.ec.kv_quant), (
+                "attention-sink models: plain slot caches without "
+                "speculative/chunked/prefix features for now")
         self.sample_fn = jax.jit(sample_fn)
         self._key = jax.random.key(seed)
         self.mesh = mesh

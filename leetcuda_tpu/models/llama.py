@@ -213,6 +213,7 @@ class ModelConfig:
     qk_norm: bool = False             # Qwen3: per-head RMS norm on q/k pre-rope
     # Gemma2 family switches
     attn_softcap: float | None = None   # cap*tanh(s/cap) on attention logits
+    attn_sinks: bool = False  # GPT-OSS: learned per-head denominator logit
     final_softcap: float | None = None  # same cap on the LM-head logits
     query_scale: float | None = None    # attention scale override
     alt_window: bool = False     # sliding window on EVEN layers only (Gemma2)
@@ -313,6 +314,9 @@ def init_params(key, cfg: ModelConfig):
         if cfg.sandwich_norms:  # Gemma2 block-output norms
             layer["post_attn_norm"] = jnp.ones((D,), cfg.dtype)
             layer["post_mlp_norm"] = jnp.ones((D,), cfg.dtype)
+        if cfg.attn_sinks:  # GPT-OSS sinks (exp(sink) joins each denominator)
+            layer["sinks"] = (jax.random.normal(
+                jax.random.fold_in(ks[3], 99), (H,), jnp.float32) * 0.5)
         if cfg.n_experts:
             from leetcuda_tpu.models.moe import init_moe_params
 
@@ -349,6 +353,8 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh):
     if cfg.sandwich_norms:
         layer["post_attn_norm"] = P(None)
         layer["post_mlp_norm"] = P(None)
+    if cfg.attn_sinks:
+        layer["sinks"] = P("tp")
     if cfg.n_experts:
         for k in ("w_gate", "w_up", "w_down"):
             del layer[k]
@@ -605,16 +611,19 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
     if cfg.embed_scale:
         x = (x.astype(jnp.float32) * math.sqrt(cfg.dim)).astype(x.dtype)
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    has_sinks = "sinks" in params["layers"][0]
+
     def build_fa(window):
         fa = make_flash_attention_ragged(causal=True, window=window,
                                          softcap=cfg.attn_softcap,
-                                         sm_scale=cfg.query_scale)
+                                         sm_scale=cfg.query_scale,
+                                         with_lse=has_sinks)
         if mesh is not None:
+            spec = P("dp", "tp", None, None)
             fa = shard_map(fa, mesh=mesh,
-                           in_specs=(P("dp", "tp", None, None),
-                                     P("dp", "tp", None, None),
-                                     P("dp", "tp", None, None), P("dp")),
-                           out_specs=P("dp", "tp", None, None),
+                           in_specs=(spec, spec, spec, P("dp")),
+                           out_specs=((spec, P("dp", "tp", None))
+                                      if has_sinks else spec),
                            check_vma=False)
         return fa
 
@@ -640,8 +649,16 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
         k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
         kvs.append((k, v))
         o = fa(q.transpose(0, 2, 1, 3), k, v, lengths)  # kernel handles GQA
+        if has_sinks:
+            # GPT-OSS sinks (see _attention): invalid rows carry lse=-inf,
+            # so sigmoid(-inf - s) = 0 keeps them loudly zeroed
+            o, lse = o
+            o = o * jax.nn.sigmoid(
+                lse - layer["sinks"][None, :, None]).astype(o.dtype)[..., None]
         o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
         attn_out = linear(o, layer["wo"])
+        if "bo" in layer:
+            attn_out = attn_out + layer["bo"]
         if "post_attn_norm" in layer:
             attn_out = _rms_norm(attn_out, layer["post_attn_norm"],
                                  cfg.norm_eps, cfg.rms_offset)

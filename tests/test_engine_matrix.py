@@ -344,3 +344,15 @@ def test_gemma2_engine_paged_chunked_tp(setup):
     run_matrix(cfg, params, EngineConfig(
         slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
         prefill_chunk=32), mesh=mesh)
+
+
+def test_sinks_engine_tp(setup):
+    """GPT-OSS-style attention-sink model served end-to-end (plain slot
+    caches, TP mesh): multi-prompt admission takes the RAGGED path, whose
+    with_lse kernel + sigmoid(lse - sink) correction must match the
+    per-sequence decode stream token-exactly."""
+    cfg = tiny_config(attn_sinks=True)
+    params = init_params(jax.random.key(8), cfg)
+    mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
+    run_matrix(cfg, params, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16), mesh=mesh)
