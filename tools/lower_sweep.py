@@ -156,6 +156,27 @@ def e2e_cases():
 
     yield ("train_step_sliding_window_bwd", train_windowed)
 
+    def gptoss_paths():
+        # attention sinks: ragged with_lse prefill + sink-corrected decode
+        scfg = ModelConfig(attn_sinks=True, alt_window=True,
+                           sliding_window=1024,
+                           rope_scaling=("yarn", 32.0, 32.0, 1.0, 4096,
+                                         False, None))
+        sparams = jax.eval_shape(lambda k: init_params(k, scfg),
+                                 jax.random.key(0))
+        from leetcuda_tpu.models.llama import forward_ragged
+
+        export.export(
+            jax.jit(functools.partial(forward_ragged, cfg=scfg)),
+            platforms=("tpu",))(sparams, toks, lens)
+        export.export(
+            jax.jit(functools.partial(decode_step_impl, cfg=scfg)),
+            platforms=("tpu",))(sparams, tok1,
+                                jax.eval_shape(lambda: init_kv_caches(
+                                    scfg, B, MAX_SEQ)), lens)
+
+    yield ("gptoss_sinks_yarn_paths", gptoss_paths)
+
     # Meshed paths cross-lower for TPU over an AbstractMesh (no devices
     # needed): the GSPMD partitioning + shard_map collectives (ppermute ring,
     # Ulysses all-to-all) take the exact lowering route the chip would.
