@@ -214,8 +214,13 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
 
     new_caches = []
     for li, (layer, cache) in enumerate(zip(params["layers"], caches)):
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
+        h = (_rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
+             if "attn_norm" in layer else x)
         q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+        if ("q_norm" in layer
+                and layer["q_norm"].shape[-1] == H * Dh):  # OLMo2 flat
+            q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
+            k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
         q = q.reshape(B, T, H, Dh)
         k = k.reshape(B, T, Hkv, Dh)
         if cfg.qk_norm:
@@ -237,7 +242,8 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
             attn_out = _rms_norm(attn_out, layer["post_attn_norm"],
                                  cfg.norm_eps, cfg.rms_offset)
         x = x + attn_out
-        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
+        h = (_rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
+             if "mlp_norm" in layer else x)
         mlp_out = _proj_mlp(h, layer, cfg)
         if "post_mlp_norm" in layer:
             mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"],

@@ -519,8 +519,14 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     post_mlp_norm keys) are structure-driven like bq/q_norm."""
     B, S, _ = x.shape
     H, Hkv, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
+    # OLMo2 is post-norm-only: no input norms, the block outputs normalize
+    h = (_rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
+         if "attn_norm" in layer else x)
     q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+    if "q_norm" in layer and layer["q_norm"].shape[-1] == H * Dh:
+        # OLMo2: RMS norm over the FLAT projection (H*Dh lanes), pre-reshape
+        q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
+        k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
     q = q.reshape(B, S, H, Dh)
     k = k.reshape(B, S, Hkv, Dh)
     v = v.reshape(B, S, Hkv, Dh)
@@ -546,7 +552,8 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
                              cfg.rms_offset)
     x = x + attn_out
 
-    h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
+    h = (_rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
+         if "mlp_norm" in layer else x)
     mlp_out = _proj_mlp(h, layer, cfg)
     if "post_mlp_norm" in layer:
         mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"], cfg.norm_eps,
@@ -633,8 +640,13 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
     kvs = []
     for li, layer in enumerate(params["layers"]):
         fa = fa_by_window[cfg.layer_window(li)]
-        h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
+        h = (_rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
+             if "attn_norm" in layer else x)
         q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+        if ("q_norm" in layer
+                and layer["q_norm"].shape[-1] == H * Dh):  # OLMo2 flat
+            q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
+            k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
         q = q.reshape(B, S, H, Dh)
         k = k.reshape(B, S, Hkv, Dh)
         if cfg.qk_norm:
@@ -663,7 +675,8 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
             attn_out = _rms_norm(attn_out, layer["post_attn_norm"],
                                  cfg.norm_eps, cfg.rms_offset)
         x = x + attn_out
-        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
+        h = (_rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
+             if "mlp_norm" in layer else x)
         mlp_out = _proj_mlp(h, layer, cfg)
         if "post_mlp_norm" in layer:
             mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"],
@@ -1033,6 +1046,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
     new_caches = []
     for li, (layer, cache) in enumerate(zip(params["layers"], caches)):
         if (fused_qkv is not None and "wqkv" in layer
+                and "attn_norm" in layer
                 and not isinstance(layer["wqkv"], dict)
                 and "bq" not in layer and "q_norm" not in layer):
             qkv = fused_qkv(x, layer["attn_norm"], layer["wqkv"], pos)
@@ -1040,9 +1054,14 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
             q, k, v = (q.reshape(B, H, Dh), k.reshape(B, Hkv, Dh),
                        v.reshape(B, Hkv, Dh))
         else:
-            h = _rms_norm(x, layer["attn_norm"], cfg.norm_eps,
-                          cfg.rms_offset)
+            h = (_rms_norm(x, layer["attn_norm"], cfg.norm_eps,
+                           cfg.rms_offset)
+                 if "attn_norm" in layer else x)
             q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+            if ("q_norm" in layer
+                    and layer["q_norm"].shape[-1] == H * Dh):  # OLMo2 flat
+                q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
+                k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
             q, k, v = (q.reshape(B, H, Dh), k.reshape(B, Hkv, Dh),
                        v.reshape(B, Hkv, Dh))
             if cfg.qk_norm:
@@ -1068,7 +1087,8 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
                                  cfg.norm_eps, cfg.rms_offset)
         x = x + attn_out
 
-        h = _rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
+        h = (_rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
+             if "mlp_norm" in layer else x)
         mlp_out = _proj_mlp(h, layer, cfg)
         if "post_mlp_norm" in layer:
             mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"],

@@ -155,22 +155,33 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
             "attn_norm", "wq", "wk", "wv", "wo", "mlp_norm",
             "w_gate", "w_up", "w_down")}
         layer = {
-            "attn_norm": put(_to_np(sd[pre + "input_layernorm.weight"]),
-                             lspec["attn_norm"]),
             "wq": mat(pre + "self_attn.q_proj.weight", lspec["wq"]),
             "wk": mat(pre + "self_attn.k_proj.weight", lspec["wk"]),
             "wv": mat(pre + "self_attn.v_proj.weight", lspec["wv"]),
             "wo": mat(pre + "self_attn.o_proj.weight", lspec["wo"]),
+        }
+        if pre + "input_layernorm.weight" in sd:
+            layer["attn_norm"] = put(
+                _to_np(sd[pre + "input_layernorm.weight"]),
+                lspec["attn_norm"])
             # Gemma2 renames: pre_feedforward_layernorm is the pre-MLP norm
             # (llama's post_attention_layernorm slot); post_attention/
             # post_feedforward become the sandwich output norms
-            "mlp_norm": put(_to_np(sd[
+            layer["mlp_norm"] = put(_to_np(sd[
                 pre + ("pre_feedforward_layernorm.weight"
                        if pre + "pre_feedforward_layernorm.weight" in sd
                        else "post_attention_layernorm.weight")]),
-                lspec["mlp_norm"]),
-        }
-        if pre + "pre_feedforward_layernorm.weight" in sd:
+                lspec["mlp_norm"])
+            if pre + "pre_feedforward_layernorm.weight" in sd:
+                layer["post_attn_norm"] = put(
+                    _to_np(sd[pre + "post_attention_layernorm.weight"]),
+                    lspec.get("post_attn_norm"))
+                layer["post_mlp_norm"] = put(
+                    _to_np(sd[pre + "post_feedforward_layernorm.weight"]),
+                    lspec.get("post_mlp_norm"))
+        else:
+            # OLMo2: post-norm-only — no input norms, the block outputs
+            # normalize before their residual adds
             layer["post_attn_norm"] = put(
                 _to_np(sd[pre + "post_attention_layernorm.weight"]),
                 lspec.get("post_attn_norm"))

@@ -465,3 +465,42 @@ def test_gpt_oss_golden_parity():
         outs.append(np.asarray(lg))
         lengths = lengths + 1
     np.testing.assert_allclose(np.stack(outs, 1), want, atol=6e-3, rtol=6e-3)
+
+
+def test_olmo2_golden_parity():
+    """OLMo-2: post-norm-only blocks (no input norms; outputs normalize
+    before their residual adds) + RMS q/k norms over the FLAT projections
+    (H*Dh lanes, pre-reshape/pre-rope) — transformers golden parity on
+    forward AND decode. All structure-driven: no new config switches."""
+    hf_cfg = transformers.Olmo2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True,
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(9)
+    model = transformers.Olmo2ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert not cfg.qk_norm  # flat norms are structural, not the Qwen3 kind
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    l0 = params["layers"][0]
+    assert "attn_norm" not in l0 and "post_attn_norm" in l0
+    assert l0["q_norm"].shape == (4 * 16,)  # flat, not per-head
+
+    rng = np.random.default_rng(12)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+    caches = init_kv_caches(cfg, 2, 128)
+    lengths = jnp.zeros((2,), jnp.int32)
+    outs = []
+    for t in range(12):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
