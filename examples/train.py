@@ -67,9 +67,17 @@ def main():
             shards = [write_token_shard(d / f"shard{i}.bin", part)
                       for i, part in enumerate(np.array_split(x, 3))]
             print(f"wrote {len(shards)} shards -> {d}")
-        dl = TokenLoader(shards, seq_len=128, batch=B, seed=0)
-        print(f"native loader: {dl.total_tokens} tokens")
-        batches = iter(dl)
+        # defer construction until the resume step is known: the crop
+        # stream is a function of (seed, step), so start_step=N continues
+        # the exact data order (leetcuda_tpu/data/loader.py contract)
+        def make_batches(start):
+            dl = TokenLoader(shards, seq_len=128, batch=B, seed=0,
+                             start_step=start)
+            print(f"native loader: {dl.total_tokens} tokens "
+                  f"(start_step={start})")
+            return iter(dl)
+
+        batches = "pending"
 
     if args.pp > 1:
         from jax.sharding import Mesh
@@ -86,6 +94,8 @@ def main():
             cfg, pmesh, n_microbatches=2,
             batch_axis="dp" if args.dp > 1 else None, learning_rate=1e-3)
         state, opt_state = (outer, staged), init_opt((outer, staged))
+        if batches == "pending":
+            batches = make_batches(0)
         for i in range(args.steps):
             tokens = (jnp.asarray(next(batches)[:, :128]) if batches else
                       jnp.asarray(np.random.default_rng(i).integers(
@@ -113,6 +123,8 @@ def main():
             args.ckpt, like=(params, opt_state))
         print(f"resumed at step {start}")
 
+    if batches == "pending":
+        batches = make_batches(start)
     for i in range(start, start + args.steps):
         tokens = (jnp.asarray(next(batches)[:, :128]) if batches else
                   jnp.asarray(np.random.default_rng(0).integers(

@@ -226,9 +226,11 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
         if cfg.qk_norm:
             q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
             k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-        invf = cfg.rope_inv_freq()
-        q = apply_rope_half(q, pos, cfg.rope_theta, inv_freq=invf)
-        k = apply_rope_half(k, pos, cfg.rope_theta, inv_freq=invf)
+        invf, msc = cfg.rope_inv_freq(), cfg.rope_mscale()
+        q = apply_rope_half(q, pos, cfg.rope_theta, inv_freq=invf,
+                            mscale=msc)
+        k = apply_rope_half(k, pos, cfg.rope_theta, inv_freq=invf,
+                            mscale=msc)
         v = v.reshape(B, T, Hkv, Dh)
         c = _chunk_append(cache, k, v, pos, page_table=page_table,
                           page_aligned=page_aligned)

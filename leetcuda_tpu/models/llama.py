@@ -768,6 +768,10 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
     shardings match its structure."""
     import optax
 
+    assert not cfg.attn_sinks, (
+        "attention-sink models are inference-only for now: the sink path "
+        "runs the LSE-carrying (non-custom-VJP) flash kernel; training "
+        "needs the FA-2 backward to expose LSE")
     assert not cfg.moe_dropless, (
         "moe_dropless routes the FFN through the grouped-matmul kernel, "
         "which has no VJP — fine-tune with "

@@ -53,6 +53,16 @@ def _rope_scaling_from_hf(rs) -> tuple | None:
         return ("linear", float(rs["factor"]))
     if kind == "yarn":
         af = rs.get("attention_factor")
+        if af is None and rs.get("mscale") and rs.get("mscale_all_dim"):
+            # HF derives the factor from the mscale pair (DeepSeek-style
+            # yarn checkpoints); bake the resolved value into the tuple
+            import math as _m
+
+            def _gm(scale, m):
+                return 0.1 * m * _m.log(scale) + 1.0 if scale > 1 else 1.0
+
+            af = (_gm(float(rs["factor"]), float(rs["mscale"]))
+                  / _gm(float(rs["factor"]), float(rs["mscale_all_dim"])))
         return ("yarn", float(rs["factor"]),
                 float(rs.get("beta_fast", 32.0) or 32.0),
                 float(rs.get("beta_slow", 1.0) or 1.0),
@@ -109,10 +119,10 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
                      else None),
         alt_window=is_gemma2 or is_gptoss,
         sandwich_norms=is_gemma2,
+        attn_sinks=is_gptoss,
         # GPT-OSS: experts live in layer["moe_oss"] (structure-driven);
         # expert_topk still parameterizes its router
-        expert_topk=(int(get("num_experts_per_tok", 2) or 2) if is_gptoss
-                     else topk),
+        expert_topk=topk,
         rope_scaling=_rope_scaling_from_hf(get("rope_scaling", None)),
         n_experts=n_experts,
         moe_renorm=(is_mixtral
@@ -246,20 +256,22 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
                                  P("tp") if mesh else None,
                                  dtype=jnp.float32)
         if pre + "mlp.experts.gate_up_proj" in sd:  # GPT-OSS experts
+            def rspec(arr):  # replicated under a mesh, plain otherwise
+                return P(*([None] * arr.ndim)) if mesh else None
+
+            def oss(name, dtype=None, T=False):
+                a = _to_np(sd[pre + name])
+                a = a.T if T else a
+                return put(a, rspec(a), dtype=dtype)
+
             layer["moe_oss"] = {
-                "router_w": put(_to_np(sd[pre + "mlp.router.weight"]).T,
-                                None, dtype=jnp.float32),
-                "router_b": put(_to_np(sd[pre + "mlp.router.bias"]),
-                                None, dtype=jnp.float32),
+                "router_w": oss("mlp.router.weight", jnp.float32, T=True),
+                "router_b": oss("mlp.router.bias", jnp.float32),
                 # HF stores bmm-ready layouts: (E, D, 2F) and (E, F, D)
-                "w_gate_up": put(_to_np(sd[pre + "mlp.experts.gate_up_proj"]),
-                                 None),
-                "b_gate_up": put(
-                    _to_np(sd[pre + "mlp.experts.gate_up_proj_bias"]), None),
-                "w_down": put(_to_np(sd[pre + "mlp.experts.down_proj"]),
-                              None),
-                "b_down": put(
-                    _to_np(sd[pre + "mlp.experts.down_proj_bias"]), None),
+                "w_gate_up": oss("mlp.experts.gate_up_proj"),
+                "b_gate_up": oss("mlp.experts.gate_up_proj_bias"),
+                "w_down": oss("mlp.experts.down_proj"),
+                "b_down": oss("mlp.experts.down_proj_bias"),
             }
         layers.append(layer)
 

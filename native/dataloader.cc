@@ -209,6 +209,8 @@ void* dl_open(const char** paths, int n_paths, long long seq_len,
     Shard s;
     if (!map_shard(paths[i], &s)) {
       std::fprintf(stderr, "dataloader: bad shard %s\n", paths[i]);
+      for (auto& m : L->shards)  // unmap everything mapped so far
+        munmap(const_cast<uint8_t*>(m.base), m.map_len);
       delete L;
       return nullptr;
     }

@@ -88,15 +88,16 @@ def main():
     from leetcuda_tpu.attention.paged import make_paged_attention
 
     PAGE = 128
-    pmax = S // PAGE
-    table_np = np.arange(B * pmax, dtype=np.int32).reshape(B, pmax)
-    pool = jnp.asarray(
-        np.asarray(lat, np.float32).transpose(0, 2, 1, 3)
-        .reshape(B * pmax, PAGE, 1, Dlat).transpose(0, 2, 1, 3),
-        jnp.bfloat16)
-    rows["mla_latent_paged"] = (
-        make_paged_attention(sm_scale=sm, shared_kv=True),
-        (q_lat, pool, jnp.asarray(table_np), lengths), B * S * Dlat * 2)
+    if S % PAGE == 0:  # paged row needs whole pages; skip at odd --s
+        pmax = S // PAGE
+        table_np = np.arange(B * pmax, dtype=np.int32).reshape(B, pmax)
+        pool = jnp.asarray(
+            np.asarray(lat, np.float32).transpose(0, 2, 1, 3)
+            .reshape(B * pmax, PAGE, 1, Dlat).transpose(0, 2, 1, 3),
+            jnp.bfloat16)
+        rows["mla_latent_paged"] = (
+            make_paged_attention(sm_scale=sm, shared_kv=True),
+            (q_lat, pool, jnp.asarray(table_np), lengths), B * S * Dlat * 2)
 
     print(f"B={B} H={H} S={S} latent D={Dlat} vs GQA Hkv={Hkv} Dh={Dh}")
     results = {}
