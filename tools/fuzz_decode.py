@@ -59,7 +59,8 @@ def main():
         window = int(rng.choice([0, 64, 500]))
         softcap = float(rng.choice([0.0, 0.5]))  # capped-logit path; 0.5
         # bites at fuzz score scale (30-50 would be numerically invisible)
-        mode = rng.choice(["plain", "quant", "paged", "chunk"])
+        mode = rng.choice(["plain", "quant", "paged", "chunk",
+                           "paged_shared"])
         lengths = jnp.asarray(rng.integers(1, S + 1, (B,)), jnp.int32)
         dt = jnp.bfloat16
         q = jnp.asarray(rng.standard_normal((B, H, D)), dt)
@@ -114,6 +115,28 @@ def main():
                 got = make_paged_attention(window=w, softcap=cap)(
                     q, kp, vp, jnp.asarray(table), lengths)
                 want = decode_attention_ref(q, k, v, lengths, window=w,
+                                            softcap=cap)
+            elif mode == "paged_shared":
+                # MLA-style: ONE pool is both K and V (latent cache)
+                page = int(rng.choice([64, 128]))
+                P_max = -(-S // page)
+                npages = B * P_max + 1
+                kp = jnp.zeros((npages, Hkv, page, D), dt)
+                table = np.zeros((B, P_max), np.int32)
+                perm = rng.permutation(np.arange(1, npages))
+                S_pad = P_max * page
+                kpad = jnp.zeros((B, Hkv, S_pad, D), dt).at[
+                    :, :, :S].set(k)
+                n = 0
+                for b in range(B):
+                    for i in range(P_max):
+                        p = int(perm[n]); n += 1
+                        table[b, i] = p
+                        kp = kp.at[p].set(kpad[b, :, i * page:(i + 1) * page])
+                got = make_paged_attention(window=w, softcap=cap,
+                                           shared_kv=True)(
+                    q, kp, jnp.asarray(table), lengths)
+                want = decode_attention_ref(q, k, k, lengths, window=w,
                                             softcap=cap)
             else:  # chunk
                 T = int(rng.choice([2, 4, 8]))
