@@ -156,8 +156,14 @@ def _bwd_dkv_kernel(causal, window, scale, softcap, bq, bk,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd(causal, window, scale, softcap, bq, bk, q, k, v, out, lse, do):
-    """q,k,v,out,do (BH, N, D); lse (BH, N) natural-log. Returns dq, dk, dv."""
+def _bwd(causal, window, scale, softcap, bq, bk, q, k, v, out, lse, do,
+         dlse=None):
+    """q,k,v,out,do (BH, N, D); lse (BH, N) natural-log. Returns dq, dk, dv.
+
+    ``dlse`` (BH, N): cotangent of the LSE output (the with_lse=True
+    trainable variant). d lse_i/d s_ij = p_ij, so it folds into the delta
+    operand: ds = p*(dp - delta + dlse) = p*(dp - (delta - dlse)) — the
+    kernels are unchanged."""
     BH, N, D = q.shape
     Nk = k.shape[1]
     bq_, bk_ = min(bq, N), min(bk, Nk)
@@ -169,6 +175,8 @@ def _bwd(causal, window, scale, softcap, bq, bk, q, k, v, out, lse, do):
         bk_ = Nk
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)  # (BH, N)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
     lse_c = lse[..., None]                      # (BH, N, 1)
     dl_c = delta[..., None]
     lse_r = lse[:, None, :]                     # (BH, 1, N)
@@ -224,12 +232,17 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
                                    block_q: int | None = None,
                                    block_k: int | None = None,
                                    window: int | None = None,
-                                   softcap: float | None = None):
+                                   softcap: float | None = None,
+                                   with_lse: bool = False):
     """Differentiable flash attention (B, H, N, D) with GQA, custom FA-2 VJP.
 
     ``window``: Mistral-style causal sliding window (implies causal masking,
     matching attention/flash.py's band convention rows - cols < window); the
-    backward kernels skip off-band blocks in both passes."""
+    backward kernels skip off-band blocks in both passes.
+
+    ``with_lse=True``: fa(q, k, v) -> (out, lse (B, H, N)) and the VJP
+    consumes BOTH cotangents (the lse one folds into delta) — what
+    trainable attention sinks need (out * sigmoid(lse - sink))."""
     if window:
         causal = True
 
@@ -280,4 +293,46 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
         return dq, dk, dv
 
     fa.defvjp(_fwd, _bwd_rule)
-    return fa
+    if not with_lse:
+        return fa
+
+    @jax.custom_vjp
+    def fa_lse(q, k, v):
+        B, H, N, D = q.shape
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+        f = make_flash_attention(causal=causal, with_lse=True,
+                                 sm_scale=scale, block_q=block_q,
+                                 block_k=block_k, window=window,
+                                 softcap=softcap)
+        return f(q, k, v)
+
+    def _fwd_lse(q, k, v):
+        out, lse = fa_lse(q, k, v)
+        return (out, lse), (q, k, v, out, lse)
+
+    def _bwd_lse_rule(res, ct):
+        do, dlse = ct
+        q, k, v, out, lse = res
+        B, H, N, D = q.shape
+        Hkv = k.shape[1]
+        group = H // Hkv
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+        dbq, dbk = _default_blocks(D, causal)
+        bq = block_q or min(dbq, 512)
+        bk = block_k or min(dbk, 512)
+        kx = jnp.repeat(k, group, axis=1) if group > 1 else k
+        vx = jnp.repeat(v, group, axis=1) if group > 1 else v
+        flat = lambda x: x.reshape(B * H, *x.shape[2:])
+        dq, dk, dv = _bwd(causal, window, scale, softcap, bq, bk,
+                          flat(q), flat(kx), flat(vx), flat(out), flat(lse),
+                          flat(do), dlse=flat(dlse))
+        dq = dq.reshape(B, H, N, D)
+        dk = dk.reshape(B, H, -1, D)
+        dv = dv.reshape(B, H, -1, D)
+        if group > 1:
+            dk = dk.reshape(B, Hkv, group, -1, D).sum(axis=2).astype(k.dtype)
+            dv = dv.reshape(B, Hkv, group, -1, D).sum(axis=2).astype(v.dtype)
+        return dq, dk, dv
+
+    fa_lse.defvjp(_fwd_lse, _bwd_lse_rule)
+    return fa_lse

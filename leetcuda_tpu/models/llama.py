@@ -457,12 +457,14 @@ def _attention(q, k, v, mesh: Mesh | None, causal: bool,
         # GPT-OSS attention sinks: a learned per-head logit joins the
         # softmax denominator. probs_j = softmax_j * L/(L + exp(sink - M)),
         # so the kernel output just rescales by sigmoid(lse - sink) —
-        # LSE-carrying kernels need no modification.
+        # LSE-carrying kernels need no modification. TRAINABLE: the
+        # with_lse FA-2 VJP consumes the lse cotangent (it folds into the
+        # delta operand), so grads reach q/k/v AND the sinks themselves.
         assert mesh is None or mesh.shape.get("sp", 1) == 1, \
             "attention sinks: sp>1 (Ulysses) resharding not wired yet"
-        fa_lse = make_flash_attention(causal=causal, window=window,
-                                      softcap=softcap, sm_scale=sm_scale,
-                                      with_lse=True)
+        fa_lse = make_flash_attention_trainable(
+            causal=causal, window=window, softcap=softcap,
+            sm_scale=sm_scale, with_lse=True)
 
         def sink_fa(q, k, v, s):
             out, lse = fa_lse(q, k, v)
@@ -768,10 +770,6 @@ def make_train_step(cfg: ModelConfig, mesh: Mesh | None = None,
     shardings match its structure."""
     import optax
 
-    assert not cfg.attn_sinks, (
-        "attention-sink models are inference-only for now: the sink path "
-        "runs the LSE-carrying (non-custom-VJP) flash kernel; training "
-        "needs the FA-2 backward to expose LSE")
     assert not cfg.moe_dropless, (
         "moe_dropless routes the FFN through the grouped-matmul kernel, "
         "which has no VJP — fine-tune with "

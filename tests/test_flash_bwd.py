@@ -114,3 +114,64 @@ def test_softcap_grads_match_autodiff(softcap, causal, rng):
         np.testing.assert_allclose(
             np.asarray(gp), np.asarray(gr), atol=2e-3, rtol=1e-2,
             err_msg=f"d{name} (softcap={softcap}, causal={causal})")
+
+
+def test_sink_grads_match_autodiff(rng):
+    """Trainable attention sinks: out * sigmoid(lse - sink) differentiates
+    through the with_lse FA-2 VJP (the lse cotangent folds into delta).
+    Grad parity for q, k, v AND the sinks vs the dense softmax-with-
+    appended-logit oracle."""
+    B, H, N, D = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, 1, N, D)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, 1, N, D)) * 0.5, jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(H) * 0.5, jnp.float32)
+
+    fa = make_flash_attention_trainable(causal=True, with_lse=True,
+                                        block_q=128, block_k=128)
+
+    def loss_pallas(q, k, v, s):
+        out, lse = fa(q, k, v)
+        out = out * jax.nn.sigmoid(lse - s[None, :, None])[..., None]
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(q, k, v, s):
+        import math
+        kx = jnp.repeat(k, H, axis=1)
+        vx = jnp.repeat(v, H, axis=1)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, kx) / math.sqrt(D)
+        mask = jnp.tril(jnp.ones((N, N), bool))
+        sc = jnp.where(mask[None, None], sc, -jnp.inf)
+        # append the sink logit, softmax, drop it (HF GptOss semantics)
+        sink_col = jnp.broadcast_to(s[None, :, None, None], (B, H, N, 1))
+        p = jax.nn.softmax(jnp.concatenate([sc, sink_col], -1), axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p[..., :-1], vx)
+        return jnp.sum(jnp.sin(out))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, sinks)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, sinks)
+    for a, b, name in zip(gp, gr, ("q", "k", "v", "sinks")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-2, err_msg=name)
+
+
+def test_sink_model_trains():
+    """attn_sinks models train end-to-end now (the r3 inference-only fence
+    is gone): loss falls and the sink weights move."""
+    from leetcuda_tpu.models.llama import (
+        tiny_config, init_params, make_train_step)
+
+    cfg = tiny_config(attn_sinks=True)
+    params = init_params(jax.random.key(0), cfg)
+    s0 = np.asarray(params["layers"][0]["sinks"])
+    init_opt, step = make_train_step(cfg, learning_rate=1e-3, remat=False)
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 64)), jnp.int32)
+    opt = init_opt(params)
+    losses = []
+    for _ in range(5):
+        params, opt, loss = step(params, opt, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert float(np.max(np.abs(
+        np.asarray(params["layers"][0]["sinks"]) - s0))) > 1e-6
