@@ -26,7 +26,7 @@ import numpy as np
 
 from leetcuda_tpu.models.llama import (
     ModelConfig, decode_step, forward, init_kv_caches, _rms_norm,
-    _proj_qkv, _proj_mlp, apply_rope_half, linear)
+    _proj_qkv, _proj_mlp, _apply_rope, linear)
 from leetcuda_tpu.engine.engine import _insert_kvs
 
 
@@ -226,11 +226,8 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
         if cfg.qk_norm:
             q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
             k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-        invf, msc = cfg.rope_inv_freq(), cfg.rope_mscale()
-        q = apply_rope_half(q, pos, cfg.rope_theta, inv_freq=invf,
-                            mscale=msc)
-        k = apply_rope_half(k, pos, cfg.rope_theta, inv_freq=invf,
-                            mscale=msc)
+        q = _apply_rope(q, pos, cfg)
+        k = _apply_rope(k, pos, cfg)
         v = v.reshape(B, T, Hkv, Dh)
         c = _chunk_append(cache, k, v, pos, page_table=page_table,
                           page_aligned=page_aligned)

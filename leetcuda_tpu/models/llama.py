@@ -128,6 +128,19 @@ def _gptoss_moe(h, moe, cfg):
     return out.astype(h.dtype)
 
 
+def _apply_rope(x, positions, cfg: "ModelConfig"):
+    """Family rope dispatch: GLM partial-interleaved, else rotate_half with
+    optional scaled frequencies (llama3/linear/yarn) and YaRN mscale."""
+    if cfg.glm_rope_dim:
+        from leetcuda_tpu.ops.rope import apply_rope_glm
+
+        return apply_rope_glm(x, positions, cfg.rope_theta,
+                              cfg.glm_rope_dim)
+    return apply_rope_half(x, positions, cfg.rope_theta,
+                           inv_freq=cfg.rope_inv_freq(),
+                           mscale=cfg.rope_mscale())
+
+
 def _proj_mlp(h, layer, cfg=None):
     if "moe_oss" in layer:
         return _gptoss_moe(h, layer["moe_oss"], cfg)
@@ -214,6 +227,7 @@ class ModelConfig:
     # Gemma2 family switches
     attn_softcap: float | None = None   # cap*tanh(s/cap) on attention logits
     attn_sinks: bool = False  # GPT-OSS: learned per-head denominator logit
+    glm_rope_dim: int = 0  # GLM-4 partial rotary: lanes [0, glm_rope_dim)
     final_softcap: float | None = None  # same cap on the LM-head logits
     query_scale: float | None = None    # attention scale override
     alt_window: bool = False     # sliding window on EVEN layers only (Gemma2)
@@ -535,11 +549,8 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     if cfg.qk_norm:  # Qwen3: per-head RMS norm before rope
         q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
         k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-    invf, msc = cfg.rope_inv_freq(), cfg.rope_mscale()
-    q = apply_rope_half(q, positions, cfg.rope_theta, inv_freq=invf,
-                        mscale=msc)
-    k = apply_rope_half(k, positions, cfg.rope_theta, inv_freq=invf,
-                        mscale=msc)
+    q = _apply_rope(q, positions, cfg)
+    k = _apply_rope(k, positions, cfg)
     k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
     o = _attention(q.transpose(0, 2, 1, 3), k, v, mesh, causal=True,
                    window=cfg.layer_window(layer_idx),
@@ -654,11 +665,8 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
         if cfg.qk_norm:
             q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
             k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-        invf, msc = cfg.rope_inv_freq(), cfg.rope_mscale()
-        q = apply_rope_half(q, positions, cfg.rope_theta, inv_freq=invf,
-                            mscale=msc)
-        k = apply_rope_half(k, positions, cfg.rope_theta, inv_freq=invf,
-                            mscale=msc)
+        q = _apply_rope(q, positions, cfg)
+        k = _apply_rope(k, positions, cfg)
         v = v.reshape(B, S, Hkv, Dh)
         k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
         kvs.append((k, v))
@@ -1038,6 +1046,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
         s_cap = page_table.shape[1] * caches[0]["k_pages"].shape[2]
     fused_qkv = None
     if (mesh is None and s_cap >= 2048 and cfg.rope_scaling is None
+            and not cfg.glm_rope_dim
             and not os.environ.get("LEETCUDA_NO_FUSED_DECODE")):
         from leetcuda_tpu.gemm.fused_decode import make_fused_norm_qkv_rope
 
@@ -1069,11 +1078,8 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
             if cfg.qk_norm:
                 q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
                 k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-            invf, msc = cfg.rope_inv_freq(), cfg.rope_mscale()
-            q = apply_rope_half(q[:, None], pos[:, None], cfg.rope_theta,
-                                inv_freq=invf, mscale=msc)[:, 0]
-            k = apply_rope_half(k[:, None], pos[:, None], cfg.rope_theta,
-                                inv_freq=invf, mscale=msc)[:, 0]
+            q = _apply_rope(q[:, None], pos[:, None], cfg)[:, 0]
+            k = _apply_rope(k[:, None], pos[:, None], cfg)[:, 0]
         cache = _cache_append(cache, k, v, pos, page_table=page_table)
         new_caches.append(cache)
         o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1, mesh=mesh,

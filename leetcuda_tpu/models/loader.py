@@ -85,6 +85,7 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
     is_mixtral = "mixtral" in mtype
     is_qwen3moe = mtype == "qwen3_moe"
     is_gptoss = mtype == "gpt_oss"
+    is_glm4 = mtype == "glm4"
     head_dim = get("head_dim", None)
     derived = get("hidden_size") // get("num_attention_heads")
     n_experts = int(get("num_local_experts", 0) or 0) if is_mixtral else (
@@ -120,6 +121,9 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
         alt_window=is_gemma2 or is_gptoss,
         sandwich_norms=is_gemma2,
         attn_sinks=is_gptoss,
+        glm_rope_dim=(int((head_dim or derived)
+                          * float(get("partial_rotary_factor", 0.5)))
+                      if is_glm4 else 0),
         # GPT-OSS: experts live in layer["moe_oss"] (structure-driven);
         # expert_topk still parameterizes its router
         expert_topk=topk,
@@ -189,6 +193,16 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
                 layer["post_mlp_norm"] = put(
                     _to_np(sd[pre + "post_feedforward_layernorm.weight"]),
                     lspec.get("post_mlp_norm"))
+            elif pre + "post_self_attn_layernorm.weight" in sd:
+                # GLM-4 sandwich names: post_self_attn / post_mlp wrap the
+                # block outputs; post_attention_layernorm stayed the
+                # pre-MLP norm (already mapped to mlp_norm above)
+                layer["post_attn_norm"] = put(
+                    _to_np(sd[pre + "post_self_attn_layernorm.weight"]),
+                    lspec.get("post_attn_norm"))
+                layer["post_mlp_norm"] = put(
+                    _to_np(sd[pre + "post_mlp_layernorm.weight"]),
+                    lspec.get("post_mlp_norm"))
         else:
             # OLMo2: post-norm-only — no input norms, the block outputs
             # normalize before their residual adds
@@ -213,6 +227,15 @@ def params_from_hf_state_dict(sd, cfg: ModelConfig, mesh: Mesh | None = None):
                 "w_up": put(estack("up_proj"), mspec["w_up"]),
                 "w_down": put(estack("down_proj"), mspec["w_down"]),
             }
+        elif pre + "mlp.gate_up_proj.weight" in sd:
+            # GLM-4: fused gate+up projection (first half gate, second up —
+            # the same split _proj_mlp's w_gate_up expects)
+            layer["w_gate_up"] = mat(pre + "mlp.gate_up_proj.weight",
+                                     lspec.get("w_gate_up",
+                                               P(None, "tp") if mesh
+                                               else None))
+            layer["w_down"] = mat(pre + "mlp.down_proj.weight",
+                                  lspec["w_down"])
         elif pre + "block_sparse_moe.gate.weight" in sd:
             # Mixtral routed experts: gate (E, D) -> router (D, E) f32;
             # experts.{e}.{w1,w3,w2} -> w_gate/w_up/w_down stacks

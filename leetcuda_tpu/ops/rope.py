@@ -169,6 +169,25 @@ def apply_rope_half(x, positions, theta: float = DEFAULT_THETA,
                            axis=-1).astype(x.dtype)
 
 
+def apply_rope_glm(x, positions, theta: float, rotary_dim: int):
+    """GLM-4 partial rotary: INTERLEAVED-pair rope (glm4's rotate_half is
+    the stride-2 variant, so pairs (2i, 2i+1) rotate by θ_i) applied to the
+    first ``rotary_dim`` lanes only; the rest pass through.
+    x (..., S, H, D), positions (..., S)."""
+    half = rotary_dim // 2
+    inv_freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., S, half)
+    c = jnp.cos(ang)[..., None, :]                             # (..., S, 1, h)
+    s = jnp.sin(ang)[..., None, :]
+    xr = x[..., :rotary_dim].astype(jnp.float32)
+    xp = x[..., rotary_dim:]
+    xv = xr.reshape(*xr.shape[:-1], half, 2)
+    x1, x2 = xv[..., 0], xv[..., 1]
+    out = jnp.stack([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    out = out.reshape(*xr.shape).astype(x.dtype)
+    return jnp.concatenate([out, xp], axis=-1)
+
+
 def apply_rope_interleaved(x, positions, theta: float = DEFAULT_THETA):
     """Interleaved-pair RoPE for models: x (..., S, H, D), positions (..., S).
 

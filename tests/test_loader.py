@@ -504,3 +504,42 @@ def test_olmo2_golden_parity():
         outs.append(np.asarray(lg))
         lengths = lengths + 1
     np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
+
+
+def test_glm4_golden_parity():
+    """GLM-4: partial rotary (half the head dim, with GLM's pair-interleaved
+    per-lane frequencies), sandwich norms under GLM names
+    (post_self_attn/post_mlp), QKV biases and a fused gate_up projection —
+    transformers golden parity on forward AND decode."""
+    hf_cfg = transformers.Glm4Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True, pad_token_id=0,
+        partial_rotary_factor=0.5, attention_bias=True,
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(10)
+    model = transformers.Glm4ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.glm_rope_dim == 8  # head_dim 16 * 0.5
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    l0 = params["layers"][0]
+    assert "post_attn_norm" in l0 and "w_gate_up" in l0 and "bq" in l0
+
+    rng = np.random.default_rng(13)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+    caches = init_kv_caches(cfg, 2, 128)
+    lengths = jnp.zeros((2,), jnp.int32)
+    outs = []
+    for t in range(12):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
