@@ -177,6 +177,30 @@ def e2e_cases():
 
     yield ("gptoss_sinks_yarn_paths", gptoss_paths)
 
+    def family_switches():
+        # Gemma2-style: softcaps + alternating window + sandwich norms;
+        # GLM4-style: partial interleaved rotary — the family switches
+        # change which ops hit Mosaic (tanh caps, rope lane slices)
+        gcfg = ModelConfig(attn_softcap=50.0, final_softcap=30.0,
+                           query_scale=0.0883, alt_window=True,
+                           sliding_window=1024, sandwich_norms=True)
+        gparams = jax.eval_shape(lambda k: init_params(k, gcfg),
+                                 jax.random.key(0))
+        export.export(jax.jit(functools.partial(forward, cfg=gcfg)),
+                      platforms=("tpu",))(gparams, toks)
+        export.export(jax.jit(functools.partial(decode_step_impl, cfg=gcfg)),
+                      platforms=("tpu",))(gparams, tok1,
+                                          jax.eval_shape(
+                                              lambda: init_kv_caches(
+                                                  gcfg, B, MAX_SEQ)), lens)
+        lcfg = ModelConfig(glm_rope_dim=64)
+        lparams = jax.eval_shape(lambda k: init_params(k, lcfg),
+                                 jax.random.key(0))
+        export.export(jax.jit(functools.partial(forward, cfg=lcfg)),
+                      platforms=("tpu",))(lparams, toks)
+
+    yield ("family_switches_gemma2_glm4", family_switches)
+
     # Meshed paths cross-lower for TPU over an AbstractMesh (no devices
     # needed): the GSPMD partitioning + shard_map collectives (ppermute ring,
     # Ulysses all-to-all) take the exact lowering route the chip would.
