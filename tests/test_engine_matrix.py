@@ -356,3 +356,13 @@ def test_sinks_engine_tp(setup):
     mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
     run_matrix(cfg, params, EngineConfig(
         slots=2, max_seq=256, prefill_bucket=16), mesh=mesh)
+
+
+def test_glm_style_engine_paged(setup):
+    """GLM-4-style switches (partial interleaved rotary + sandwich norms)
+    through the Engine: paged pool + chunked prefill, token-exact."""
+    cfg = tiny_config(glm_rope_dim=32, sandwich_norms=True)
+    params = init_params(jax.random.key(9), cfg)
+    run_matrix(cfg, params, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        prefill_chunk=32))
