@@ -333,3 +333,100 @@ def load_llama(model_dir: str, dtype=jnp.bfloat16, mesh: Mesh | None = None):
     if not sd:
         raise FileNotFoundError(f"no *.safetensors under {model_dir}")
     return cfg, params_from_hf_state_dict(sd, cfg, mesh=mesh)
+
+
+def hf_config_dict(cfg: ModelConfig) -> dict:
+    """ModelConfig -> a transformers-loadable config.json dict (the dense
+    Llama/Qwen2-style families; the inverse of config_from_hf for the
+    fields save_llama exports)."""
+    assert not (cfg.n_experts or cfg.attn_sinks or cfg.glm_rope_dim
+                or cfg.sandwich_norms or cfg.rms_offset), (
+        "save_llama exports the dense Llama/Qwen-style families; "
+        "MoE/sink/GLM/Gemma trees carry weights HF names differently")
+    out = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.dim,
+        "num_hidden_layers": cfg.n_layers,
+        "num_attention_heads": cfg.n_heads,
+        "num_key_value_heads": cfg.n_kv_heads,
+        "intermediate_size": cfg.ffn_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.norm_eps,
+        "max_position_embeddings": 4096,
+        "hidden_act": "silu",
+        "tie_word_embeddings": True,
+        "torch_dtype": "bfloat16",
+    }
+    if cfg.head_dim_override:
+        out["head_dim"] = cfg.head_dim_override
+    if cfg.sliding_window:
+        out["model_type"] = "mistral"
+        out["architectures"] = ["MistralForCausalLM"]
+        out["sliding_window"] = cfg.sliding_window
+    if cfg.rope_scaling and cfg.rope_scaling[0] == "llama3":
+        _, f, lo, hi, orig = cfg.rope_scaling
+        out["rope_scaling"] = {
+            "rope_type": "llama3", "factor": f, "low_freq_factor": lo,
+            "high_freq_factor": hi,
+            "original_max_position_embeddings": orig}
+    return out
+
+
+def save_llama(model_dir: str, params, cfg: ModelConfig):
+    """Export the param tree as an HF checkpoint (config.json +
+    model.safetensors) that transformers loads directly — the interop exit
+    ramp for models trained here (train -> save_llama -> HF ecosystem).
+    Inverse of load_llama for the dense families; golden round-trip tested
+    (our logits == the reloaded LlamaForCausalLM's)."""
+    import torch
+    from safetensors.torch import save_file
+
+    model_dir = pathlib.Path(model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+    hf = hf_config_dict(cfg)
+
+    def t(x, transpose=False):
+        a = np.asarray(jax.device_get(x), np.float32)
+        if transpose:
+            a = a.T  # ours (in, out) -> HF (out, in)
+        return torch.from_numpy(np.ascontiguousarray(a)).to(torch.bfloat16)
+
+    sd = {"model.embed_tokens.weight": t(params["embed"]),
+          "model.norm.weight": t(params["norm"])}
+    if "lm_head" in params:
+        sd["lm_head.weight"] = t(params["lm_head"])
+        hf["tie_word_embeddings"] = False
+    for i, layer in enumerate(params["layers"]):
+        assert "wq" in layer and not isinstance(layer["wq"], dict), (
+            "save_llama exports dense unfused trees (no quantized packs/"
+            "fused wqkv; dequantize or keep an unfused copy to export)")
+        pre = f"model.layers.{i}."
+        sd[pre + "input_layernorm.weight"] = t(layer["attn_norm"])
+        sd[pre + "post_attention_layernorm.weight"] = t(layer["mlp_norm"])
+        for ours, theirs in (("wq", "q_proj"), ("wk", "k_proj"),
+                             ("wv", "v_proj"), ("wo", "o_proj")):
+            sd[pre + f"self_attn.{theirs}.weight"] = t(layer[ours],
+                                                       transpose=True)
+        for ours, theirs in (("w_gate", "gate_proj"), ("w_up", "up_proj"),
+                             ("w_down", "down_proj")):
+            sd[pre + f"mlp.{theirs}.weight"] = t(layer[ours], transpose=True)
+        for ours, theirs in (("bq", "q_proj"), ("bk", "k_proj"),
+                             ("bv", "v_proj")):
+            if ours in layer:
+                sd[pre + f"self_attn.{theirs}.bias"] = t(layer[ours])
+                hf["attention_bias"] = True
+                hf["model_type"] = "qwen2"
+                hf["architectures"] = ["Qwen2ForCausalLM"]
+        if "q_norm" in layer:  # Qwen3 per-head norms
+            sd[pre + "self_attn.q_norm.weight"] = t(layer["q_norm"])
+            sd[pre + "self_attn.k_norm.weight"] = t(layer["k_norm"])
+            hf["model_type"] = "qwen3"
+            hf["architectures"] = ["Qwen3ForCausalLM"]
+            hf["head_dim"] = cfg.head_dim
+
+    with open(model_dir / "config.json", "w") as f:
+        json.dump(hf, f, indent=1)
+    save_file(sd, str(model_dir / "model.safetensors"))
+    return model_dir

@@ -543,3 +543,33 @@ def test_glm4_golden_parity():
         outs.append(np.asarray(lg))
         lengths = lengths + 1
     np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
+
+
+def test_save_llama_hf_roundtrip(tmp_path):
+    """HF EXPORT: a model trained here saves as config.json +
+    model.safetensors that transformers loads directly; the reloaded
+    LlamaForCausalLM reproduces our logits (the inverse golden test)."""
+    from leetcuda_tpu.models.llama import tiny_config, init_params
+    from leetcuda_tpu.models.loader import save_llama
+
+    cfg = tiny_config()  # dense llama-style
+    params = init_params(jax.random.key(14), cfg)
+    d = save_llama(tmp_path / "export", params, cfg)
+
+    model = transformers.AutoModelForCausalLM.from_pretrained(
+        str(d), torch_dtype=torch.float32).eval()
+    rng = np.random.default_rng(14)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 12))
+    ours = np.asarray(forward(
+        jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), params),
+        jnp.asarray(tokens, jnp.int32), cfg))
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(tokens)).logits.numpy()
+    # bf16 storage round-trip bounds the tolerance
+    np.testing.assert_allclose(theirs, ours, atol=5e-2, rtol=5e-2)
+
+    # and load_llama reads our own export back (full circle)
+    from leetcuda_tpu.models.loader import load_llama
+    cfg2, params2 = load_llama(d, dtype=jnp.float32)
+    back = np.asarray(forward(params2, jnp.asarray(tokens, jnp.int32), cfg2))
+    np.testing.assert_allclose(back, ours, atol=5e-2, rtol=5e-2)
