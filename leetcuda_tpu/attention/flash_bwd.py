@@ -267,7 +267,9 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
         out, lse = f(q, k, v)
         return out, (q, k, v, out, lse)
 
-    def _bwd_rule(res, do):
+    def _grads(res, do, dlse=None):
+        """Shared backward for both VJPs — dlse is the optional LSE
+        cotangent (with_lse variant); it folds into _bwd's delta."""
         q, k, v, out, lse = res
         B, H, N, D = q.shape
         Hkv = k.shape[1]
@@ -283,7 +285,8 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
         flat = lambda x: x.reshape(B * H, *x.shape[2:])
         dq, dk, dv = _bwd(causal, window, scale, softcap, bq, bk,
                           flat(q), flat(kx), flat(vx), flat(out), flat(lse),
-                          flat(do))
+                          flat(do),
+                          dlse=None if dlse is None else flat(dlse))
         dq = dq.reshape(B, H, N, D)
         dk = dk.reshape(B, H, -1, D)
         dv = dv.reshape(B, H, -1, D)
@@ -292,8 +295,11 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
             dv = dv.reshape(B, Hkv, group, -1, D).sum(axis=2).astype(v.dtype)
         return dq, dk, dv
 
-    fa.defvjp(_fwd, _bwd_rule)
+    def _bwd_rule(res, do):
+        return _grads(res, do)
+
     if not with_lse:
+        fa.defvjp(_fwd, _bwd_rule)
         return fa
 
     @jax.custom_vjp
@@ -312,27 +318,7 @@ def make_flash_attention_trainable(*, causal: bool = False, sm_scale=None,
 
     def _bwd_lse_rule(res, ct):
         do, dlse = ct
-        q, k, v, out, lse = res
-        B, H, N, D = q.shape
-        Hkv = k.shape[1]
-        group = H // Hkv
-        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
-        dbq, dbk = _default_blocks(D, causal)
-        bq = block_q or min(dbq, 512)
-        bk = block_k or min(dbk, 512)
-        kx = jnp.repeat(k, group, axis=1) if group > 1 else k
-        vx = jnp.repeat(v, group, axis=1) if group > 1 else v
-        flat = lambda x: x.reshape(B * H, *x.shape[2:])
-        dq, dk, dv = _bwd(causal, window, scale, softcap, bq, bk,
-                          flat(q), flat(kx), flat(vx), flat(out), flat(lse),
-                          flat(do), dlse=flat(dlse))
-        dq = dq.reshape(B, H, N, D)
-        dk = dk.reshape(B, H, -1, D)
-        dv = dv.reshape(B, H, -1, D)
-        if group > 1:
-            dk = dk.reshape(B, Hkv, group, -1, D).sum(axis=2).astype(k.dtype)
-            dv = dv.reshape(B, Hkv, group, -1, D).sum(axis=2).astype(v.dtype)
-        return dq, dk, dv
+        return _grads(res, do, dlse=dlse)
 
     fa_lse.defvjp(_fwd_lse, _bwd_lse_rule)
     return fa_lse

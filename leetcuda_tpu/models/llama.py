@@ -132,6 +132,11 @@ def _apply_rope(x, positions, cfg: "ModelConfig"):
     """Family rope dispatch: GLM partial-interleaved, else rotate_half with
     optional scaled frequencies (llama3/linear/yarn) and YaRN mscale."""
     if cfg.glm_rope_dim:
+        if cfg.rope_scaling is not None:
+            raise NotImplementedError(
+                "GLM partial rotary with rope_scaling is not implemented "
+                "(long-context GLM variants) — refusing to silently ignore "
+                "the scaling")
         from leetcuda_tpu.ops.rope import apply_rope_glm
 
         return apply_rope_glm(x, positions, cfg.rope_theta,

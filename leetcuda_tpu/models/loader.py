@@ -119,8 +119,10 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
                      if is_gemma2 and get("query_pre_attn_scalar", None)
                      else None),
         alt_window=is_gemma2 or is_gptoss,
-        sandwich_norms=is_gemma2,
         attn_sinks=is_gptoss,
+        # GLM-4's post_self_attn/post_mlp norms ride the sandwich-norm
+        # machinery — the flag also makes param_shardings emit their specs
+        sandwich_norms=is_gemma2 or is_glm4,
         glm_rope_dim=(int((head_dim or derived)
                           * float(get("partial_rotary_factor", 0.5)))
                       if is_glm4 else 0),
@@ -365,12 +367,26 @@ def hf_config_dict(cfg: ModelConfig) -> dict:
         out["model_type"] = "mistral"
         out["architectures"] = ["MistralForCausalLM"]
         out["sliding_window"] = cfg.sliding_window
-    if cfg.rope_scaling and cfg.rope_scaling[0] == "llama3":
-        _, f, lo, hi, orig = cfg.rope_scaling
-        out["rope_scaling"] = {
-            "rope_type": "llama3", "factor": f, "low_freq_factor": lo,
-            "high_freq_factor": hi,
-            "original_max_position_embeddings": orig}
+    if cfg.rope_scaling:  # every kind we load must round-trip out
+        kind = cfg.rope_scaling[0]
+        if kind == "llama3":
+            _, f, lo, hi, orig = cfg.rope_scaling
+            out["rope_scaling"] = {
+                "rope_type": "llama3", "factor": f, "low_freq_factor": lo,
+                "high_freq_factor": hi,
+                "original_max_position_embeddings": orig}
+        elif kind == "linear":
+            out["rope_scaling"] = {"rope_type": "linear",
+                                   "factor": cfg.rope_scaling[1]}
+        elif kind == "yarn":
+            _, f, bf, bs, orig, trunc, af = cfg.rope_scaling
+            out["rope_scaling"] = {
+                "rope_type": "yarn", "factor": f, "beta_fast": bf,
+                "beta_slow": bs, "original_max_position_embeddings": orig,
+                "truncate": trunc,
+                **({"attention_factor": af} if af is not None else {})}
+        else:  # pragma: no cover — loader rejects unknown kinds on entry
+            raise NotImplementedError(f"rope_scaling {kind!r} export")
     return out
 
 
@@ -402,6 +418,10 @@ def save_llama(model_dir: str, params, cfg: ModelConfig):
         assert "wq" in layer and not isinstance(layer["wq"], dict), (
             "save_llama exports dense unfused trees (no quantized packs/"
             "fused wqkv; dequantize or keep an unfused copy to export)")
+        assert "attn_norm" in layer and "post_attn_norm" not in layer, (
+            "save_llama exports pre-norm Llama/Qwen-style trees; post-norm "
+            "(OLMo-2) / sandwich-norm layers use HF names this exporter "
+            "doesn't write")
         pre = f"model.layers.{i}."
         sd[pre + "input_layernorm.weight"] = t(layer["attn_norm"])
         sd[pre + "post_attention_layernorm.weight"] = t(layer["mlp_norm"])
@@ -417,8 +437,14 @@ def save_llama(model_dir: str, params, cfg: ModelConfig):
             if ours in layer:
                 sd[pre + f"self_attn.{theirs}.bias"] = t(layer[ours])
                 hf["attention_bias"] = True
-                hf["model_type"] = "qwen2"
-                hf["architectures"] = ["Qwen2ForCausalLM"]
+                if hf["model_type"] == "llama":  # don't clobber mistral
+                    hf["model_type"] = "qwen2"
+                    hf["architectures"] = ["Qwen2ForCausalLM"]
+                if hf["model_type"] == "qwen2" and cfg.sliding_window:
+                    # qwen2's window is opt-in and per-layer-gated
+                    hf["sliding_window"] = cfg.sliding_window
+                    hf["use_sliding_window"] = True
+                    hf["max_window_layers"] = 0
         if "q_norm" in layer:  # Qwen3 per-head norms
             sd[pre + "self_attn.q_norm.weight"] = t(layer["q_norm"])
             sd[pre + "self_attn.k_norm.weight"] = t(layer["k_norm"])
