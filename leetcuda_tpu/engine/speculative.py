@@ -226,8 +226,9 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
         if cfg.qk_norm:
             q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
             k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-        q = _apply_rope(q, pos, cfg)
-        k = _apply_rope(k, pos, cfg)
+        if cfg.layer_rope(li):
+            q = _apply_rope(q, pos, cfg)
+            k = _apply_rope(k, pos, cfg)
         v = v.reshape(B, T, Hkv, Dh)
         c = _chunk_append(cache, k, v, pos, page_table=page_table,
                           page_aligned=page_aligned)

@@ -233,6 +233,7 @@ class ModelConfig:
     attn_softcap: float | None = None   # cap*tanh(s/cap) on attention logits
     attn_sinks: bool = False  # GPT-OSS: learned per-head denominator logit
     glm_rope_dim: int = 0  # GLM-4 partial rotary: lanes [0, glm_rope_dim)
+    nope_interval: int = 0  # SmolLM3: every Nth layer skips rope (NoPE)
     final_softcap: float | None = None  # same cap on the LM-head logits
     query_scale: float | None = None    # attention scale override
     alt_window: bool = False     # sliding window on EVEN layers only (Gemma2)
@@ -276,6 +277,13 @@ class ModelConfig:
         return yarn_scaled_inv_freq(self.head_dim, self.rope_theta, f, bf,
                                     bs, orig, truncate=trunc,
                                     attention_factor=af)[1]
+
+    def layer_rope(self, i: int | None = None) -> bool:
+        """SmolLM3 NoPE: every nope_interval-th layer attends without any
+        positional rotation (None = rope everywhere)."""
+        if self.nope_interval and i is not None:
+            return (i + 1) % self.nope_interval != 0
+        return True
 
     def layer_window(self, i: int | None = None) -> int | None:
         """Per-layer sliding window: alternating local/global when
@@ -554,8 +562,9 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     if cfg.qk_norm:  # Qwen3: per-head RMS norm before rope
         q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
         k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-    q = _apply_rope(q, positions, cfg)
-    k = _apply_rope(k, positions, cfg)
+    if cfg.layer_rope(layer_idx):
+        q = _apply_rope(q, positions, cfg)
+        k = _apply_rope(k, positions, cfg)
     k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
     o = _attention(q.transpose(0, 2, 1, 3), k, v, mesh, causal=True,
                    window=cfg.layer_window(layer_idx),
@@ -670,8 +679,9 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
         if cfg.qk_norm:
             q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
             k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-        q = _apply_rope(q, positions, cfg)
-        k = _apply_rope(k, positions, cfg)
+        if cfg.layer_rope(li):
+            q = _apply_rope(q, positions, cfg)
+            k = _apply_rope(k, positions, cfg)
         v = v.reshape(B, S, Hkv, Dh)
         k, v = k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
         kvs.append((k, v))
@@ -1051,7 +1061,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
         s_cap = page_table.shape[1] * caches[0]["k_pages"].shape[2]
     fused_qkv = None
     if (mesh is None and s_cap >= 2048 and cfg.rope_scaling is None
-            and not cfg.glm_rope_dim
+            and not cfg.glm_rope_dim and not cfg.nope_interval
             and not os.environ.get("LEETCUDA_NO_FUSED_DECODE")):
         from leetcuda_tpu.gemm.fused_decode import make_fused_norm_qkv_rope
 
@@ -1083,8 +1093,9 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
             if cfg.qk_norm:
                 q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
                 k = _rms_norm(k, layer["k_norm"], cfg.norm_eps)
-            q = _apply_rope(q[:, None], pos[:, None], cfg)[:, 0]
-            k = _apply_rope(k[:, None], pos[:, None], cfg)[:, 0]
+            if cfg.layer_rope(li):
+                q = _apply_rope(q[:, None], pos[:, None], cfg)[:, 0]
+                k = _apply_rope(k[:, None], pos[:, None], cfg)[:, 0]
         cache = _cache_append(cache, k, v, pos, page_table=page_table)
         new_caches.append(cache)
         o = _cache_attend(q.astype(cfg.dtype), cache, lengths + 1, mesh=mesh,

@@ -86,10 +86,19 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
     is_qwen3moe = mtype == "qwen3_moe"
     is_gptoss = mtype == "gpt_oss"
     is_glm4 = mtype == "glm4"
+    is_smollm3 = mtype == "smollm3"
     head_dim = get("head_dim", None)
     derived = get("hidden_size") // get("num_attention_heads")
     n_experts = int(get("num_local_experts", 0) or 0) if is_mixtral else (
         int(get("num_experts", 0) or 0) if is_qwen3moe else 0)
+    nope = int(get("no_rope_layer_interval", 0) or 0) if is_smollm3 else 0
+    if is_smollm3 and get("no_rope_layers", None):
+        want = [0 if (i + 1) % nope == 0 else 1
+                for i in range(get("num_hidden_layers"))] if nope else None
+        if list(get("no_rope_layers")) != want:
+            raise NotImplementedError(
+                "smollm3 no_rope_layers doesn't match the interval pattern "
+                "— irregular NoPE layouts aren't mapped")
     topk = int(get("num_experts_per_tok", 2) or 2)
     return ModelConfig(
         vocab_size=get("vocab_size"),
@@ -123,6 +132,7 @@ def config_from_hf(hf_cfg, dtype=jnp.bfloat16) -> ModelConfig:
         # GLM-4's post_self_attn/post_mlp norms ride the sandwich-norm
         # machinery — the flag also makes param_shardings emit their specs
         sandwich_norms=is_gemma2 or is_glm4,
+        nope_interval=nope,
         glm_rope_dim=(int((head_dim or derived)
                           * float(get("partial_rotary_factor", 0.5)))
                       if is_glm4 else 0),

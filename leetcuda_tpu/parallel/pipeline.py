@@ -166,6 +166,9 @@ def make_pp_train_step(cfg, mesh: Mesh, n_microbatches: int,
     assert not getattr(cfg, "alt_window", False), (
         "alt_window models need per-layer static kernels; unroll the stage "
         "(pp training currently supports uniform-window configs)")
+    assert not getattr(cfg, "nope_interval", 0), (
+        "NoPE-interval models vary rope per layer; the stage scan applies "
+        "one static config")
     tx = optax.adamw(learning_rate)
 
     def stage_fn(stage_params, x):

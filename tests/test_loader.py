@@ -573,3 +573,41 @@ def test_save_llama_hf_roundtrip(tmp_path):
     cfg2, params2 = load_llama(d, dtype=jnp.float32)
     back = np.asarray(forward(params2, jnp.asarray(tokens, jnp.int32), cfg2))
     np.testing.assert_allclose(back, ours, atol=5e-2, rtol=5e-2)
+
+
+def test_smollm3_golden_parity():
+    """SmolLM3: every no_rope_layer_interval-th layer attends WITHOUT rope
+    (NoPE) — transformers golden parity on forward AND decode with
+    interval=2 so half the layers exercise the bare path."""
+    hf_cfg = transformers.SmolLM3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=True,
+        no_rope_layer_interval=2, use_sliding_window=False,
+        attention_bias=False, pad_token_id=0,
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(11)
+    model = transformers.SmolLM3ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg, dtype=jnp.float32)
+    assert cfg.nope_interval == 2
+    assert cfg.layer_rope(0) and not cfg.layer_rope(1)
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+
+    rng = np.random.default_rng(15)
+    tokens = rng.integers(0, hf_cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(forward(params, jnp.asarray(tokens, jnp.int32), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+    caches = init_kv_caches(cfg, 2, 128)
+    lengths = jnp.zeros((2,), jnp.int32)
+    outs = []
+    for t in range(12):
+        lg, caches = decode_step(params, jnp.asarray(tokens[:, t], jnp.int32),
+                                 caches, lengths, cfg)
+        outs.append(np.asarray(lg))
+        lengths = lengths + 1
+    np.testing.assert_allclose(np.stack(outs, 1), want, atol=5e-3, rtol=5e-3)
