@@ -195,6 +195,19 @@ class Engine:
         self.ec = econfig or EngineConfig()
         assert not self.ec.prefix_cache or self.ec.paged, \
             "prefix_cache requires paged=True"
+        self._multi_lora = any(
+            isinstance(w, dict) and "As" in w
+            for w in params["layers"][0].values())
+        if self._multi_lora:
+            # per-slot adapter routing reaches decode + prefill; the chunk
+            # kernel paths (spec verify / chunked prefill / prefix-cache
+            # admission) don't thread adapter_ids yet
+            assert not (self.ec.spec_k or self.ec.prefill_chunk
+                        or self.ec.prefix_cache), (
+                "multi-LoRA serving composes with paged/quant/mesh decode; "
+                "speculative/chunked/prefix features need adapter-aware "
+                "chunk kernels")
+            self._slot_aids = np.zeros((self.ec.slots,), np.int32)
         if "sinks" in params["layers"][0]:
             # GPT-OSS sinks serve the plain decode + ragged/per-seq prefill
             # paths; the chunk kernel (spec verify / chunked prefill /
@@ -358,9 +371,14 @@ class Engine:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def submit(self, prompt: list[int], max_new: int = 64) -> int:
+    def submit(self, prompt: list[int], max_new: int = 64,
+               adapter_id: int = 0) -> int:
+        """``adapter_id``: which stacked LoRA adapter serves this request
+        (multi-tenant serving — lora.stack_lora; ignored otherwise)."""
         self._uid += 1
-        self.waiting.append(Request(self._uid, list(prompt), max_new))
+        req = Request(self._uid, list(prompt), max_new)
+        req.adapter_id = adapter_id
+        self.waiting.append(req)
         return self._uid
 
     def _admit(self):
@@ -443,8 +461,14 @@ class Engine:
                 for i, (_, req) in enumerate(fresh):
                     toks[i, :len(req.prompt)] = req.prompt
                     lens[i] = len(req.prompt)
+                akw = {}
+                if self._multi_lora:
+                    aids = np.zeros((B_pad,), np.int32)
+                    for i, (_, req) in enumerate(fresh):
+                        aids[i] = getattr(req, "adapter_id", 0)
+                    akw["adapter_ids"] = jnp.asarray(aids)
                 logits, kvs = self._prefill_ragged(
-                    self.params, jnp.asarray(toks), jnp.asarray(lens))
+                    self.params, jnp.asarray(toks), jnp.asarray(lens), **akw)
                 per_seq = [(logits[i], [(k[i:i + 1], v[i:i + 1])
                                         for k, v in kvs])
                            for i in range(len(fresh))]
@@ -461,7 +485,14 @@ class Engine:
                     toks = np.zeros((n_dp, s_pad), np.int32)
                     for i, (_, req) in enumerate(group):
                         toks[i, :len(req.prompt)] = req.prompt
-                    lg, kvs = self._prefill(self.params, jnp.asarray(toks))
+                    akw = {}
+                    if self._multi_lora:
+                        aids = np.zeros((n_dp,), np.int32)
+                        for i, (_, req) in enumerate(group):
+                            aids[i] = getattr(req, "adapter_id", 0)
+                        akw["adapter_ids"] = jnp.asarray(aids)
+                    lg, kvs = self._prefill(self.params, jnp.asarray(toks),
+                                            **akw)
                     per_seq.extend(
                         (lg[i], [(k[i:i + 1], v[i:i + 1]) for k, v in kvs])
                         for i in range(len(group)))
@@ -511,6 +542,8 @@ class Engine:
     def _finish_admission(self, slot: int, req: Request, last_logits):
         """Common admission tail: draft prefill (speculative), first-token
         sampling, slot bookkeeping."""
+        if self._multi_lora:
+            self._slot_aids[slot] = getattr(req, "adapter_id", 0)
         L = len(req.prompt)
         if self.draft is not None:
             d_params, d_cfg = self.draft
@@ -636,6 +669,8 @@ class Engine:
 
         kw = ({"page_table": self.pm.device_table}
               if self.pm is not None else {})
+        if self._multi_lora:
+            kw["adapter_ids"] = jnp.asarray(self._slot_aids)
         logits, self.caches = self._decode(
             self.params, self.last_tokens, self.caches, self.lengths,
             cfg=self.cfg, **kw)

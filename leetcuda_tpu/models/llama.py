@@ -41,13 +41,34 @@ _w8a16 = make_matmul_w8a16()
 _w4a16 = make_matmul_w4a16()
 
 
-def linear(x, w):
+def linear(x, w, adapter_ids=None):
     """x (..., K) @ w. ``w`` is a dense (K, N) array, a weight-only-quantized
     pack {"q": int8/fp8 (K, N), "s": f32 (N,)} routed through the fused-dequant
     Pallas matmul (gemm/quant.py) — weights stream from HBM at 1 byte/elem and
     are cast up in VMEM right after the DMA — or a LoRA pack
-    {"w": base, "A", "B", "scale"} (models/lora.py): base + low-rank delta."""
+    {"w": base, "A", "B", "scale"} (models/lora.py): base + low-rank delta.
+
+    Multi-tenant packs {"As" (M, K, r), "Bs" (M, r, N)} (lora.stack_lora)
+    apply PER-ROW adapters selected by ``adapter_ids`` (B,) int32 — the
+    selection is a one-hot mix (einsum, MXU-shaped; M·r is adapter-sized,
+    so mixing costs less than one rank-M·r adapter), no gathers."""
     if isinstance(w, dict):
+        if "As" in w:  # stacked multi-tenant adapters
+            base = linear(x, w["w"])
+            assert adapter_ids is not None, (
+                "multi-LoRA pack needs adapter_ids (per-row adapter index)")
+            oh = jax.nn.one_hot(adapter_ids, w["As"].shape[0],
+                                dtype=jnp.float32)              # (B, M)
+            a = jnp.einsum("bm,mkr->bkr", oh, w["As"])
+            bmat = jnp.einsum("bm,mrn->brn", oh, w["Bs"])
+            xf = x.astype(jnp.float32)
+            if x.ndim == 2:    # decode rows (B, K)
+                delta = jnp.einsum("bk,bkr->br", xf, a)
+                delta = jnp.einsum("br,brn->bn", delta, bmat)
+            else:              # prefill rows (B, S, K)
+                delta = jnp.einsum("bsk,bkr->bsr", xf, a)
+                delta = jnp.einsum("bsr,brn->bsn", delta, bmat)
+            return base + (delta * w["scale"]).astype(base.dtype)
         if "A" in w:  # LoRA adapter over a (possibly quantized) frozen base
             base = linear(x, w["w"])
             delta = (x.astype(jnp.float32) @ w["A"]) @ w["B"] * w["scale"]
@@ -81,15 +102,16 @@ def fuse_params(params):
     return out
 
 
-def _proj_qkv(h, layer, H, Hkv, Dh):
+def _proj_qkv(h, layer, H, Hkv, Dh, adapter_ids=None):
     """Q/K/V projections, fused or split; optional biases (Qwen2-style QKV
     bias: bq/bk/bv). Returns flat (..., X*Dh) arrays."""
     if "wqkv" in layer:
-        qkv = linear(h, layer["wqkv"])
+        qkv = linear(h, layer["wqkv"], adapter_ids=adapter_ids)
         q, k, v = jnp.split(qkv, [H * Dh, (H + Hkv) * Dh], axis=-1)
     else:
-        q, k, v = (linear(h, layer["wq"]), linear(h, layer["wk"]),
-                   linear(h, layer["wv"]))
+        q, k, v = (linear(h, layer["wq"], adapter_ids=adapter_ids),
+                   linear(h, layer["wk"], adapter_ids=adapter_ids),
+                   linear(h, layer["wv"], adapter_ids=adapter_ids))
     if "bq" in layer:
         q = q + layer["bq"]
         k = k + layer["bk"]
@@ -539,7 +561,8 @@ def _attention(q, k, v, mesh: Mesh | None, causal: bool,
 
 
 def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
-                mesh: Mesh | None = None, layer_idx: int | None = None):
+                mesh: Mesh | None = None, layer_idx: int | None = None,
+                adapter_ids=None):
     """One transformer layer (prefill/training path). x (B, S, D) ->
     (x, (k, v)) with the post-rope K/V the decode path would cache.
 
@@ -551,7 +574,7 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
     # OLMo2 is post-norm-only: no input norms, the block outputs normalize
     h = (_rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
          if "attn_norm" in layer else x)
-    q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+    q, k, v = _proj_qkv(h, layer, H, Hkv, Dh, adapter_ids=adapter_ids)
     if "q_norm" in layer and layer["q_norm"].shape[-1] == H * Dh:
         # OLMo2: RMS norm over the FLAT projection (H*Dh lanes), pre-reshape
         q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
@@ -571,7 +594,7 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
                    softcap=cfg.attn_softcap, sm_scale=cfg.query_scale,
                    sinks=layer.get("sinks"))
     o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
-    attn_out = linear(o, layer["wo"])
+    attn_out = linear(o, layer["wo"], adapter_ids=adapter_ids)
     if "bo" in layer:
         attn_out = attn_out + layer["bo"]
     if "post_attn_norm" in layer:  # Gemma2: norm the block OUTPUT too
@@ -590,7 +613,8 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
 
 
 def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
-            positions=None, return_kv: bool = False, remat: bool = False):
+            positions=None, return_kv: bool = False, remat: bool = False,
+            adapter_ids=None):
     """Causal LM forward. tokens (B, S) int32 -> logits (B, S, V).
 
     ``return_kv=True`` additionally returns the post-rope per-layer K/V
@@ -609,7 +633,8 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
     kvs = []
     for i, layer in enumerate(params["layers"]):
         layer_fn = functools.partial(apply_layer, positions=positions,
-                                     cfg=cfg, mesh=mesh, layer_idx=i)
+                                     cfg=cfg, mesh=mesh, layer_idx=i,
+                                     adapter_ids=adapter_ids)
         if remat:
             layer_fn = jax.checkpoint(layer_fn)
         x, kv = layer_fn(layer, x)
@@ -626,7 +651,7 @@ def forward(params, tokens, cfg: ModelConfig, mesh: Mesh | None = None,
 
 
 def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
-                   mesh: Mesh | None = None):
+                   mesh: Mesh | None = None, adapter_ids=None):
     """Batched-prefill forward over different-length prompts padded to a
     common S: logits (B, S, V) + per-layer K/V, with attention masked to each
     sequence's valid prefix (attention/flash.py ragged kernel). Rows past a
@@ -669,7 +694,7 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
         fa = fa_by_window[cfg.layer_window(li)]
         h = (_rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
              if "attn_norm" in layer else x)
-        q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+        q, k, v = _proj_qkv(h, layer, H, Hkv, Dh, adapter_ids=adapter_ids)
         if ("q_norm" in layer
                 and layer["q_norm"].shape[-1] == H * Dh):  # OLMo2 flat
             q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
@@ -693,7 +718,7 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
             o = o * jax.nn.sigmoid(
                 lse - layer["sinks"][None, :, None]).astype(o.dtype)[..., None]
         o = o.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
-        attn_out = linear(o, layer["wo"])
+        attn_out = linear(o, layer["wo"], adapter_ids=adapter_ids)
         if "bo" in layer:
             attn_out = attn_out + layer["bo"]
         if "post_attn_norm" in layer:
@@ -1027,7 +1052,8 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
 
 
 def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
-                     mesh: Mesh | None = None, page_table=None):
+                     mesh: Mesh | None = None, page_table=None,
+                     adapter_ids=None):
     """One decode step for B sequences. tokens (B,) int32; lengths (B,) = current
     context length EXCLUDING this token. Returns (logits (B, V), new caches).
     Uses the Pallas decode-attention kernel over the padded cache; params and
@@ -1083,7 +1109,8 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
             h = (_rms_norm(x, layer["attn_norm"], cfg.norm_eps,
                            cfg.rms_offset)
                  if "attn_norm" in layer else x)
-            q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+            q, k, v = _proj_qkv(h, layer, H, Hkv, Dh,
+                                adapter_ids=adapter_ids)
             if ("q_norm" in layer
                     and layer["q_norm"].shape[-1] == H * Dh):  # OLMo2 flat
                 q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
@@ -1103,7 +1130,8 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
                           window=cfg.layer_window(li),
                           softcap=cfg.attn_softcap, sm_scale=cfg.query_scale,
                           sinks=layer.get("sinks"))
-        attn_out = linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"])
+        attn_out = linear(o.reshape(B, H * Dh).astype(x.dtype), layer["wo"],
+                          adapter_ids=adapter_ids)
         if "bo" in layer:
             attn_out = attn_out + layer["bo"]
         if "post_attn_norm" in layer:

@@ -120,3 +120,32 @@ def make_lora_train_step(cfg, learning_rate: float = 1e-3):
         return optax.apply_updates(adapters, updates), opt_state, l
 
     return init_opt, step
+
+
+def stack_lora(params_with_adapters_list):
+    """MULTI-TENANT serving: N single-adapter trees (same base, same
+    targets/rank — e.g. N independently fine-tuned adapters over one
+    checkpoint) -> ONE tree whose packs hold stacked {"As" (N, K, r),
+    "Bs" (N, r, N_out)}. models/llama.linear() applies the per-row adapter
+    selected by ``adapter_ids``; the engine serves different adapters for
+    different slots IN ONE BATCHED DECODE (Engine(multi_lora=True),
+    submit(..., adapter_id=i))."""
+    first = params_with_adapters_list[0]
+    out = {k: v for k, v in first.items() if k != "layers"}
+    out["layers"] = []
+    for li, layer in enumerate(first["layers"]):
+        new = {}
+        for name, w in layer.items():
+            if isinstance(w, dict) and "A" in w:
+                new[name] = {
+                    "w": w["w"],
+                    "As": jnp.stack([p["layers"][li][name]["A"]
+                                     for p in params_with_adapters_list]),
+                    "Bs": jnp.stack([p["layers"][li][name]["B"]
+                                     for p in params_with_adapters_list]),
+                    "scale": w["scale"],
+                }
+            else:
+                new[name] = w
+        out["layers"].append(new)
+    return out

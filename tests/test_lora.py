@@ -94,3 +94,43 @@ def test_engine_serves_lora_adapters():
     (a,) = e1.run([prompt], max_new=6).values()
     (b,) = e2.run([prompt], max_new=6).values()
     assert a == b
+
+
+def test_multi_lora_engine_serving():
+    """MULTI-TENANT LoRA: three independently trained adapters over one
+    base, stacked, served in ONE engine — each request routes to its own
+    adapter and must emit exactly that adapter's solo greedy stream."""
+    from leetcuda_tpu.models.llama import tiny_config, init_params
+    from leetcuda_tpu.models.lora import add_lora, merge_lora, stack_lora
+    from leetcuda_tpu.engine import Engine, EngineConfig
+    from test_engine import solo_greedy
+
+    cfg = tiny_config()
+    base = init_params(jax.random.key(0), cfg)
+    # three adapters with DIFFERENT random B (so they produce different
+    # streams; B=0 init would make all tenants identical)
+    singles = []
+    for i in range(3):
+        p = add_lora(base, jax.random.key(10 + i), rank=4)
+        for layer in p["layers"]:
+            for name, w in layer.items():
+                if isinstance(w, dict) and "A" in w:
+                    w["B"] = jax.random.normal(
+                        jax.random.fold_in(jax.random.key(20 + i),
+                                           hash(name) % 1000),
+                        w["B"].shape, jnp.float32) * 0.05
+        singles.append(p)
+    stacked = stack_lora(singles)
+
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (6, 9, 12)]
+    eng = Engine(stacked, cfg, EngineConfig(slots=4, max_seq=128,
+                                            prefill_bucket=16))
+    uids = [eng.submit(p, max_new=6, adapter_id=i)
+            for i, p in enumerate(prompts)]
+    while eng.waiting or eng.active or eng.filling:
+        eng.step()
+    for i, (uid, prompt) in enumerate(zip(uids, prompts)):
+        want = solo_greedy(merge_lora(singles[i]), cfg, prompt, 6)
+        got = eng.finished[uid].generated
+        assert got == want, (i, got, want)
