@@ -201,6 +201,24 @@ def e2e_cases():
 
     yield ("family_switches_gemma2_glm4", family_switches)
 
+    def multi_lora():
+        # multi-tenant adapter mixing (one-hot einsums) on the decode path
+        from leetcuda_tpu.models.lora import add_lora, stack_lora
+
+        p = init_params(jax.random.key(0), ModelConfig(n_layers=2))
+        singles = [add_lora(p, jax.random.key(i), rank=8) for i in range(4)]
+        stacked = jax.eval_shape(lambda: stack_lora(singles))
+        scfg = ModelConfig(n_layers=2)
+        aids = jax.ShapeDtypeStruct((B,), jnp.int32)
+        export.export(
+            jax.jit(functools.partial(decode_step_impl, cfg=scfg)),
+            platforms=("tpu",))(stacked, tok1,
+                                jax.eval_shape(lambda: init_kv_caches(
+                                    scfg, B, MAX_SEQ)), lens,
+                                adapter_ids=aids)
+
+    yield ("multi_lora_decode", multi_lora)
+
     # Meshed paths cross-lower for TPU over an AbstractMesh (no devices
     # needed): the GSPMD partitioning + shard_map collectives (ppermute ring,
     # Ulysses all-to-all) take the exact lowering route the chip would.
