@@ -41,13 +41,16 @@ _LANES = 128
 
 
 def _chunk_kernel(scale, softcap, Hkv, group, T, block_k, quantized, window,
-                  len_ref, q_ref, k_ref, v_ref, *rest):
+                  with_lse, len_ref, q_ref, k_ref, v_ref, *rest):
     """q_ref (1, H, T, D); cache blocks (1, Hkv, bk, D); len_ref[b] = base
     length EXCLUDING the chunk. Scratch rows are (kv-head, group, t)-major so
     each kv head owns a contiguous (group*T)-row slab."""
     if quantized:
         ks_ref, vs_ref, *rest = rest
-    o_ref, m_sc, l_sc, acc_sc = rest
+    if with_lse:
+        o_ref, lse_ref, m_sc, l_sc, acc_sc = rest
+    else:
+        o_ref, m_sc, l_sc, acc_sc = rest
 
     b = pl.program_id(0)
     si = pl.program_id(1)
@@ -118,6 +121,8 @@ def _chunk_kernel(scale, softcap, Hkv, group, T, block_k, quantized, window,
         l = l_sc[:, 0:1]
         out = acc_sc[:] / jnp.maximum(l, 1e-30)       # (Hkv*group*T, D)
         o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
+        if with_lse:  # rows are (kvh, g, t)-major = flattened (H, T)
+            lse_ref[0] = m_sc[:] + jnp.log(jnp.maximum(l_sc[:], 1e-30))
 
 
 def _bounds(base, T, bk, window):
@@ -139,7 +144,8 @@ def _scratch(H, T, D):
 
 def make_chunk_attention(*, block_k: int = 512, sm_scale=None,
                          window: int | None = None, quantized: bool = False,
-                         softcap: float | None = None):
+                         softcap: float | None = None,
+                         with_lse: bool = False):
     """fn(q, k_cache, v_cache, [k_scale, v_scale,] base_lengths) -> (B,H,T,D).
 
     q (B, H, T, D) — T chunk tokens at positions base..base+T-1 (already
@@ -180,31 +186,41 @@ def make_chunk_attention(*, block_k: int = 512, sm_scale=None,
             in_specs += [scale_spec, scale_spec]
             args += [k_scale, v_scale]
 
+        o_spec = pl.BlockSpec((1, H, T, D), lambda b, si, L: (b, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        lse_spec = pl.BlockSpec((1, H * T, _LANES),
+                                lambda b, si, L: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        o_shape = jax.ShapeDtypeStruct((B, H, T, D), q.dtype)
+        lse_shape = jax.ShapeDtypeStruct((B, H * T, _LANES), jnp.float32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, pl.cdiv(S, bk)),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, H, T, D),
-                                   lambda b, si, L: (b, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=(o_spec, lse_spec) if with_lse else o_spec,
             scratch_shapes=_scratch(H, T, D),
         )
-        return pl.pallas_call(
+        res = pl.pallas_call(
             functools.partial(_chunk_kernel, scale, softcap, Hkv, group, T,
                               bk,
-                              quantized, window),
-            out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+                              quantized, window, with_lse),
+            out_shape=(o_shape, lse_shape) if with_lse else o_shape,
             grid_spec=grid_spec,
             interpret=interpret_default(),
             **_vmem_params(),
         )(base_lengths.astype(jnp.int32), *args)
+        if with_lse:
+            out, lse = res
+            return out, lse[..., 0].reshape(B, H, T)
+        return res
 
     return fn
 
 
 def make_paged_chunk_attention(*, sm_scale=None, window: int | None = None,
                                quantized: bool = False,
-                               softcap: float | None = None):
+                               softcap: float | None = None,
+                               with_lse: bool = False):
     """fn(q, k_pages, v_pages, [k_scales, v_scales,] page_table, base_lengths)
     -> (B, H, T, D). Paged-cache chunk attention: same kernel body, block-table
     index maps (attention/paged.py semantics)."""
@@ -245,26 +261,36 @@ def make_paged_chunk_attention(*, sm_scale=None, window: int | None = None,
             in_specs += [scale_spec, scale_spec]
             args += [k_scales, v_scales]
 
+        o_spec = pl.BlockSpec((1, H, T, D),
+                              lambda b, si, pt, L: (b, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        lse_spec = pl.BlockSpec((1, H * T, _LANES),
+                                lambda b, si, pt, L: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        o_shape = jax.ShapeDtypeStruct((B, H, T, D), q.dtype)
+        lse_shape = jax.ShapeDtypeStruct((B, H * T, _LANES), jnp.float32)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page_table, base_lengths
             grid=(B, P_max),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, H, T, D),
-                                   lambda b, si, pt, L: (b, 0, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=(o_spec, lse_spec) if with_lse else o_spec,
             scratch_shapes=_scratch(H, T, D),
         )
         def body(pt_ref, *refs):  # page table is index-map-only
             return _chunk_kernel(scale, softcap, Hkv, group, T, page,
-                                 quantized, window, *refs)
+                                 quantized, window, with_lse, *refs)
 
-        return pl.pallas_call(
+        res = pl.pallas_call(
             body,
-            out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            out_shape=(o_shape, lse_shape) if with_lse else o_shape,
             grid_spec=grid_spec,
             interpret=interpret_default(),
             **_vmem_params(),
         )(page_table.astype(jnp.int32), base_lengths.astype(jnp.int32), *args)
+        if with_lse:
+            out, lse = res
+            return out, lse[..., 0].reshape(B, H, T)
+        return res
 
     return fn
 

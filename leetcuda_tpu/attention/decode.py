@@ -98,7 +98,15 @@ def _decode_kernel(scale, softcap, Hkv, group, block_k, quantized, window,
             # multiplication by p == 0 (0 * NaN = NaN) and poisons the
             # accumulator. Zero both sides of the dot at invalid positions.
             p = jnp.where(valid, p, 0.0)
-            v_blk = jnp.where(valid.reshape(block_k, 1), v_blk, 0.0)
+            # Column-oriented mask rebuilt from a (bk,1) iota: Mosaic can't
+            # reshape a (1,bk) i1 vector to (bk,1) (minor-dim insertion is
+            # 32-bit-only), same pattern as attention/chunk.py.
+            col_rows = si * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0)
+            valid_col = col_rows < seq_len
+            if window:
+                valid_col &= col_rows >= seq_len - window
+            v_blk = jnp.where(valid_col, v_blk, 0.0)
             acc_sc[rows, :] = acc_sc[rows, :] * alpha + jnp.dot(
                 p, v_blk, preferred_element_type=jnp.float32)
             m_sc[rows, :] = jnp.broadcast_to(m_new, (group, _LANES))
@@ -229,7 +237,8 @@ def make_decode_attention(*, block_k: int = 1024, sm_scale=None,
 def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
                                     window: int | None = None,
                                     shared_kv: bool = False,
-                                    softcap: float | None = None):
+                                    softcap: float | None = None,
+                                    with_lse: bool = False):
     """Quantized-cache decode: caches int8/fp8, per-(b, head, pos) f32 scales.
 
     fn(q, k_cache_q, v_cache_q, k_scale, v_scale, lengths); scales (B, Hkv, S).
@@ -267,31 +276,42 @@ def make_decode_attention_quantized(*, block_k: int = 1024, sm_scale=None,
                                      memory_space=pltpu.VMEM),
                         cache_spec, cache_spec, scale_spec, scale_spec]
             operands = (q, k_cache, v_cache, k_scale, v_scale)
+        o_spec = pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        lse_spec = pl.BlockSpec((1, H, _LANES), lambda b, si, L: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, cdiv(S, bk)),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, H, D), lambda b, si, L: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=(o_spec, lse_spec) if with_lse else o_spec,
             scratch_shapes=[
                 pltpu.VMEM((H, _LANES), jnp.float32),
                 pltpu.VMEM((H, _LANES), jnp.float32),
                 pltpu.VMEM((H, D), jnp.float32),
             ],
         )
+        out_shape = jax.ShapeDtypeStruct((B, H, D), q.dtype)
+        if with_lse:
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((B, H, _LANES), jnp.float32))
         body = functools.partial(_decode_kernel, scale, softcap, Hkv, group,
                                  bk, True,
-                                 window, False)
+                                 window, with_lse)
         if shared_kv:
             def body(len_ref, q_ref, kv_ref, s_ref, *rest, _b=body):  # noqa: F811
                 _b(len_ref, q_ref, kv_ref, kv_ref, s_ref, s_ref, *rest)
-        return pl.pallas_call(
+        res = pl.pallas_call(
             body,
-            out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret_default(),
             **_vmem_params(),
         )(lengths.astype(jnp.int32), *operands)
+        if with_lse:
+            out, lse = res
+            return out, lse[..., 0]
+        return res
 
     if shared_kv:
         return jax.jit(lambda q, cache, scale, lengths: impl(

@@ -35,10 +35,13 @@ _LANES = 128
 
 
 def _paged_kernel(scale, softcap, Hkv, group, page, quantized, window,
+                  with_lse,
                   pt_ref, len_ref,
                   q_ref, k_ref, v_ref, *rest):
     if quantized:
-        ks_ref, vs_ref, o_ref, m_sc, l_sc, acc_sc = rest
+        ks_ref, vs_ref, *rest = rest
+    if with_lse:
+        o_ref, lse_ref, m_sc, l_sc, acc_sc = rest
     else:
         o_ref, m_sc, l_sc, acc_sc = rest
     b = pl.program_id(0)
@@ -95,12 +98,15 @@ def _paged_kernel(scale, softcap, Hkv, group, page, quantized, window,
     def _():
         o_ref[0] = (acc_sc[:] / jnp.maximum(l_sc[:, 0:1], 1e-30)
                     ).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0] = m_sc[:] + jnp.log(jnp.maximum(l_sc[:], 1e-30))
 
 
 def make_paged_attention(*, sm_scale=None, quantized: bool = False,
                          softcap: float | None = None,
                          window: int | None = None,
-                         shared_kv: bool = False):
+                         shared_kv: bool = False,
+                         with_lse: bool = False):
     """fn(q, k_pages, v_pages, [k_scales, v_scales,] page_table, lengths)
     -> (B, H, D).
 
@@ -163,12 +169,16 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
                                                         scale_spec]
             args += [k_scales] if shared_kv else [k_scales, v_scales]
 
+        o_spec = pl.BlockSpec((1, H, D), lambda b, si, pt, L: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        lse_spec = pl.BlockSpec((1, H, _LANES),
+                                lambda b, si, pt, L: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page_table, lengths
             grid=(B, P_max),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, H, D), lambda b, si, pt, L: (b, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=(o_spec, lse_spec) if with_lse else o_spec,
             scratch_shapes=[
                 pltpu.VMEM((H, _LANES), jnp.float32),
                 pltpu.VMEM((H, _LANES), jnp.float32),
@@ -180,7 +190,7 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)
         body = functools.partial(_paged_kernel, scale, softcap, Hkv, group,
-                                 page, quantized, window)
+                                 page, quantized, window, with_lse)
         if shared_kv:
             if quantized:
                 def body(pt, L, q_r, kv_r, s_r, *rest, _b=body):  # noqa: F811
@@ -188,13 +198,21 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
             else:
                 def body(pt, L, q_r, kv_r, *rest, _b=body):  # noqa: F811
                     _b(pt, L, q_r, kv_r, kv_r, *rest)
-        return pl.pallas_call(
+        out_shape = jax.ShapeDtypeStruct((B, H, D), q.dtype)
+        if with_lse:
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((B, H, _LANES), jnp.float32))
+        res = pl.pallas_call(
             body,
-            out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret_default(),
             **params,
         )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), *args)
+        if with_lse:
+            out, lse = res
+            return out, lse[..., 0]
+        return res
 
     if shared_kv:
         if quantized:
@@ -309,14 +327,18 @@ class PageManager:
 
     # --- prefix caching -------------------------------------------------------
 
-    def match_prefix(self, tokens: list[int]) -> list[int]:
+    def match_prefix(self, tokens: list[int], ns: int = 0) -> list[int]:
         """Longest cached chain of FULL pages covering a strict prefix of
         ``tokens`` (at least one token is always left to prefill so admission
-        has logits to sample from). Returns the physical page ids."""
+        has logits to sample from). Returns the physical page ids.
+
+        ``ns`` namespaces the chain root (multi-LoRA serving: adapted wk/wv
+        make KV adapter-specific, so chains must never cross adapters).
+        Roots are -1 - ns — negative, so they can't collide with page uids."""
         if not self.prefix_cache:
             return []
         pages = []
-        parent = -1
+        parent = -1 - ns
         ps = self.page_size
         # strict prefix: the last token never comes from the cache
         max_full = (len(tokens) - 1) // ps
@@ -341,15 +363,15 @@ class PageManager:
         self.hits += len(pages)
 
     def register_prefix(self, slot: int, tokens: list[int],
-                        skip_pages: int = 0):
+                        skip_pages: int = 0, ns: int = 0):
         """After prefill: publish the slot's full prompt pages into the trie
         (idempotent; pages already cached — e.g. adopted — are skipped via
-        ``skip_pages``)."""
+        ``skip_pages``). ``ns`` must match the match_prefix namespace."""
         if not self.prefix_cache:
             return
         ps = self.page_size
         parent = (self.page_uid[self.used[slot][skip_pages - 1]]
-                  if skip_pages else -1)
+                  if skip_pages else -1 - ns)
         n_full = len(tokens) // ps
         for i in range(skip_pages, n_full):
             p = self.used[slot][i]

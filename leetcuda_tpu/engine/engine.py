@@ -199,25 +199,18 @@ class Engine:
             isinstance(w, dict) and "As" in w
             for w in params["layers"][0].values())
         if self._multi_lora:
-            # per-slot adapter routing reaches decode + prefill; the chunk
-            # kernel paths (spec verify / chunked prefill / prefix-cache
-            # admission) don't thread adapter_ids yet
-            assert not (self.ec.spec_k or self.ec.prefill_chunk
-                        or self.ec.prefix_cache), (
-                "multi-LoRA serving composes with paged/quant/mesh decode; "
-                "speculative/chunked/prefix features need adapter-aware "
-                "chunk kernels")
+            # per-slot adapter routing reaches every serving path: decode,
+            # prefill (ragged + per-seq), the chunk paths (spec verify /
+            # chunked prefill / prefix admission — decode_chunk threads
+            # adapter_ids through every projection), and the prefix trie
+            # (namespaced per adapter: adapted wk/wv make KV tenant-
+            # specific, so pages must never be shared across adapters)
             self._slot_aids = np.zeros((self.ec.slots,), np.int32)
-        if "sinks" in params["layers"][0]:
-            # GPT-OSS sinks serve the plain decode + ragged/per-seq prefill
-            # paths; the chunk kernel (spec verify / chunked prefill /
-            # prefix admission) has no with_lse variant yet, and paged/
-            # quantized pools would need one too
-            assert not (self.ec.spec_k or self.ec.prefill_chunk
-                        or self.ec.prefix_cache or self.ec.paged
-                        or self.ec.kv_quant), (
-                "attention-sink models: plain slot caches without "
-                "speculative/chunked/prefix features for now")
+        # GPT-OSS sinks compose with the full serving matrix: every decode/
+        # chunk kernel (plain, quantized, paged, paged-quantized) has a
+        # with_lse variant and the sigmoid(lse - sink) correction applies
+        # outside the kernel (llama._cache_attend, speculative
+        # ._chunk_cache_attend) — no fence.
         self.sample_fn = jax.jit(sample_fn)
         self._key = jax.random.key(seed)
         self.mesh = mesh
@@ -362,9 +355,16 @@ class Engine:
         base[0] = base_pos
         rows = np.zeros((n_dp, self.pm.table.shape[1]), np.int32)
         rows[0] = self.pm.table[slot]
+        akw = {}
+        if self._multi_lora:
+            # _slot_aids[slot] is set at slot assignment, before any chunk
+            aids = np.zeros((n_dp,), np.int32)
+            aids[0] = self._slot_aids[slot]
+            akw["adapter_ids"] = jnp.asarray(aids)
         logits, self.caches = self._chunk_prefill(
             self.params, jnp.asarray(toks), self.caches,
-            jnp.asarray(base), cfg=self.cfg, page_table=jnp.asarray(rows))
+            jnp.asarray(base), cfg=self.cfg, page_table=jnp.asarray(rows),
+            **akw)
         return logits[0]
 
     def _next_key(self):
@@ -397,13 +397,17 @@ class Engine:
         while self.free and self.waiting:
             req = self.waiting.popleft()
             slot = self.free.pop()
+            if self._multi_lora:  # before any chunk/prefill touches the slot
+                self._slot_aids[slot] = getattr(req, "adapter_id", 0)
             L = len(req.prompt)
             assert 0 < L < ec.max_seq, f"prompt length {L}"
             s_pad = L + (-L % ec.prefill_bucket)
             n_cached = 0
             if self.pm is not None:
                 if ec.prefix_cache:
-                    pages = self.pm.match_prefix(req.prompt)
+                    pages = self.pm.match_prefix(
+                        req.prompt, ns=(getattr(req, 'adapter_id', 0)
+                                        if self._multi_lora else 0))
                     if pages:
                         self.pm.adopt(slot, pages)
                         n_cached = len(pages) * ec.page_size
@@ -510,7 +514,9 @@ class Engine:
                                        jnp.int32)
                     self.caches = self._insert_paged(self.caches, kvs_i,
                                                      phys, ec.page_size)
-                    self.pm.register_prefix(slot, req.prompt)
+                    self.pm.register_prefix(
+                        slot, req.prompt, ns=int(self._slot_aids[slot])
+                        if self._multi_lora else 0)
                 else:
                     self.caches = self._insert(self.caches, kvs_i,
                                                jnp.int32(slot), jnp.int32(L))
@@ -536,7 +542,9 @@ class Engine:
                 logits = self._chunk_admit(toks, pos, slot)
                 pos += t_real
             self.pm.register_prefix(slot, req.prompt,
-                                    skip_pages=n_cached // ec.page_size)
+                                    skip_pages=n_cached // ec.page_size,
+                                    ns=int(self._slot_aids[slot])
+                                    if self._multi_lora else 0)
             self._finish_admission(slot, req, logits[t_real - 1])
 
     def _finish_admission(self, slot: int, req: Request, last_logits):
@@ -599,7 +607,9 @@ class Engine:
                 del self.filling[slot]
                 self.pm.register_prefix(
                     slot, req.prompt,
-                    skip_pages=self._fill_cached.pop(slot, 0))
+                    skip_pages=self._fill_cached.pop(slot, 0),
+                    ns=int(self._slot_aids[slot])
+                    if self._multi_lora else 0)
                 self._finish_admission(slot, req, logits[t_real - 1])
 
     def _maybe_finish(self, slot, token):
@@ -741,6 +751,8 @@ class Engine:
 
         kw = ({"page_table": self.pm.device_table}
               if self.pm is not None else {})
+        if self._multi_lora:
+            kw["adapter_ids"] = jnp.asarray(self._slot_aids)
         logits, self.caches = self._verify(self.params, chunk, self.caches,
                                            self.lengths, cfg=self.cfg, **kw)
         proposals = chunk[:, 1:]

@@ -145,21 +145,25 @@ def _chunk_append(cache, k, v, pos, page_table=None, page_aligned=False):
 
 
 def _chunk_cache_attend(q, cache, base_lengths, cfg, mesh=None,
-                        page_table=None, window=None):
+                        page_table=None, window=None, sinks=None):
     """Chunk attention over any cache layout via the attention/chunk.py
     kernels; q (B, T, H, Dh) -> (B, T, H, Dh). Under a mesh: shard_map with
-    batch on dp, heads on tp (mirrors llama._cache_attend)."""
+    batch on dp, heads on tp (mirrors llama._cache_attend). ``sinks``
+    (GPT-OSS, (H,)): kernels run with_lse and the out rows are damped by
+    sigmoid(lse - sink) — the same correction as llama._attention."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from leetcuda_tpu.attention.chunk import (
         make_chunk_attention, make_paged_chunk_attention)
 
+    with_lse = sinks is not None
     softcap, sm_scale = cfg.attn_softcap, cfg.query_scale
     qk = q.transpose(0, 2, 1, 3).astype(cfg.dtype)  # (B, H, T, Dh)
     if "k_pages" in cache:
         quantized = "k_scales" in cache
         fn = make_paged_chunk_attention(window=window, quantized=quantized,
-                                        softcap=softcap, sm_scale=sm_scale)
+                                        softcap=softcap, sm_scale=sm_scale,
+                                        with_lse=with_lse)
         if quantized:
             args = (qk, cache["k_pages"], cache["v_pages"],
                     cache["k_scales"], cache["v_scales"], page_table,
@@ -175,7 +179,8 @@ def _chunk_cache_attend(q, cache, base_lengths, cfg, mesh=None,
     else:
         quantized = "k_scale" in cache
         fn = make_chunk_attention(window=window, quantized=quantized,
-                                  softcap=softcap, sm_scale=sm_scale)
+                                  softcap=softcap, sm_scale=sm_scale,
+                                  with_lse=with_lse)
         if quantized:
             args = (qk, cache["k"], cache["v"], cache["k_scale"],
                     cache["v_scale"], base_lengths)
@@ -186,17 +191,24 @@ def _chunk_cache_attend(q, cache, base_lengths, cfg, mesh=None,
             args = (qk, cache["k"], cache["v"], base_lengths)
             in_specs = (P("dp", "tp", None, None), P("dp", "tp", None, None),
                         P("dp", "tp", None, None), P("dp"))
+    out_specs = (P("dp", "tp", None, None),
+                 P("dp", "tp", None)) if with_lse else P("dp", "tp", None,
+                                                         None)
     if mesh is None:
         o = fn(*args)
     else:
         o = shard_map(fn, mesh=mesh, in_specs=in_specs,
-                      out_specs=P("dp", "tp", None, None),
-                      check_vma=False)(*args)
+                      out_specs=out_specs, check_vma=False)(*args)
+    if with_lse:
+        o, lse = o  # lse (B, H, T)
+        o = o * jax.nn.sigmoid(
+            lse - sinks[None, :, None]).astype(o.dtype)[..., None]
     return o.transpose(0, 2, 1, 3).astype(jnp.float32)
 
 
 def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
-                 mesh=None, page_table=None, page_aligned=False):
+                 mesh=None, page_table=None, page_aligned=False,
+                 adapter_ids=None):
     """T-token decode step (chunked prefill / speculative verify).
 
     tokens (B, T) int32 at positions lengths..lengths+T-1. Returns
@@ -216,7 +228,8 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
     for li, (layer, cache) in enumerate(zip(params["layers"], caches)):
         h = (_rms_norm(x, layer["attn_norm"], cfg.norm_eps, cfg.rms_offset)
              if "attn_norm" in layer else x)
-        q, k, v = _proj_qkv(h, layer, H, Hkv, Dh)
+        q, k, v = _proj_qkv(h, layer, H, Hkv, Dh,
+                            adapter_ids=adapter_ids)
         if ("q_norm" in layer
                 and layer["q_norm"].shape[-1] == H * Dh):  # OLMo2 flat
             q = _rms_norm(q, layer["q_norm"], cfg.norm_eps)
@@ -235,16 +248,17 @@ def decode_chunk(params, tokens, caches, lengths, cfg: ModelConfig,
         new_caches.append(c)
         o = _chunk_cache_attend(q, c, lengths, cfg, mesh=mesh,
                                 page_table=page_table,
-                                window=cfg.layer_window(li))  # (B,T,H,Dh) f32
+                                window=cfg.layer_window(li),
+                                sinks=layer.get("sinks"))  # (B,T,H,Dh) f32
         attn_out = linear(o.reshape(B, T, H * Dh).astype(x.dtype),
-                          layer["wo"])
+                          layer["wo"], adapter_ids=adapter_ids)
         if "post_attn_norm" in layer:
             attn_out = _rms_norm(attn_out, layer["post_attn_norm"],
                                  cfg.norm_eps, cfg.rms_offset)
         x = x + attn_out
         h = (_rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
              if "mlp_norm" in layer else x)
-        mlp_out = _proj_mlp(h, layer, cfg)
+        mlp_out = _proj_mlp(h, layer, cfg, adapter_ids=adapter_ids)
         if "post_mlp_norm" in layer:
             mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"],
                                 cfg.norm_eps, cfg.rms_offset)

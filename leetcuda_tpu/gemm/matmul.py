@@ -288,6 +288,21 @@ def pick_matmul_config(M: int, N: int, K: int, dtype=jnp.bfloat16,
     elif M >= 4 * N:
         bm, bn = 4096, 1024
     bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
+
+    # Snap to the padding-minimizing tile: a ragged grid computes the padded
+    # region for nothing (3072 under a 2048 tile -> 2x2 grid of 2048-tiles =
+    # 78% wasted MACs, measured 0.53x XLA in PERF_SWEEP). Candidates stay
+    # (8,128)-aligned; tie-break toward the bigger tile.
+    def _snap(dim, b):
+        if dim % b == 0:
+            return b
+        cands = [c for c in (b, 1792, 1536, 1280, 1152, 1024, 896, 768,
+                             640, 512, 384, 256) if c <= b]
+        def waste(c):
+            return (cdiv(dim, c) * c - dim) / dim
+        return min(cands, key=lambda c: (round(waste(c), 4), -c))
+
+    bm, bn = _snap(M, bm), _snap(N, bn)
     while not fits(bm, bn, bk) and bk > 128:
         bk //= 2
     while not fits(bm, bn, bk) and max(bm, bn) > 256:

@@ -168,7 +168,7 @@ def _apply_rope(x, positions, cfg: "ModelConfig"):
                            mscale=cfg.rope_mscale())
 
 
-def _proj_mlp(h, layer, cfg=None):
+def _proj_mlp(h, layer, cfg=None, adapter_ids=None):
     if "moe_oss" in layer:
         return _gptoss_moe(h, layer["moe_oss"], cfg)
     if "moe" in layer:
@@ -178,15 +178,16 @@ def _proj_mlp(h, layer, cfg=None):
             return moe_ffn_dropless(h, layer["moe"], cfg.moe)
         return moe_ffn(h, layer["moe"], cfg.moe)
     if "w_gate_up" in layer:
-        gu = linear(h, layer["w_gate_up"])
+        gu = linear(h, layer["w_gate_up"], adapter_ids=adapter_ids)
         gate, up = jnp.split(gu, 2, axis=-1)
     else:
-        gate, up = linear(h, layer["w_gate"]), linear(h, layer["w_up"])
+        gate, up = (linear(h, layer["w_gate"], adapter_ids=adapter_ids),
+                    linear(h, layer["w_up"], adapter_ids=adapter_ids))
     act = (jax.nn.silu if cfg is None or cfg.hidden_act == "silu"
            else functools.partial(jax.nn.gelu, approximate=True))
     gate = act(gate.astype(jnp.float32))
     return linear((gate * up.astype(jnp.float32)).astype(h.dtype),
-                  layer["w_down"])
+                  layer["w_down"], adapter_ids=adapter_ids)
 
 
 def quantize_params(params, dtype="fp8"):
@@ -604,7 +605,7 @@ def apply_layer(layer, x, positions=None, cfg: ModelConfig = None,
 
     h = (_rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
          if "mlp_norm" in layer else x)
-    mlp_out = _proj_mlp(h, layer, cfg)
+    mlp_out = _proj_mlp(h, layer, cfg, adapter_ids=adapter_ids)
     if "post_mlp_norm" in layer:
         mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"], cfg.norm_eps,
                             cfg.rms_offset)
@@ -727,7 +728,7 @@ def forward_ragged(params, tokens, lengths, cfg: ModelConfig,
         x = x + attn_out
         h = (_rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
              if "mlp_norm" in layer else x)
-        mlp_out = _proj_mlp(h, layer, cfg)
+        mlp_out = _proj_mlp(h, layer, cfg, adapter_ids=adapter_ids)
         if "post_mlp_norm" in layer:
             mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"],
                                 cfg.norm_eps, cfg.rms_offset)
@@ -983,35 +984,19 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
     """Decode attention over the cache. Under a mesh the Pallas kernel is
     wrapped in shard_map (GSPMD cannot partition a custom call): batch on dp,
     heads on tp — each shard runs the kernel on its local head group."""
-    if sinks is not None:
-        # GPT-OSS sinks: rescale by sigmoid(lse - sink) (see _attention)
-        assert "k" in cache and "k_scale" not in cache, (
-            "attention sinks currently serve plain slot caches "
-            "(paged/quantized pools need with_lse kernel variants)")
-        da = make_decode_attention(block_k=block_k, window=window,
-                                   softcap=softcap, sm_scale=sm_scale,
-                                   with_lse=True)
-
-        def sink_da(q, k, v, lengths, s):
-            out, lse = da(q, k, v, lengths)
-            return out * jax.nn.sigmoid(lse - s[None, :]
-                                        ).astype(out.dtype)[..., None]
-
-        if mesh is None:
-            return sink_da(q, cache["k"], cache["v"], lengths, sinks)
-        return shard_map(
-            sink_da, mesh=mesh,
-            in_specs=(P("dp", "tp", None), P("dp", "tp", None, None),
-                      P("dp", "tp", None, None), P("dp"), P("tp")),
-            out_specs=P("dp", "tp", None), check_vma=False)(
-            q, cache["k"], cache["v"], lengths, sinks)
-
+    # GPT-OSS sinks rescale the out rows by sigmoid(lse - sink) — every
+    # cache layout (plain, quantized, paged, paged-quantized) has a with_lse
+    # kernel variant, so sinks compose with the whole serving matrix. The
+    # correction runs OUTSIDE the shard_map: lse gathers to (B, H) and the
+    # (H,) sink vector broadcasts under GSPMD.
+    with_lse = sinks is not None
     if "k_pages" in cache:
         from leetcuda_tpu.attention.paged import make_paged_attention
 
         quantized = "k_scales" in cache
-        pa = make_paged_attention(quantized=quantized, window=window,
-                                  softcap=softcap, sm_scale=sm_scale)
+        da = make_paged_attention(quantized=quantized, window=window,
+                                  softcap=softcap, sm_scale=sm_scale,
+                                  with_lse=with_lse)
         if quantized:
             args = (q, cache["k_pages"], cache["v_pages"], cache["k_scales"],
                     cache["v_scales"], page_table, lengths)
@@ -1019,21 +1004,17 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
                         P(None, "tp", None, None), P(None, "tp", None),
                         P(None, "tp", None), P("dp", None), P("dp"))
         else:
+            # page pools shard on tp (heads); the pool (no batch dim) is
+            # shared across dp shards, each attending its own table rows
             args = (q, cache["k_pages"], cache["v_pages"], page_table,
                     lengths)
             in_specs = (P("dp", "tp", None), P(None, "tp", None, None),
                         P(None, "tp", None, None), P("dp", None), P("dp"))
-        if mesh is None:
-            return pa(*args)
-        # page pools shard on tp (heads); the pool (no batch dim) is shared
-        # across dp shards, each attending its own slots' page-table rows
-        return shard_map(pa, mesh=mesh, in_specs=in_specs,
-                         out_specs=P("dp", "tp", None), check_vma=False)(*args)
-    quantized = "k_scale" in cache
-    if quantized:
+    elif "k_scale" in cache:
         da = make_decode_attention_quantized(block_k=block_k, window=window,
                                              softcap=softcap,
-                                             sm_scale=sm_scale)
+                                             sm_scale=sm_scale,
+                                             with_lse=with_lse)
         args = (q, cache["k"], cache["v"], cache["k_scale"],
                 cache["v_scale"], lengths)
         in_specs = (P("dp", "tp", None), P("dp", "tp", None, None),
@@ -1041,14 +1022,23 @@ def _cache_attend(q, cache, lengths, block_k=1024, mesh: Mesh | None = None,
                     P("dp", "tp", None), P("dp"))
     else:
         da = make_decode_attention(block_k=block_k, window=window,
-                                   softcap=softcap, sm_scale=sm_scale)
+                                   softcap=softcap, sm_scale=sm_scale,
+                                   with_lse=with_lse)
         args = (q, cache["k"], cache["v"], lengths)
         in_specs = (P("dp", "tp", None), P("dp", "tp", None, None),
                     P("dp", "tp", None, None), P("dp"))
     if mesh is None:
-        return da(*args)
-    return shard_map(da, mesh=mesh, in_specs=in_specs,
-                     out_specs=P("dp", "tp", None), check_vma=False)(*args)
+        res = da(*args)
+    else:
+        out_specs = ((P("dp", "tp", None), P("dp", "tp"))
+                     if with_lse else P("dp", "tp", None))
+        res = shard_map(da, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False)(*args)
+    if with_lse:
+        out, lse = res
+        return out * jax.nn.sigmoid(lse - sinks[None, :]
+                                    ).astype(out.dtype)[..., None]
+    return res
 
 
 def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
@@ -1141,7 +1131,7 @@ def decode_step_impl(params, tokens, caches, lengths, cfg: ModelConfig,
 
         h = (_rms_norm(x, layer["mlp_norm"], cfg.norm_eps, cfg.rms_offset)
              if "mlp_norm" in layer else x)
-        mlp_out = _proj_mlp(h, layer, cfg)
+        mlp_out = _proj_mlp(h, layer, cfg, adapter_ids=adapter_ids)
         if "post_mlp_norm" in layer:
             mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"],
                                 cfg.norm_eps, cfg.rms_offset)

@@ -366,3 +366,18 @@ def test_glm_style_engine_paged(setup):
     run_matrix(cfg, params, EngineConfig(
         slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
         prefill_chunk=32))
+
+
+def test_sinks_full_matrix(setup, draft):
+    """Sinks x paged x int8-KV x TP x speculative x chunked prefill x
+    prefix cache — the r2 fence (sinks forced plain slot caches) is gone:
+    every decode/chunk kernel has a with_lse variant and the
+    sigmoid(lse - sink) correction rides outside the kernels."""
+    cfg = tiny_config(attn_sinks=True)
+    params = init_params(jax.random.key(11), cfg)
+    d_params, d_cfg = draft
+    mesh = make_mesh(MeshConfig(dp=1, sp=1, tp=2), devices=jax.devices()[:2])
+    run_matrix(cfg, params, EngineConfig(
+        slots=2, max_seq=256, prefill_bucket=16, paged=True, page_size=16,
+        kv_quant="int8", spec_k=2, prefill_chunk=32, prefix_cache=True),
+        mesh=mesh, draft_model=(d_params, d_cfg))

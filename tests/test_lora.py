@@ -134,3 +134,53 @@ def test_multi_lora_engine_serving():
         want = solo_greedy(merge_lora(singles[i]), cfg, prompt, 6)
         got = eng.finished[uid].generated
         assert got == want, (i, got, want)
+
+
+def test_multi_lora_composed_serving():
+    """The r2-verdict 'no fences' standard one layer up: multi-LoRA x paged
+    x prefix-cache x chunked prefill x SPECULATIVE in one engine, each
+    tenant emitting exactly its adapter's solo greedy stream. Also checks
+    the trie namespace: one shared prompt served under two adapters must
+    NOT share prefix pages (adapted wk/wv make the KV tenant-specific),
+    while a repeat under the SAME adapter may adopt them."""
+    from leetcuda_tpu.models.llama import tiny_config, init_params
+    from leetcuda_tpu.models.lora import add_lora, merge_lora, stack_lora
+    from leetcuda_tpu.engine import Engine, EngineConfig
+    from test_engine import solo_greedy
+
+    cfg = tiny_config()
+    base = init_params(jax.random.key(0), cfg)
+    singles = []
+    for i in range(2):
+        p = add_lora(base, jax.random.key(10 + i), rank=4)
+        for layer in p["layers"]:
+            for name, w in layer.items():
+                if isinstance(w, dict) and "A" in w:
+                    w["B"] = jax.random.normal(
+                        jax.random.fold_in(jax.random.key(20 + i),
+                                           hash(name) % 1000),
+                        w["B"].shape, jnp.float32) * 0.05
+        singles.append(p)
+    stacked = stack_lora(singles)
+    d_cfg = tiny_config(n_layers=1, dim=128, n_heads=2, n_kv_heads=1,
+                        ffn_dim=256)
+    d_params = init_params(jax.random.key(99), d_cfg)
+
+    rng = np.random.default_rng(3)
+    shared = list(rng.integers(0, cfg.vocab_size, 40))  # > 2 pages
+    eng = Engine(stacked, cfg, EngineConfig(
+        slots=2, max_seq=128, prefill_bucket=16, paged=True, page_size=16,
+        prefix_cache=True, prefill_chunk=32, spec_k=2),
+        draft=(d_params, d_cfg))
+    want = [solo_greedy(merge_lora(singles[i]), cfg, shared, 6)
+            for i in range(2)]
+
+    # serial: each request sees the previous one's published prefix pages
+    for i, aid in enumerate([0, 1, 0]):
+        uid = eng.submit(shared, max_new=6, adapter_id=aid)
+        while eng.waiting or eng.active or eng.filling:
+            eng.step()
+        got = eng.finished[uid].generated
+        assert got == want[aid], (i, aid, got, want[aid])
+    # the third request (adapter 0 repeat) adopted adapter-0 pages
+    assert eng.pm.hits > 0
