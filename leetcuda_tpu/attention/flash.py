@@ -436,10 +436,13 @@ for _name, _bq, _bk, _causal in [
     )(make_flash_attention(block_q=_bq, block_k=_bk, causal=_causal))
 
 register_op(
-    # two-phase causal grid (VERDICT r2 #6): off-diagonal KV tiles take the
-    # unmasked fast path; wide block_k pairs with the D=64 wide-KV move.
-    # Registered so tools/hw_sweep.py compiles the branchy kernel through
-    # Mosaic on-chip before any default-block policy relies on it.
+    # two-phase causal grid: off-diagonal KV tiles take the unmasked fast
+    # path. VERDICT r2 #6 DECISION (logs/r3_d64.log, PERF.md D=64 section):
+    # measured +0.9% vs the plain causal kernel at D=64 — inside noise, NOT
+    # shipped as default; combined with wide-KV it *lost* 27% (42.6 vs 58.3
+    # TFLOPS: the coarser diagonal skip cancels the fast path). Stays
+    # registered as a ladder rung (reference keeps its slower rungs too) so
+    # hw_sweep keeps compiling the branchy kernel through Mosaic.
     "flash_attn_mma_stages_split_q_causal_two_phase",
     ref=functools.partial(mha_ref, causal=True),
     flops=_fa_flops,

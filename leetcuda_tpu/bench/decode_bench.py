@@ -53,7 +53,7 @@ def bench_one(tag, params, cfg, B, S, max_new, kv_quant, reps=3):
 
         def run():
             caches = init_kv_caches(cfg, B, max_seq, quant=kv_quant)
-            toks = go(params, prompts, caches)
+            toks, _ = go(params, prompts, caches)  # final caches dropped
             np.asarray(jax.device_get(toks))  # fence through the tunnel
 
         run()  # compile + warm

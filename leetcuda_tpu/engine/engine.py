@@ -934,6 +934,12 @@ def make_generate_scan(cfg: ModelConfig, max_new: int, mesh=None,
     ``fold_in``s of the caller's key, so the stream is reproducible."""
     stochastic = sample_fn is not None and sample_fn is not _greedy
 
+    # The final caches are RETURNED (and dropped by callers): donation can
+    # only alias input->output, so a tokens-only return made every donated
+    # cache buffer "not usable" — XLA copied the whole (quantized) cache +
+    # scales once per call ("Some donated buffers were not usable:
+    # int8[8,4,3072,128], float32[8,4,3072], ..." in the r3 int4 logs).
+    # Returning them costs nothing: it is the same aliased HBM buffer.
     @functools.partial(jax.jit, donate_argnums=(2,))
     def go(params, prompts, caches, key=None):
         B, S = prompts.shape
@@ -955,9 +961,9 @@ def make_generate_scan(cfg: ModelConfig, max_new: int, mesh=None,
                 nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (nxt, caches, lengths + 1), toks
 
-        (_, _, _), toks = jax.lax.scan(
+        (_, caches, _), toks = jax.lax.scan(
             body, (first, ins, lengths), jnp.arange(1, max_new + 1))
-        return toks.T  # (B, max_new)
+        return toks.T, caches  # (B, max_new); caches alias the donated input
 
     return go
 
@@ -981,5 +987,5 @@ def generate_scan(params, cfg: ModelConfig, prompts, max_new: int,
     go = make_generate_scan(cfg, max_new, mesh, sample_fn=sample_fn)
     if sample_fn is not None and sample_fn is not _greedy:
         assert key is not None, "sample_fn needs a PRNG key"
-        return go(params, prompts, caches, key)
-    return go(params, prompts, caches)
+        return go(params, prompts, caches, key)[0]
+    return go(params, prompts, caches)[0]

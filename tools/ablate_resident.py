@@ -116,6 +116,135 @@ def make_resident_pingpong(*, reps: int, block_m: int = 1024,
     return fn
 
 
+def make_resident_dual(*, reps: int, block_m: int = 512,
+                       vmem_limit_mb: int = 100):
+    """Candidate `dual`: TWO independent row-chains per grid step.
+
+    Within one chain, dot r+1 depends on the cast/store of dot r, so the MXU
+    idles during each epilogue (the r3 decomposition of the 0.93-0.96
+    ceiling). Interleaving two independent chains in one body gives Mosaic's
+    scheduler an epilogue to run *under* the other chain's dot."""
+    two = 2 * block_m
+
+    def kernel(a_ref, b_ref, o_ref, cur):
+        r = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _():
+            cur[:] = a_ref[:]
+
+        c0 = jnp.dot(cur[:block_m], b_ref[:],
+                     preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        c1 = jnp.dot(cur[block_m:], b_ref[:],
+                     preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        cur[:block_m] = c0
+        cur[block_m:] = c1
+
+        @pl.when(r == reps - 1)
+        def _():
+            o_ref[:block_m] = c0
+            o_ref[block_m:] = c1
+
+    @jax.jit
+    def fn(a, b):
+        M, K = a.shape
+        ni = cdiv(M, two)
+        params = {}
+        if not interpret_default():
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+            )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((M, K), a.dtype),
+            grid=(ni, reps),
+            in_specs=[
+                pl.BlockSpec((two, K), lambda i, r: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, K), lambda i, r: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((two, K), lambda i, r: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((two, K), a.dtype)],
+            interpret=interpret_default(),
+            **params,
+        )(a, b)
+
+    return fn
+
+
+def make_resident_njin(*, reps: int, block_m: int = 1024, nsl: int = 4,
+                       vmem_limit_mb: int = 110):
+    """Candidate `njin`: N sliced INSIDE the body with ping-pong scratches.
+
+    Per rep, new[:, j] = cast(dot(old, B[:, j])) for nsl static slices — the
+    cast/store of slice j is independent of the dot of slice j+1 (both read
+    `old`, write disjoint slices of `new`), so epilogues overlap the MXU
+    without the grid-level window churn that sank the r3 `pingpong`
+    candidate (0.675: j in the GRID re-fetched windows per step)."""
+
+    def kernel(a_ref, b_ref, o_ref, cur_a, cur_b):
+        r = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _():
+            cur_a[:] = a_ref[:]
+
+        K = cur_a.shape[1]
+        bn_ = K // nsl
+
+        def body(src, dst):
+            for j in range(nsl):
+                c = jnp.dot(src[:], b_ref[:, j * bn_:(j + 1) * bn_],
+                            preferred_element_type=jnp.float32
+                            ).astype(dst.dtype)
+                dst[:, j * bn_:(j + 1) * bn_] = c
+
+                @pl.when(r == reps - 1)
+                def _(c=c, j=j):
+                    o_ref[:, j * bn_:(j + 1) * bn_] = c
+
+        @pl.when(r % 2 == 0)
+        def _():
+            body(cur_a, cur_b)
+
+        @pl.when(r % 2 == 1)
+        def _():
+            body(cur_b, cur_a)
+
+    @jax.jit
+    def fn(a, b):
+        M, K = a.shape
+        ni = cdiv(M, block_m)
+        params = {}
+        if not interpret_default():
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
+            )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((M, K), a.dtype),
+            grid=(ni, reps),
+            in_specs=[
+                pl.BlockSpec((block_m, K), lambda i, r: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, K), lambda i, r: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, K), lambda i, r: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((block_m, K), a.dtype),
+                            pltpu.VMEM((block_m, K), a.dtype)],
+            interpret=interpret_default(),
+            **params,
+        )(a, b)
+
+    return fn
+
+
 def make_resident_parsem(*, reps: int, block_m: int = 1024,
                          vmem_limit_mb: int = 100):
     """base kernel with parallel i semantics (candidate `parsem`)."""
@@ -183,14 +312,19 @@ def main():
          / np.sqrt(n)).astype(jnp.bfloat16)
 
     def builders(reps):
+        # bm2048 dropped: r3 measured it VMEM-infeasible (whole-B 32MB +
+        # double-buffered 2048-row windows + 32MB register spills > 128MB,
+        # logs/r3_resident.log); pingpong dropped: measured 0.675 (grid-level
+        # j re-fetched windows per step). Replaced by dual/njin which attack
+        # the actual residual (epilogue serialized against the dependent dot).
         out = {
             "xla": jax.jit(functools.partial(matmul_chain_ref, reps=reps)),
             "base": make_matmul_resident(reps=reps, block_m=1024),
             "parsem": make_resident_parsem(reps=reps, block_m=1024),
-            "pingpong": make_resident_pingpong(reps=reps, block_m=1024,
-                                               block_n=1024),
-            "bm2048": make_matmul_resident(reps=reps, block_m=2048,
-                                           vmem_limit_mb=128),
+            "dual": make_resident_dual(reps=reps, block_m=512),
+            "dual1k": make_resident_dual(reps=reps, block_m=1024,
+                                         vmem_limit_mb=120),
+            "njin": make_resident_njin(reps=reps, block_m=1024, nsl=4),
         }
         return out
 
@@ -229,7 +363,7 @@ def main():
 
     fl = 2 * n ** 3
     results = {}
-    for cand in ["xla", "base", "parsem", "pingpong", "bm2048"]:
+    for cand in ["xla", "base", "parsem", "dual", "dual1k", "njin"]:
         if (cand, "lo") in best and (cand, "hi") in best:
             per = (best[(cand, "hi")] - best[(cand, "lo")]) / (HI - LO)
             results[cand] = round(fl / per / 1e12, 1)

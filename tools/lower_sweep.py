@@ -1,21 +1,33 @@
 """TPU-lowering sweep WITHOUT a chip: lower every registered op for the TPU
 platform from a CPU-only session.
 
-`jax.export(..., platforms=("tpu",))` runs the full Pallas -> Mosaic kernel
-generation (grid/BlockSpec legality, scratch shapes, dtype legalization,
-iota/layout rules) that interpret-mode tests never touch — the bug class
-tools/hw_sweep.py exists for, minus the final on-device Mosaic compile and
-numerics. Run it in CI as the chip-less middle tier of the validation
-ladder:
+`jax.export(..., platforms=("tpu",))` runs the Pallas -> Mosaic kernel
+GENERATION (grid/BlockSpec legality, scratch shapes, dtype legalization,
+iota/layout rules) that interpret-mode tests never touch. What it does NOT
+run is the Mosaic BACKEND compile — r3 proved the difference: the fp8 decode
+rung lowered clean here, then Mosaic rejected its (1,bk)i1->(bk,1) reshape
+on the chip ("Insertion of minor dim that is not a no-op only supported for
+32-bit types", logs/r3_fp8verify.log). Hence two tiers in one tool:
 
-    pytest (interpret numerics)  ->  lower_sweep (Mosaic lowering)
-        ->  hw_sweep (on-chip compile + numerics)
+    default   — lowering only (any CPU host; catches kernel-generation bugs)
+    --mosaic  — lower AND run the Mosaic backend compile via
+                jax.jit(fn).lower(...).compile() on the TPU backend. Needs
+                a TPU backend attached (a chip, or the axon tunnel whose
+                remote compile helper AOT-compiles chiplessly) but never
+                executes anything. This tier catches the r3 fp8 class.
 
-    python tools/lower_sweep.py [--families gemm flash-attn] [--verbose]
+The validation ladder (SURVEY §4 upgraded to a real pyramid):
 
-Exit 0 iff every op lowers. LEETCUDA_TARGET_TPU=1 makes on_tpu() report
-True so kernels build exactly as they would for the chip (interpret off,
-f16-compat upcasts active).
+    pytest (interpret numerics) -> lower_sweep (kernel gen)
+        -> lower_sweep --mosaic (backend compile) -> hw_sweep (run + numerics)
+
+    python tools/lower_sweep.py [--mosaic] [--selftest] [--families ...]
+
+Exit 0 iff every op passes its tier. --selftest compiles a deliberately
+Mosaic-illegal canary kernel (the exact r3 i1-reshape pattern) and FAILS
+unless the active tier rejects it — proof the gate has teeth.
+LEETCUDA_TARGET_TPU=1 makes on_tpu() report True so kernels build exactly
+as they would for the chip (interpret off, f16-compat upcasts active).
 """
 
 from __future__ import annotations
@@ -31,7 +43,9 @@ import importlib
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+_MOSAIC = "--mosaic" in sys.argv  # needs the TPU backend: skip the cpu pin
+if not _MOSAIC:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -262,12 +276,44 @@ def e2e_cases():
     yield ("pp_dp_train_step", pp_train)
 
 
+def _canary_illegal_kernel():
+    """The exact r3 fp8-decode pattern Mosaic rejects on device: reshape a
+    (1, bk) i1 mask to (bk, 1) — 'Insertion of minor dim that is not a no-op
+    only supported for 32-bit types'. Lowering-only tiers PASS this; the
+    --mosaic tier must FAIL it (that asymmetry is the r3 lesson)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bk = 128
+
+    def kernel(x_ref, o_ref):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+        valid = cols < 7
+        o_ref[:] = jnp.where(valid.reshape(bk, 1), x_ref[:], 0.0)
+
+    def fn(x):
+        return pl.pallas_call(
+            kernel, out_shape=jax.ShapeDtypeStruct((bk, bk), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(x)
+
+    return fn, [jax.ShapeDtypeStruct((bk, bk), np.float32)]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", nargs="*", default=None)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--e2e", action="store_true",
                     help="also lower composed model/engine/train paths")
+    ap.add_argument("--mosaic", action="store_true",
+                    help="run the Mosaic BACKEND compile per op (needs a TPU "
+                         "backend; AOT only — nothing executes)")
+    ap.add_argument("--selftest", action="store_true",
+                    help="check the gate catches a known-Mosaic-illegal "
+                         "canary kernel (fails in lowering-only mode by "
+                         "design: that tier cannot see it)")
     args = ap.parse_args()
 
     for m in MODULES:
@@ -277,7 +323,33 @@ def main():
     from leetcuda_tpu.core.registry import OPS
     from leetcuda_tpu.core.testing import make_args
 
-    print(f"{len(OPS)} registered ops; lowering for platform=tpu on cpu host")
+    if args.mosaic:
+        assert jax.devices()[0].platform == "tpu", \
+            "--mosaic needs a TPU backend (chip or axon tunnel)"
+
+        def check(fn, abstract):
+            jax.jit(fn).lower(*abstract).compile()   # full Mosaic, no run
+    else:
+        def check(fn, abstract):
+            export.export(jax.jit(fn), platforms=("tpu",))(*abstract)
+
+    tier = "mosaic backend compile" if args.mosaic else "lowering only"
+    print(f"{len(OPS)} registered ops; tier: {tier}")
+
+    if args.selftest:
+        fn, abstract = _canary_illegal_kernel()
+        try:
+            check(fn, abstract)
+            print("selftest: canary NOT rejected — this tier cannot catch "
+                  "Mosaic-illegal kernels" + (
+                      " (FAIL)" if args.mosaic else " (expected: lowering "
+                      "tier is blind to backend rules; use --mosaic)"))
+            if args.mosaic:
+                return 1
+        except Exception as e:
+            print(f"selftest: canary rejected as expected "
+                  f"({type(e).__name__}: {str(e)[:120]})")
+
     rng = np.random.default_rng(0)
     passed = failed = skipped = 0
     failures = []
@@ -292,7 +364,7 @@ def main():
         abstract = [jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
                     for x in a]
         try:
-            export.export(jax.jit(spec.fn), platforms=("tpu",))(*abstract)
+            check(spec.fn, abstract)
             passed += 1
             if args.verbose:
                 print(f"  ok   {name}")
