@@ -261,55 +261,68 @@ def pick_matmul_config(M: int, N: int, K: int, dtype=jnp.bfloat16,
     reference's swizzle-stride auto-select (hgemm.py:198-208 picks the block-
     swizzle stride from N; here the whole tile config adapts).
 
-    Rules (tuned on TPU v5e, tools/gemm_sweep.py artifact PERF_SWEEP.json):
+    Rules (tuned on TPU v5e; artifacts PERF_SWEEP.json + TUNE_ROWS.json):
     - flagship tile is (2048, 2048, 512): big MXU-aligned output tiles amortize
       the f32 accumulator writeback; bk=512 keeps the double-buffered K stream
       deep enough to hide HBM latency at bf16.
-    - tiles are clamped to the problem and the VMEM budget (~100 MB): for each
-      candidate we cost x-block + y-block (×2 for the automatic double
-      buffer) + f32 acc + out block, shrinking bk then bm/bn until it fits.
-    - wide-and-flat problems (N ≫ M or M ≫ N) rebalance the tile toward the
-      long axis so the short axis doesn't fragment the grid.
-    - block swizzle (grouped grid walk) only pays when the B panel no longer
-      fits cache-resident across a full row of output tiles — i.e. many column
-      tiles; group=4 matches the measured sweet spot (gemm-swizzle variants).
+    - (bm, bn) minimize operand RE-READ traffic, nj·(M·K) + ni·(K·N):
+      each row of output tiles re-reads the whole B panel and each column
+      re-reads A, so the r3 sub-bar rows were exactly the shapes where the
+      old fixed/aspect-rebalanced tiles re-read the LARGER operand — e.g.
+      4096×14336×4096 (Llama-8B MLP) wants bm=M (B read once, 0.935→≥0.95).
+    - shallow K (≤ 1024): bk = K — the whole reduction lives in one grid
+      step per tile, no accumulator loop to leave exposed (the r3
+      8192×8192×1024 row at bk=512 ran 0.881; TUNE_ROWS re-measures).
+    - candidates are padding-snapped ((8,128)-aligned, ≤12% wasted MACs) and
+      clamped to the ~100 MB VMEM budget (double-buffered inputs + f32 acc +
+      out block).
+    - block swizzle (grouped grid walk) only pays with many column tiles;
+      group=4 matches the measured sweet spot (gemm-swizzle variants).
     """
     isz = jnp.dtype(dtype).itemsize
+
+    bk = K if K <= 1024 else 512
 
     def fits(bm, bn, bk):
         # double-buffered input blocks + f32 scratch + out block
         vmem = 2 * (bm * bk + bk * bn) * isz + bm * bn * 4 + bm * bn * isz
         return vmem <= 100 * 1024 * 1024
 
-    bm, bn, bk = 2048, 2048, 512
-    # rebalance toward the long axis for skewed problems (≥4x aspect)
-    if N >= 4 * M:
-        bm, bn = 1024, 4096
-    elif M >= 4 * N:
-        bm, bn = 4096, 1024
-    bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
+    def waste(dim, b):
+        return (cdiv(dim, b) * b - dim) / dim
 
-    # Snap to the padding-minimizing tile: a ragged grid computes the padded
-    # region for nothing (3072 under a 2048 tile -> 2x2 grid of 2048-tiles =
-    # 78% wasted MACs, measured 0.53x XLA in PERF_SWEEP). Candidates stay
-    # (8,128)-aligned; tie-break toward the bigger tile.
-    def _snap(dim, b):
-        if dim % b == 0:
-            return b
-        cands = [c for c in (b, 1792, 1536, 1280, 1152, 1024, 896, 768,
-                             640, 512, 384, 256) if c <= b]
-        def waste(c):
-            return (cdiv(dim, c) * c - dim) / dim
-        return min(cands, key=lambda c: (round(waste(c), 4), -c))
+    edges = (4096, 3072, 2048, 1792, 1536, 1280, 1152, 1024, 896, 768,
+             640, 512, 384, 256)
 
-    bm, bn = _snap(M, bm), _snap(N, bn)
-    while not fits(bm, bn, bk) and bk > 128:
-        bk //= 2
-    while not fits(bm, bn, bk) and max(bm, bn) > 256:
-        if bm >= bn:
-            bm //= 2
-        else:
-            bn //= 2
+    def snapped(dim, cap):
+        """Padding-viable tile candidates ≤ cap for this dim."""
+        out = [c for c in edges
+               if c <= min(cap, dim) and waste(dim, c) <= 0.12]
+        return out or [min(dim, 256)]
+
+    best = None
+    for bm in snapped(M, 4096):
+        for bn in snapped(N, 4096):
+            b = bk
+            while not fits(bm, bn, b) and b > 128:
+                b //= 2
+            if not fits(bm, bn, b):
+                continue
+            ni, nj = cdiv(M, bm), cdiv(N, bn)
+            # steady-state HBM reads: A re-read per tile column, B per row
+            traffic = nj * M * K + ni * K * N
+            # padded MACs are wasted MXU time; weight them like traffic via
+            # the compute/bandwidth ratio at bf16 (≈240 flops/byte on v5e)
+            padded = (ni * bm) * (nj * bn) * K - M * N * K
+            cost = traffic + padded / 120.0
+            # small tiles leave MXU underfed: soft-penalize short output
+            # tiles (measured: 2048² tiles beat 1024² at parity traffic)
+            cost *= 1.0 + 0.02 * ((2048 - min(bm, 2048)) / 2048
+                                  + (2048 - min(bn, 2048)) / 2048)
+            key = (cost, -bm * bn)
+            if best is None or key < best[0]:
+                best = (key, (bm, bn, b))
+    bm, bn, bk = best[1]
 
     ni, nj = cdiv(M, bm), cdiv(N, bn)
     swz = 4 if (ni >= 4 and nj >= 8) else None

@@ -238,7 +238,13 @@ def quantize_groupwise_int4(w, group: int = 128):
     Packing is SPLIT-HALVES, not interleaved: packed[i] holds original row i
     in the low nibble and row i + K/2 in the high nibble, so the kernel
     unpacks with two arithmetic shifts and needs NO sublane interleave (a
-    (bk/2, 2, bn) -> (bk, bn) reshape would relayout across sublanes)."""
+    (bk/2, 2, bn) -> (bk, bn) reshape would relayout across sublanes).
+
+    The low nibble is stored BIASED (+8, i.e. unsigned in [0,16)): the kernel
+    then recovers it with one subtract (bit path: and+sub, no xor trick) and,
+    in the f32 floored-division unpack, as an exact remainder — while the
+    high nibble stays two's-complement so the signed byte value is exactly
+    16*hi + lo_biased and floor(byte/16) recovers hi."""
     K, N = w.shape
     assert K % (2 * group) == 0, (K, group)
     wf = w.astype(jnp.float32)
@@ -247,7 +253,7 @@ def quantize_groupwise_int4(w, group: int = 128):
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(g / scale), -7, 7).astype(jnp.int8)
     q = q.reshape(K, N)
-    lo = q[: K // 2] & 0xF
+    lo = (q[: K // 2] + 8) & 0xF
     hi = q[K // 2:] << 4
     return (lo | hi).astype(jnp.int8), scale[:, 0, :]
 
@@ -256,30 +262,43 @@ def dequantize_int4(packed, scales, group: int = 128):
     """Inverse of quantize_groupwise_int4 (reference/VJP path)."""
     Kh, N = packed.shape
     K = 2 * Kh
-    lo = jnp.left_shift(packed, 4)
-    lo = jnp.right_shift(lo, 4)          # arithmetic: sign-extended low nibble
+    lo = (packed & 0xF) - 8              # biased low nibble
     hi = jnp.right_shift(packed, 4)      # sign-extended high nibble
     q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # (K, N)
     s = jnp.repeat(scales.astype(jnp.float32), group, axis=0)  # (K, N)
     return q * s
 
 
-def _w4_mm_kernel(compute_dtype, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
+def _w4_mm_kernel(compute_dtype, unpack, x_lo_ref, x_hi_ref, w_ref, s_lo_ref,
                   s_hi_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # unpack WITHOUT int8 shifts (Mosaic cannot legalize arith.shli on i8
-    # vectors): widen to i32, then 4 VPU ops total — signed int8 value is
-    # exactly hi4*16 + lo4 (lo4 in [0,16), hi4 in [-8,8)), so an arithmetic
-    # i32 shift recovers hi directly, and the xor-bias trick sign-extends lo
-    wp = w_ref[:].astype(jnp.int32)                 # (bk, bn)
-    lo = jnp.bitwise_xor(jnp.bitwise_and(wp, 15), 8) - 8   # rows k.. (x-lo)
-    hi = jnp.right_shift(wp, 4)                     # rows K/2+k .. (x-hi)
-    a = jnp.dot(x_lo_ref[:].astype(compute_dtype), lo.astype(compute_dtype),
+    if unpack == "floor":
+        # f32 floored-division unpack (r4, chasing the 280 GB/s VPU cap of
+        # the bit path): signed byte = 16*hi + lo_b with lo_b in [0,16)
+        # (BIASED low nibble, see quantize_groupwise_int4), hi in [-8,8),
+        # and floor(byte/16) = hi holds for NEGATIVE bytes too under floored
+        # division — so ONE native i8->f32 cast + mul + floor + 2 fma
+        # (5 VPU passes) replaces widen/and/sub/shift + two i32->bf16
+        # casts (7 passes). Dots run in f32 when compute_dtype says so
+        # (decode-sized M: MXU is idle anyway; skips 2 more cast passes).
+        w32 = w_ref[:].astype(jnp.float32)          # native i8->f32 cast
+        hi_f = jnp.floor(w32 * 0.0625)              # == floored /16
+        lo_f = w32 - 16.0 * hi_f - 8.0              # un-bias in the fma
+        lo = lo_f.astype(compute_dtype)
+        hi = hi_f.astype(compute_dtype)
+    else:
+        # bit-op unpack WITHOUT int8 shifts (Mosaic cannot legalize
+        # arith.shli on i8 vectors): widen to i32, then and+sub for the
+        # biased low nibble and one arithmetic shift for the signed high
+        wp = w_ref[:].astype(jnp.int32)             # (bk, bn)
+        lo = (jnp.bitwise_and(wp, 15) - 8).astype(compute_dtype)  # x-lo rows
+        hi = jnp.right_shift(wp, 4).astype(compute_dtype)  # rows K/2+k..
+    a = jnp.dot(x_lo_ref[:].astype(compute_dtype), lo,
                 preferred_element_type=jnp.float32)
-    b = jnp.dot(x_hi_ref[:].astype(compute_dtype), hi.astype(compute_dtype),
+    b = jnp.dot(x_hi_ref[:].astype(compute_dtype), hi,
                 preferred_element_type=jnp.float32)
     # group == block_k: one scale row per (half, step), folded past the dots
     acc_ref[:] += (a * s_lo_ref[0].astype(jnp.float32)
@@ -297,10 +316,16 @@ def make_matmul_w4a16(
     group: int = 128,
     compute_dtype=jnp.bfloat16,
     out_dtype=None,
+    unpack: str = "floor",
 ):
     """x (M, K) bf16 @ dequant(packed (K/2, N) int4-pairs, scales
     (K/group, N)) -> (M, N). block_k == group (one scale row per step);
-    differentiable wrt x like make_matmul_w8a16 (frozen weights)."""
+    differentiable wrt x like make_matmul_w8a16 (frozen weights).
+    ``unpack``: "floor" (f32 floored division — measured 389 GB/s packed vs
+    "bits" 335 at the decode shape, and 599 with compute_dtype=f32;
+    INT4_UNPACK_DUEL.json) or "bits" (i32 widen + bit ops, the r2/r3 path,
+    kept as a registered rung)."""
+    assert unpack in ("bits", "floor")
     bk = group
 
     @jax.jit
@@ -320,7 +345,7 @@ def make_matmul_w4a16(
                 vmem_limit_bytes=100 * 1024 * 1024,
             )
         return pl.pallas_call(
-            functools.partial(_w4_mm_kernel, compute_dtype),
+            functools.partial(_w4_mm_kernel, compute_dtype, unpack),
             out_shape=jax.ShapeDtypeStruct((M, N), odt),
             grid=(cdiv(M, bm), cdiv(N, bn), (K // 2) // bk),
             in_specs=[
@@ -385,3 +410,23 @@ register_op(
     ref=matmul_w4a16_ref, flops=_wq_flops,
     atol=5e-2, rtol=5e-2, family="gemm-quant", tags=("int4", "weight-only"),
 )(make_matmul_w4a16())
+
+register_op(
+    # the r2/r3 bit-op unpack, kept as a ladder rung: i32 widen + and/sub/
+    # shift. Measured 335 GB/s packed vs floor's 389/599 (r4 duel,
+    # INT4_UNPACK_DUEL.json) — superseded as the default by "floor"
+    "hgemm_w4a16_dequant_bits",
+    ref=matmul_w4a16_ref, flops=_wq_flops,
+    atol=5e-2, rtol=5e-2, family="gemm-quant",
+    tags=("int4", "weight-only", "bits-unpack"),
+)(make_matmul_w4a16(unpack="bits"))
+
+register_op(
+    # decode-shape specialization: f32 dots skip the two bf16 cast passes —
+    # at small M the MXU is idle so f32 rate is free (599 GB/s packed,
+    # 1.7x the int8 row at M=8, K=2048, N=5632)
+    "hgemm_w4a16_dequant_floor_f32",
+    ref=matmul_w4a16_ref, flops=_wq_flops,
+    atol=5e-2, rtol=5e-2, family="gemm-quant",
+    tags=("int4", "weight-only", "floor-unpack", "f32-dots"),
+)(make_matmul_w4a16(unpack="floor", compute_dtype=jnp.float32))

@@ -38,7 +38,13 @@ from leetcuda_tpu.gemm.quant import make_matmul_w8a16, make_matmul_w4a16
 from leetcuda_tpu.ops.rope import apply_rope_half
 
 _w8a16 = make_matmul_w8a16()
-_w4a16 = make_matmul_w4a16()
+_w4a16 = make_matmul_w4a16()            # floor unpack, bf16 dots (prefill)
+# decode-shape specialization: f32 dots skip the bf16 cast passes; at small
+# M the MXU is idle so the f32 rate is free — measured 599 vs 389 GB/s
+# packed at M=8 (INT4_UNPACK_DUEL.json). Shapes are static under jit, so
+# the row-count dispatch in linear() resolves at trace time.
+_w4a16_decode = make_matmul_w4a16(compute_dtype=jnp.float32)
+_W4_F32_MAX_ROWS = 256
 
 
 def linear(x, w, adapter_ids=None):
@@ -75,7 +81,9 @@ def linear(x, w, adapter_ids=None):
             return base + delta.astype(base.dtype)
         lead = x.shape[:-1]
         if "q4" in w:  # int4 pack: {"q4": (K/2, N) nibble pairs, "s4": (G, N)}
-            out = _w4a16(x.reshape(-1, x.shape[-1]), w["q4"], w["s4"])
+            xf = x.reshape(-1, x.shape[-1])
+            w4 = _w4a16_decode if xf.shape[0] <= _W4_F32_MAX_ROWS else _w4a16
+            out = w4(xf, w["q4"], w["s4"])
         else:
             out = _w8a16(x.reshape(-1, x.shape[-1]), w["q"], w["s"])
         return out.reshape(*lead, out.shape[-1])

@@ -147,12 +147,23 @@ def test_matmul_auto_shape_adaptive(rng):
 
     for (M, N, K) in [(1024, 1024, 1024), (8192, 1024, 8192),
                       (1024, 8192, 8192), (4096, 14336, 4096),
-                      (16384, 16384, 16384), (384, 640, 264)]:
+                      (16384, 16384, 16384), (384, 640, 264),
+                      (8192, 8192, 1024)]:
         cfg = pick_matmul_config(M, N, K, jnp.bfloat16)
         bm, bn, bk = cfg["block"]
         assert bm <= M and bn <= N and bk <= K
         vmem = 2 * (bm * bk + bk * bn) * 2 + bm * bn * 4 + bm * bn * 2
         assert vmem <= 100 * 1024 * 1024, (cfg, vmem)
+        if K <= 1024:
+            # shallow-K rule: whole reduction in one grid step per tile
+            # unless VMEM forces a shrink (r3 sweep: bk=512 left the
+            # accumulator epilogue exposed at 8192x8192x1024)
+            assert bk == K or not (
+                2 * (bm * K + K * bn) * 2 + bm * bn * 6
+                <= 100 * 1024 * 1024), cfg
+    # traffic rule: the Llama-8B MLP shape reads the big B panel ONCE
+    cfg = pick_matmul_config(4096, 14336, 4096, jnp.bfloat16)
+    assert cfg["block"][0] == 4096, cfg
 
     x = jnp.asarray(rng.standard_normal((384, 264)), jnp.float32)
     y = jnp.asarray(rng.standard_normal((264, 640)), jnp.float32)

@@ -51,9 +51,19 @@ def main():
     q4 = quantize_params(params, dtype="int4")
     del params
 
+    import os
     report = {"device": str(jax.devices()[0]),
               "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
-              "draws": args.draws, "sections": {}}
+              "draws": args.draws, "sections": {},
+              # 1-CPU host: ANY concurrent process pollutes the host-side
+              # dispatch of the decode loop (r4 found a contaminated run
+              # with load>6 — draws swung 49%). Record the evidence.
+              "host_load_1m": round(os.getloadavg()[0], 2),
+              "host_cpus": os.cpu_count()}
+    if report["host_load_1m"] > 1.5:
+        print(f"WARNING: host load {report['host_load_1m']} on "
+              f"{report['host_cpus']} cpu(s) — measurements will be "
+              "contaminated; rerun on an idle host", flush=True)
 
     for S in ([128] if args.quick else [128, 2048]):
         rows = {"int4": [], "int8": []}

@@ -24,6 +24,8 @@ DEFAULT_SHAPES = [
     (8192, 8192, 1024),   # shallow-K: 0.881 in PERF_SWEEP r3
     (4096, 14336, 4096),  # Llama MLP: 0.935
     (8192, 1024, 8192),   # skinny-N control (was 1.0+)
+    (8192, 8192, 8192),   # flagship control: does lower-traffic 4096x2048
+                          # beat the proven (2048,2048,512) here too?
 ]
 
 
@@ -115,6 +117,18 @@ def main():
             fns = {k: v for k, v in fns.items() if v is not None}
 
         xla = best["xla"]
+        # numeric gate: every surviving config must match XLA on-device
+        want = fns["xla"](a, b)
+        for name in list(fns):
+            if name == "xla":
+                continue
+            d = float(jnp.max(jnp.abs((fns[name](a, b) - want)
+                                      .astype(jnp.float32))))
+            if d > 2e-1:  # bf16 at K up to 8192
+                print(f"  {name}: NUMERIC FAIL max|diff|={d:.3e}", flush=True)
+                best.pop(name, None)
+        del want
+
         row = {"M": M, "N": N, "K": K, "xla_tflops": round(xla, 1),
                "configs": {}}
         print(f"\n=== {M}x{N}x{K}  (xla {xla:.1f} TFLOPS) ===", flush=True)

@@ -52,20 +52,23 @@ def main():
         assert ok, name
 
     if not args.quick:
-        # emulation-cost row: cast fp8->bf16 vs int8->bf16 at identical bytes
+        # emulation-cost row: cast fp8->bf16 vs int8->bf16 at identical bytes.
+        # Operands must exceed VMEM (128 MB) or the chained timing scan holds
+        # them resident and the row reads pure dispatch (the r4 first cut
+        # measured a nonsense 2.5e9 "GB/s" from a 16 MB resident array).
         from leetcuda_tpu.bench.harness import run_benchmark
-        n = 4096
+        n = 16384  # 256 MB at 1 byte/elem: HBM-streaming regime
         xi8 = jnp.asarray(rng.integers(-127, 127, (n, n)), jnp.int8)
         xf8 = jnp.asarray(rng.standard_normal((n, n)),
                           jnp.float8_e4m3fn)
         cast = jax.jit(lambda x: x.astype(jnp.bfloat16) * 2.0)
-        r8 = run_benchmark(cast, xi8, iters=50, bytes=n * n * 3.0)
-        rf = run_benchmark(cast, xf8, iters=50, bytes=n * n * 3.0)
+        nb = n * n * 3.0  # 1 byte read + 2 written
+        r8 = run_benchmark(cast, xi8, iters=20, bytes=nb)
+        rf = run_benchmark(cast, xf8, iters=20, bytes=nb)
         report["cast_gbps"] = {"int8_to_bf16": round(r8.gbps or 0, 1),
                                "fp8_e4m3_to_bf16": round(rf.gbps or 0, 1),
-                               "int8_over_fp8": round(
-                                   (rf.mean_ms or 1) and
-                                   r8.mean_ms and rf.mean_ms / r8.mean_ms, 2)}
+                               "fp8_slowdown_x": round(
+                                   rf.mean_ms / r8.mean_ms, 2)}
         print("cast:", report["cast_gbps"], flush=True)
 
     with open(args.out, "w") as f:
