@@ -261,68 +261,75 @@ def pick_matmul_config(M: int, N: int, K: int, dtype=jnp.bfloat16,
     reference's swizzle-stride auto-select (hgemm.py:198-208 picks the block-
     swizzle stride from N; here the whole tile config adapts).
 
-    Rules (tuned on TPU v5e; artifacts PERF_SWEEP.json + TUNE_ROWS.json):
-    - flagship tile is (2048, 2048, 512): big MXU-aligned output tiles amortize
-      the f32 accumulator writeback; bk=512 keeps the double-buffered K stream
-      deep enough to hide HBM latency at bf16.
-    - (bm, bn) minimize operand RE-READ traffic, nj·(M·K) + ni·(K·N):
-      each row of output tiles re-reads the whole B panel and each column
-      re-reads A, so the r3 sub-bar rows were exactly the shapes where the
-      old fixed/aspect-rebalanced tiles re-read the LARGER operand — e.g.
-      4096×14336×4096 (Llama-8B MLP) wants bm=M (B read once, 0.935→≥0.95).
-    - shallow K (≤ 1024): bk = K — the whole reduction lives in one grid
-      step per tile, no accumulator loop to leave exposed (the r3
-      8192×8192×1024 row at bk=512 ran 0.881; TUNE_ROWS re-measures).
-    - candidates are padding-snapped ((8,128)-aligned, ≤12% wasted MACs) and
-      clamped to the ~100 MB VMEM budget (double-buffered inputs + f32 acc +
-      out block).
-    - block swizzle (grouped grid walk) only pays with many column tiles;
-      group=4 matches the measured sweet spot (gemm-swizzle variants).
+    Rules (every rule measured on TPU v5e; artifacts PERF_SWEEP.json +
+    TUNE_ROWS2.json, tools/tune_gemm_rows.py):
+    - flagship tile is (2048, 2048): big MXU-aligned output tiles amortize
+      the f32 accumulator writeback. At 8192³ the traffic-optimal 4096-long
+      tiles tie it (1.026 vs 1.025) — re-read traffic is NOT the binding
+      constraint on these compute-bound shapes, so the simpler tile wins.
+    - bk = K when K ≤ 1024 (shallow K): the whole reduction lives in one
+      grid step per tile — no exposed accumulator loop. Measured: the
+      8192×8192×1024 row went 0.881 (bk=512) → 0.988 (bk=K). For DEEP K the
+      opposite holds hard: bk=1024 at 8192³ collapsed to 0.80 (the double-
+      buffered bk=512 stream is what hides HBM latency), so the rule cuts
+      at exactly the single-step case.
+    - wide-and-flat problems (N ≫ M or M ≫ N) rebalance the tile toward the
+      long axis so the short axis doesn't fragment the grid (8192×1024×8192:
+      (4096, 1024, 512) = 0.986; every bk=512 config there is ≥0.97, while
+      4096-row tiles with bk ≥ 1024 collapse to 0.75-0.85).
+    - tiles are clamped to the problem and the VMEM budget (~100 MB): cost
+      x-block + y-block (×2 for the automatic double buffer) + f32 acc +
+      out block, shrinking bk then bm/bn until it fits.
+    - block swizzle (grouped grid walk) only pays when the B panel no longer
+      fits cache-resident across a full row of output tiles; group=4 matches
+      the measured sweet spot (gemm-swizzle variants).
+    Known plateau, documented not hidden: 4096×14336×4096 (Llama-8B MLP
+    aspect) sits at 0.935-0.938 across the whole 9-config family
+    (TUNE_ROWS2.json) — traffic-optimal bm=M ties (2048, 2048, 512), so the
+    residual is Mosaic kernel-internal, not tiling.
     """
     isz = jnp.dtype(dtype).itemsize
-
-    bk = K if K <= 1024 else 512
 
     def fits(bm, bn, bk):
         # double-buffered input blocks + f32 scratch + out block
         vmem = 2 * (bm * bk + bk * bn) * isz + bm * bn * 4 + bm * bn * isz
         return vmem <= 100 * 1024 * 1024
 
-    def waste(dim, b):
-        return (cdiv(dim, b) * b - dim) / dim
+    bm, bn = 2048, 2048
+    # rebalance toward the long axis for skewed problems (≥4x aspect)
+    if N >= 4 * M:
+        bm, bn = 1024, 4096
+    elif M >= 4 * N:
+        bm, bn = 4096, 1024
+    bk = K if K <= 1024 else 512
+    if bk >= 1024:
+        # 4096-row tiles collapse when paired with a 1024-deep K step
+        # (0.879 at 8192²×1024, 0.75 at 8192×1024×8192 w/ bk=1024 —
+        # TUNE_ROWS2.json); 2048-row tiles take the same bk=K fine (0.988)
+        bm = min(bm, 2048)
+    bm, bn = min(bm, M), min(bn, N)
 
-    edges = (4096, 3072, 2048, 1792, 1536, 1280, 1152, 1024, 896, 768,
-             640, 512, 384, 256)
+    # Snap to the padding-minimizing tile: a ragged grid computes the padded
+    # region for nothing (3072 under a 2048 tile -> 2x2 grid of 2048-tiles =
+    # 78% wasted MACs, measured 0.53x XLA in PERF_SWEEP). Candidates stay
+    # (8,128)-aligned; tie-break toward the bigger tile.
+    def _snap(dim, b):
+        if dim % b == 0:
+            return b
+        cands = [c for c in (b, 1792, 1536, 1280, 1152, 1024, 896, 768,
+                             640, 512, 384, 256) if c <= b]
+        def waste(c):
+            return (cdiv(dim, c) * c - dim) / dim
+        return min(cands, key=lambda c: (round(waste(c), 4), -c))
 
-    def snapped(dim, cap):
-        """Padding-viable tile candidates ≤ cap for this dim."""
-        out = [c for c in edges
-               if c <= min(cap, dim) and waste(dim, c) <= 0.12]
-        return out or [min(dim, 256)]
-
-    best = None
-    for bm in snapped(M, 4096):
-        for bn in snapped(N, 4096):
-            b = bk
-            while not fits(bm, bn, b) and b > 128:
-                b //= 2
-            if not fits(bm, bn, b):
-                continue
-            ni, nj = cdiv(M, bm), cdiv(N, bn)
-            # steady-state HBM reads: A re-read per tile column, B per row
-            traffic = nj * M * K + ni * K * N
-            # padded MACs are wasted MXU time; weight them like traffic via
-            # the compute/bandwidth ratio at bf16 (≈240 flops/byte on v5e)
-            padded = (ni * bm) * (nj * bn) * K - M * N * K
-            cost = traffic + padded / 120.0
-            # small tiles leave MXU underfed: soft-penalize short output
-            # tiles (measured: 2048² tiles beat 1024² at parity traffic)
-            cost *= 1.0 + 0.02 * ((2048 - min(bm, 2048)) / 2048
-                                  + (2048 - min(bn, 2048)) / 2048)
-            key = (cost, -bm * bn)
-            if best is None or key < best[0]:
-                best = (key, (bm, bn, b))
-    bm, bn, bk = best[1]
+    bm, bn = _snap(M, bm), _snap(N, bn)
+    while not fits(bm, bn, bk) and bk > 128:
+        bk //= 2
+    while not fits(bm, bn, bk) and max(bm, bn) > 256:
+        if bm >= bn:
+            bm //= 2
+        else:
+            bn //= 2
 
     ni, nj = cdiv(M, bm), cdiv(N, bn)
     swz = 4 if (ni >= 4 and nj >= 8) else None
@@ -394,8 +401,12 @@ def make_matmul_resident(*, reps: int, block_m: int = 1024,
 
         params = {}
         if not interpret_default():
+            # "parallel" on i: the row chunks are independent — telling
+            # Mosaic so was worth base 0.984 -> 0.998x XLA in the r4
+            # ablation (candidate `parsem`, RESIDENT_ABLATE.json; the r3
+            # session measured the same ordering at lower absolutes)
             params["compiler_params"] = pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary"),
+                dimension_semantics=("parallel", "arbitrary"),
                 vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
             )
         return pl.pallas_call(

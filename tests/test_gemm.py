@@ -156,14 +156,15 @@ def test_matmul_auto_shape_adaptive(rng):
         assert vmem <= 100 * 1024 * 1024, (cfg, vmem)
         if K <= 1024:
             # shallow-K rule: whole reduction in one grid step per tile
-            # unless VMEM forces a shrink (r3 sweep: bk=512 left the
-            # accumulator epilogue exposed at 8192x8192x1024)
+            # unless VMEM forces a shrink (measured 0.881 -> 0.988 at
+            # 8192x8192x1024, TUNE_ROWS.json)
             assert bk == K or not (
                 2 * (bm * K + K * bn) * 2 + bm * bn * 6
                 <= 100 * 1024 * 1024), cfg
-    # traffic rule: the Llama-8B MLP shape reads the big B panel ONCE
-    cfg = pick_matmul_config(4096, 14336, 4096, jnp.bfloat16)
-    assert cfg["block"][0] == 4096, cfg
+        if bk >= 1024:
+            # 4096-row tiles collapse with a >=1024-deep K step
+            # (TUNE_ROWS2.json: 0.75-0.90)
+            assert bm <= 2048, cfg
 
     x = jnp.asarray(rng.standard_normal((384, 264)), jnp.float32)
     y = jnp.asarray(rng.standard_normal((264, 640)), jnp.float32)

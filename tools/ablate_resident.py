@@ -315,8 +315,12 @@ def main():
         # bm2048 dropped: r3 measured it VMEM-infeasible (whole-B 32MB +
         # double-buffered 2048-row windows + 32MB register spills > 128MB,
         # logs/r3_resident.log); pingpong dropped: measured 0.675 (grid-level
-        # j re-fetched windows per step). Replaced by dual/njin which attack
-        # the actual residual (epilogue serialized against the dependent dot).
+        # j re-fetched windows per step). dual/njin attacked the epilogue-
+        # overlap residual; r4 verdicts (RESIDENT_ABLATE.json 01:52): dual
+        # variants VMEM-infeasible on chip (compile-helper OOM), njin 0.911
+        # (finer stores cost more than they hide) — and `parsem` at 0.998x
+        # made the chase moot: parallel-i semantics is now the factory
+        # default in make_matmul_resident.
         out = {
             "xla": jax.jit(functools.partial(matmul_chain_ref, reps=reps)),
             "base": make_matmul_resident(reps=reps, block_m=1024),

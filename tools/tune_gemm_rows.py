@@ -105,13 +105,25 @@ def main():
             fns[name] = make_matmul(block=blk, swizzle_group=swz)
 
         best = {k: 0.0 for k in fns}
-        for _ in range(args.reps):  # interleaved: tunnel drift hits all rows
+        for rep in range(args.reps):  # interleaved: drift hits all rows
             for name, fn in fns.items():
                 try:
                     r = run_benchmark(fn, a, b, iters=iters, flops=fl)
                     best[name] = max(best[name], r.tflops or 0.0)
                 except Exception as e:  # noqa: BLE001 — config may not compile
-                    print(f"  {name}: {type(e).__name__}", flush=True)
+                    # r4 observed the FIRST pallas compile after the big XLA
+                    # jit intermittently failing through the tunnel; retry
+                    # once before declaring the config dead
+                    if rep == 0 and best.get(name) == 0.0:
+                        try:
+                            r = run_benchmark(fn, a, b, iters=iters,
+                                              flops=fl)
+                            best[name] = max(best[name], r.tflops or 0.0)
+                            continue
+                        except Exception as e2:  # noqa: BLE001
+                            e = e2
+                    print(f"  {name}: {type(e).__name__}: {str(e)[:180]}",
+                          flush=True)
                     best.pop(name, None)
                     fns[name] = None
             fns = {k: v for k, v in fns.items() if v is not None}
@@ -124,8 +136,14 @@ def main():
                 continue
             d = float(jnp.max(jnp.abs((fns[name](a, b) - want)
                                       .astype(jnp.float32))))
-            if d > 2e-1:  # bf16 at K up to 8192
-                print(f"  {name}: NUMERIC FAIL max|diff|={d:.3e}", flush=True)
+            # scale-aware bar: outputs are O(sqrt(K)) with standard-normal
+            # inputs, so an absolute tolerance misreads bf16 accumulation-
+            # order noise as failure (r4 first cut dropped healthy bk=512
+            # configs at |diff|=0.5 on |ref|~100)
+            bar = 1e-2 * float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+            if d > bar:
+                print(f"  {name}: NUMERIC FAIL max|diff|={d:.3e} "
+                      f"(bar {bar:.3e})", flush=True)
                 best.pop(name, None)
         del want
 
