@@ -155,6 +155,7 @@ def test_sharded_generate_scan_matches_unsharded(setup):
                                   np.asarray(solo_toks))
 
 
+@pytest.mark.slow  # top-8 wall-time: default tier stays <6 min (CI --runslow covers it)
 def test_tp_engine_matches_solo(setup):
     """Engine served tensor-parallel (tp=2, continuous batching intact)."""
     from leetcuda_tpu.parallel.mesh import make_mesh, MeshConfig
@@ -265,6 +266,7 @@ def test_tp_engine_quantized_kv_matches_solo(setup):
     assert list(got.values()) == list(want.values())
 
 
+@pytest.mark.slow  # top-8 wall-time: default tier stays <6 min (CI --runslow covers it)
 def test_int4_engine_matches_int4_solo(setup):
     """int4 weight-only serving: engine == solo decode with the same int4
     params (and forward logits stay close to dense)."""
@@ -287,6 +289,7 @@ def test_int4_engine_matches_int4_solo(setup):
         assert got[uid] == solo_greedy(q4, cfg, prompt, 5)
 
 
+@pytest.mark.slow  # top-8 wall-time: default tier stays <6 min (CI --runslow covers it)
 def test_engine_fp8_weights_fp8_kv(setup):
     """The north-star dtype end-to-end: e4m3 weights AND e4m3 KV cache
     (VERDICT r2 #5). fp8 is lossy, so the oracle is logit closeness vs the
@@ -312,6 +315,7 @@ def test_engine_fp8_weights_fp8_kv(setup):
     assert gen2 == gen, (gen2, gen)  # identical quantization path
 
 
+@pytest.mark.slow  # top-8 wall-time: default tier stays <6 min (CI --runslow covers it)
 def test_generate_scan_sampled(setup):
     """Whole-loop-in-one-jit stochastic sampling: reproducible per key,
     different across keys, and T->0 collapses to the greedy stream."""

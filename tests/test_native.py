@@ -142,6 +142,7 @@ def test_loader_deterministic_resume(shard_dir):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow  # top-8 wall-time: default tier stays <6 min (CI --runslow covers it)
 def test_loader_trains_tiny_model(shard_dir):
     """End-to-end: native loader feeds make_train_step; loss falls."""
     import jax

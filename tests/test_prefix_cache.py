@@ -103,6 +103,7 @@ def test_prefix_hit_same_prompt_token_exact(setup):
     assert list(got.values())[0] == want
 
 
+@pytest.mark.slow  # top-8 wall-time: default tier stays <6 min (CI --runslow covers it)
 def test_prefix_hit_partial_overlap(setup):
     """Shared system-prompt style: 32 common tokens, different tails."""
     cfg, params = setup
@@ -118,6 +119,7 @@ def test_prefix_hit_partial_overlap(setup):
         assert got == solo_greedy(params, cfg, common + tail, 5), uid
 
 
+@pytest.mark.slow  # top-8 wall-time: default tier stays <6 min (CI --runslow covers it)
 def test_prefix_cache_quantized_and_window(setup):
     """prefix caching x int8 KV x sliding window compose; oracle = the
     no-cache paged engine with identical numerics."""
@@ -139,6 +141,7 @@ def test_prefix_cache_quantized_and_window(setup):
     assert list(got.values()) == list(want.values())
 
 
+@pytest.mark.slow  # top-8 wall-time: default tier stays <6 min (CI --runslow covers it)
 def test_prefix_cache_survives_slot_churn(setup):
     """Many requests over few slots: frees/adoptions interleave; every
     output exact, no page leaks."""
