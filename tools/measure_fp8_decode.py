@@ -1,0 +1,89 @@
+"""Measure the fp8 north-star decode config end-to-end (VERDICT r3 #1 tail):
+fp8-weight + fp8-KV Llama decode tok/s in paired draws against the int8 row.
+
+Context: BASELINE.json names fp8 weight-only + fp8 KV as a north-star config
+(the reference's fp8 rungs: kernels/hgemm fp8 paths, block_all_reduce fp8
+reductions). On v5e fp8 (e4m3) has no hardware cast — Mosaic legalizes
+fp8<->bf16 via f32 in software — so the EXPECTED result is fp8 slower than
+int8 at identical bytes moved; this tool records that cost honestly (the
+kernel-level duel already measured the cast itself: FP8_VERIFY.json
+`cast_gbps`). On v6e-class chips with native fp8 the same config flips.
+
+Protocol = tools/diagnose_int4.py: interleaved paired draws so tunnel drift
+cancels in the per-draw ratio; two-point token-count measurement inside each
+draw so prefill/compile constants cancel; idle-host guard (1-CPU host).
+
+    python tools/measure_fp8_decode.py [--draws 5] [--out FP8_DECODE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--draws", type=int, default=5)
+    ap.add_argument("--out", default="FP8_DECODE.json")
+    args = ap.parse_args()
+
+    import jax
+
+    from leetcuda_tpu.bench.decode_bench import bench_one
+    from leetcuda_tpu.models.llama import (
+        ModelConfig, init_params, quantize_params, fuse_params)
+
+    cfg = ModelConfig()  # flagship 0.8B config, same as bench_all/diagnose_int4
+    params = fuse_params(init_params(jax.random.key(0), cfg))
+    q8 = quantize_params(params, dtype="int8")
+    qf8 = quantize_params(params, dtype="fp8")
+    del params
+
+    report = {"device": str(jax.devices()[0]),
+              "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+              "draws": args.draws, "sections": {},
+              "host_load_1m": round(os.getloadavg()[0], 2),
+              "host_cpus": os.cpu_count()}
+    if report["host_load_1m"] > 1.5:
+        print(f"WARNING: host load {report['host_load_1m']} — rerun idle",
+              flush=True)
+
+    for S in [128]:
+        rows = {"fp8": [], "int8": []}
+        for d in range(args.draws):
+            rows["fp8"].append(round(bench_one(
+                f"fp8 S={S} draw{d}", qf8, cfg, 8, S, 96, "fp8", reps=1), 1))
+            rows["int8"].append(round(bench_one(
+                f"int8 S={S} draw{d}", q8, cfg, 8, S, 96, "int8", reps=1), 1))
+
+        sec = {}
+        for k, xs in rows.items():
+            s = sorted(xs)
+            sec[k] = {"draws": xs,
+                      "spread_pct": round(100 * (s[-1] - s[0]) / s[-1], 1),
+                      "median": s[len(s) // 2]}
+        ratios = [round(a / b, 3) for a, b in zip(rows["fp8"], rows["int8"])]
+        sec["fp8_over_int8_per_draw"] = ratios
+        sec["ratio_median"] = sorted(ratios)[len(ratios) // 2]
+        report["sections"][f"S{S}"] = sec
+        print(f"S={S}: {json.dumps(sec)}", flush=True)
+
+    r = report["sections"]["S128"]["ratio_median"]
+    report["verdict"] = (
+        f"fp8-weight+fp8-KV decode = {r}x the int8 row on v5e "
+        f"({'faster' if r > 1 else 'slower'}; fp8 casts are software-emulated "
+        "on this chip — int8 stays the production quantized path until "
+        "native-fp8 hardware)")
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print("verdict:", report["verdict"])
+
+
+if __name__ == "__main__":
+    main()
