@@ -35,11 +35,17 @@ _LANES = 128
 
 
 def _paged_kernel(scale, softcap, Hkv, group, page, quantized, window,
-                  with_lse,
+                  with_lse, G,
                   pt_ref, len_ref,
-                  q_ref, k_ref, v_ref, *rest):
+                  q_ref, *rest):
+    # G pages per grid step, each behind its own BlockSpec ref so Pallas
+    # pipelines all G DMAs across steps (the one-page grid was latency-bound:
+    # 147 KB per step at MLA shapes — see PERF.md MLA note).
+    k_refs, rest = rest[:G], rest[G:]
+    v_refs, rest = rest[:G], rest[G:]
     if quantized:
-        ks_ref, vs_ref, *rest = rest
+        ks_refs, rest = rest[:G], rest[G:]
+        vs_refs, rest = rest[:G], rest[G:]
     if with_lse:
         o_ref, lse_ref, m_sc, l_sc, acc_sc = rest
     else:
@@ -54,45 +60,49 @@ def _paged_kernel(scale, softcap, Hkv, group, page, quantized, window,
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    live = si * page < seq_len  # pages past the sequence end: skip
-    if window:  # sliding window: also skip pages entirely before it
-        live &= si * page + page > seq_len - window
+    for j in range(G):
+        li = si * G + j  # logical page index
+        live = li * page < seq_len  # pages past the sequence end: skip
+        if window:  # sliding window: also skip pages entirely before it
+            live &= li * page + page > seq_len - window
 
-    @pl.when(live)
-    def _():
-        cols = si * page + jax.lax.broadcasted_iota(
-            jnp.int32, (1, page), 1)
-        valid = cols < seq_len
-        if window:
-            valid &= cols >= seq_len - window
+        @pl.when(live)
+        def _(j=j, li=li):
+            cols = li * page + jax.lax.broadcasted_iota(
+                jnp.int32, (1, page), 1)
+            valid = cols < seq_len
+            if window:
+                valid &= cols >= seq_len - window
 
-        for kvh in range(Hkv):
-            qg = q_ref[0, kvh * group:(kvh + 1) * group, :].astype(jnp.float32)
-            k_blk = k_ref[0, kvh].astype(jnp.float32)  # (page, D)
-            v_blk = v_ref[0, kvh].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                qg, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            if quantized:
-                # dequant folded past the dots (see attention/decode.py)
-                s = s * ks_ref[0, kvh].astype(jnp.float32)[None, :]
-            if softcap:  # Gemma2 logit capping, pre-mask
-                s = softcap * jnp.tanh(s * (1.0 / softcap))
-            s = jnp.where(valid, s, _NEG_INF)
+            for kvh in range(Hkv):
+                qg = q_ref[0, kvh * group:(kvh + 1) * group, :].astype(
+                    jnp.float32)
+                k_blk = k_refs[j][0, kvh].astype(jnp.float32)  # (page, D)
+                v_blk = v_refs[j][0, kvh].astype(jnp.float32)
+                s = jax.lax.dot_general(
+                    qg, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                if quantized:
+                    # dequant folded past the dots (see attention/decode.py)
+                    s = s * ks_refs[j][0, kvh].astype(jnp.float32)[None, :]
+                if softcap:  # Gemma2 logit capping, pre-mask
+                    s = softcap * jnp.tanh(s * (1.0 / softcap))
+                s = jnp.where(valid, s, _NEG_INF)
 
-            rows = slice(kvh * group, (kvh + 1) * group)
-            m_prev = m_sc[rows, 0:1]
-            l_prev = l_sc[rows, 0:1]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-            if quantized:
-                p = p * vs_ref[0, kvh].astype(jnp.float32)[None, :]
-            acc_sc[rows, :] = acc_sc[rows, :] * alpha + jnp.dot(
-                p, v_blk, preferred_element_type=jnp.float32)
-            m_sc[rows, :] = jnp.broadcast_to(m_new, (group, _LANES))
-            l_sc[rows, :] = jnp.broadcast_to(l_new, (group, _LANES))
+                rows = slice(kvh * group, (kvh + 1) * group)
+                m_prev = m_sc[rows, 0:1]
+                l_prev = l_sc[rows, 0:1]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+                l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+                if quantized:
+                    p = p * vs_refs[j][0, kvh].astype(jnp.float32)[None, :]
+                acc_sc[rows, :] = acc_sc[rows, :] * alpha + jnp.dot(
+                    p, v_blk, preferred_element_type=jnp.float32)
+                m_sc[rows, :] = jnp.broadcast_to(m_new, (group, _LANES))
+                l_sc[rows, :] = jnp.broadcast_to(l_new, (group, _LANES))
 
     @pl.when(si == pl.num_programs(1) - 1)
     def _():
@@ -106,7 +116,8 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
                          softcap: float | None = None,
                          window: int | None = None,
                          shared_kv: bool = False,
-                         with_lse: bool = False):
+                         with_lse: bool = False,
+                         pages_per_step: int | None = None):
     """fn(q, k_pages, v_pages, [k_scales, v_scales,] page_table, lengths)
     -> (B, H, D).
 
@@ -122,7 +133,13 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
     is folded past the dots like attention/decode.py. ``window``: Mistral-style
     sliding window — only the last ``window`` positions are attended, and pages
     entirely before the window are neither fetched nor computed (the index map
-    clamps them onto the window's first page so their DMA is elided)."""
+    clamps them onto the window's first page so their DMA is elided).
+
+    ``pages_per_step``: pages fetched per grid step, each behind its own
+    BlockSpec ref so Pallas keeps all of them in flight while computing the
+    previous step. One page per step is DMA-latency-bound (a page is only
+    Hkv·page·D bytes); the default auto-picks the count that restores the
+    contiguous decode kernel's ~1024-token block granularity."""
 
     def impl(q, k_pages, v_pages, *rest):
         if quantized:
@@ -134,8 +151,9 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
         P_max = page_table.shape[1]
         group = H // Hkv
         scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(D)
+        G = pages_per_step or max(1, min(P_max, 1024 // page))
 
-        def _clamp(si, pt, b, L):
+        def _clamp(li, pt, b, L):
             # chase the block table; clamp past-the-end steps onto the last
             # valid logical page (and, with a window, pre-window steps onto
             # the window's first page) so their DMA is elided
@@ -143,31 +161,34 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
             first = 0
             if window is not None:
                 first = jnp.maximum((L[b] - window) // page, 0)
-            return pt[b, jnp.clip(si, first, last)]
+            return pt[b, jnp.clip(li, first, last)]
 
-        def kv_map(b, si, pt, L):
-            return (_clamp(si, pt, b, L), 0, 0, 0)
+        def kv_map(j):
+            return lambda b, si, pt, L: (_clamp(si * G + j, pt, b, L),
+                                         0, 0, 0)
 
-        def s_map(b, si, pt, L):
-            return (_clamp(si, pt, b, L), 0, 0)
+        def s_map(j):
+            return lambda b, si, pt, L: (_clamp(si * G + j, pt, b, L), 0, 0)
 
-        page_spec = pl.BlockSpec((1, Hkv, page, D), kv_map,
-                                 memory_space=pltpu.VMEM)
+        page_specs = [pl.BlockSpec((1, Hkv, page, D), kv_map(j),
+                                   memory_space=pltpu.VMEM)
+                      for j in range(G)]
         in_specs = [
             pl.BlockSpec((1, H, D), lambda b, si, pt, L: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            page_spec,
+            *page_specs,
         ]
-        args = [q, k_pages]
+        args = [q] + [k_pages] * G
         if not shared_kv:
-            in_specs.append(page_spec)
-            args.append(v_pages)
+            in_specs += page_specs
+            args += [v_pages] * G
         if quantized:
-            scale_spec = pl.BlockSpec((1, Hkv, page), s_map,
-                                      memory_space=pltpu.VMEM)
-            in_specs += [scale_spec] if shared_kv else [scale_spec,
-                                                        scale_spec]
-            args += [k_scales] if shared_kv else [k_scales, v_scales]
+            scale_specs = [pl.BlockSpec((1, Hkv, page), s_map(j),
+                                        memory_space=pltpu.VMEM)
+                           for j in range(G)]
+            in_specs += scale_specs if shared_kv else scale_specs * 2
+            args += ([k_scales] * G if shared_kv
+                     else [k_scales] * G + [v_scales] * G)
 
         o_spec = pl.BlockSpec((1, H, D), lambda b, si, pt, L: (b, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -176,7 +197,7 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
                                 memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # page_table, lengths
-            grid=(B, P_max),
+            grid=(B, pl.cdiv(P_max, G)),
             in_specs=in_specs,
             out_specs=(o_spec, lse_spec) if with_lse else o_spec,
             scratch_shapes=[
@@ -190,14 +211,16 @@ def make_paged_attention(*, sm_scale=None, quantized: bool = False,
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)
         body = functools.partial(_paged_kernel, scale, softcap, Hkv, group,
-                                 page, quantized, window, with_lse)
+                                 page, quantized, window, with_lse, G)
         if shared_kv:
             if quantized:
-                def body(pt, L, q_r, kv_r, s_r, *rest, _b=body):  # noqa: F811
-                    _b(pt, L, q_r, kv_r, kv_r, s_r, s_r, *rest)
+                def body(pt, L, q_r, *rest, _b=body):  # noqa: F811
+                    kv, s, tail = rest[:G], rest[G:2 * G], rest[2 * G:]
+                    _b(pt, L, q_r, *kv, *kv, *s, *s, *tail)
             else:
-                def body(pt, L, q_r, kv_r, *rest, _b=body):  # noqa: F811
-                    _b(pt, L, q_r, kv_r, kv_r, *rest)
+                def body(pt, L, q_r, *rest, _b=body):  # noqa: F811
+                    kv, tail = rest[:G], rest[G:]
+                    _b(pt, L, q_r, *kv, *kv, *tail)
         out_shape = jax.ShapeDtypeStruct((B, H, D), q.dtype)
         if with_lse:
             out_shape = (out_shape,

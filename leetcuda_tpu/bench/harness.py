@@ -173,11 +173,21 @@ def _build_timed_uncached(fn, args, iters: int):
         return timed, False
 
     # fallback: scalar carry, perturb the first float array input (one extra
-    # pass); pytree args (e.g. a params dict) perturb their first float leaf
+    # pass); pytree args (e.g. a params dict) perturb their first float leaf.
+    # Integer inputs are perturbed too (carry*0 cast to the int dtype): an
+    # int-only op left unperturbed is loop-invariant and XLA hoists the whole
+    # body out of the scan (the i8 reduce rung measured 0 ms).
+    def _numeric(a):
+        return (hasattr(a, "dtype")
+                and (jnp.issubdtype(a.dtype, jnp.inexact)
+                     or jnp.issubdtype(a.dtype, jnp.integer)))
+
     pi = next((i for i, a in enumerate(args)
                if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
                                                          jnp.inexact)),
               None)
+    if pi is None:
+        pi = next((i for i, a in enumerate(args) if _numeric(a)), None)
 
     @jax.jit
     def timed(*args_):
@@ -189,8 +199,7 @@ def _build_timed_uncached(fn, args, iters: int):
             else:
                 leaves, treedef = jax.tree_util.tree_flatten(new_args[0])
                 for j, leaf in enumerate(leaves):
-                    if (hasattr(leaf, "dtype")
-                            and jnp.issubdtype(leaf.dtype, jnp.inexact)):
+                    if _numeric(leaf):
                         leaves[j] = leaf + (carry * 0).astype(leaf.dtype)
                         break
                 new_args[0] = jax.tree_util.tree_unflatten(treedef, leaves)
@@ -212,17 +221,26 @@ def run_benchmark(
     flops: float | None = None,
     bytes: float | None = None,
     session: Session | None = None,
+    head: bool = True,
 ) -> BenchResult:
-    """Time ``fn(*args)`` with the chained-scan methodology (module docstring)."""
-    out = fn(*args)  # eager call: correctness head values + absorbs compilation
-    head = np.asarray(jax.device_get(_first_leaf(out))).ravel()[:2]
+    """Time ``fn(*args)`` with the chained-scan methodology (module docstring).
+
+    ``head=False`` skips the eager correctness-head call — that call compiles
+    ``fn`` standalone on top of the timed scan's compile, which doubles the
+    per-rung compile cost in big sweeps whose correctness is already proven
+    elsewhere (hw_sweep)."""
+    if head:
+        out = fn(*args)  # eager: correctness head values + absorbs compilation
+        head_vals = np.asarray(jax.device_get(_first_leaf(out))).ravel()[:2]
+    else:
+        head_vals = np.zeros(0)
 
     timed, perturbed = _build_timed(fn, args, iters)
     probe = jax.jit(_tiny_probe)
     for _ in range(max(warmup, 1)):
         float(probe(timed(*args)))  # warm the scan compile
 
-    floor = _rpc_floor(args[0] if args else out)
+    floor = _rpc_floor(args[0] if args else None)
     t0 = time.perf_counter()
     float(probe(timed(*args)))
     t1 = time.perf_counter()
@@ -233,7 +251,7 @@ def run_benchmark(
         mean_ms=mean_s * 1e3,
         tflops=(flops / mean_s / 1e12) if flops else None,
         gbps=(bytes / mean_s / 1e9) if bytes else None,
-        out_head=head,
+        out_head=head_vals,
         perturbed=perturbed,
     )
     if session is not None:

@@ -88,6 +88,12 @@ def make_activation(op, *, block: tuple[int, int] | None = None):
         S, K = x.shape
         bs, bk = block if block is not None else (S, K)
         bs, bk = min(bs, S), min(bk, K)
+        params = {}
+        if not interpret_default():
+            # saturating-rung blocks + the f32 compute temp exceed the 16 MB
+            # default scoped-vmem limit once double-buffered (v5e: 128 MB)
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
         return pl.pallas_call(
             functools.partial(_unary_kernel, op),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -97,6 +103,7 @@ def make_activation(op, *, block: tuple[int, int] | None = None):
             out_specs=pl.BlockSpec((bs, bk), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret_default(),
+            **params,
         )(x)
 
     return fn

@@ -18,14 +18,20 @@ from leetcuda_tpu.core.runtime import cdiv, interpret_default
 from leetcuda_tpu.core.registry import register_op
 
 
-def _dot_kernel(x_ref, y_ref, o_ref):
+def _dot_kernel(x_ref, y_ref, o_ref, acc_ref):
+    # Same vector-accumulator shape as ops/reduce.py: sublane-only reduce per
+    # step into a (1, bk) f32 lane vector, one cross-lane reduce at the end.
     @pl.when(pl.program_id(0) == 0)
     def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:].astype(jnp.float32)
     y = y_ref[:].astype(jnp.float32)
-    o_ref[:] = o_ref[:] + jnp.sum(x * y)
+    acc_ref[:] = acc_ref[:] + jnp.sum(x * y, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        o_ref[:] = jnp.sum(acc_ref[:], keepdims=True)
 
 
 def make_dot_product(*, block: tuple[int, int] = (256, 1024)):
@@ -47,6 +53,7 @@ def make_dot_product(*, block: tuple[int, int] = (256, 1024)):
             ],
             out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((1, bk), jnp.float32)],
             interpret=interpret_default(),
         )(x, y)
         return out[0, 0]

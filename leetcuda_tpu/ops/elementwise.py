@@ -46,6 +46,12 @@ def make_elementwise_binary(op, *, block: tuple[int, int] | None = None):
         bs, bk = block if block is not None else (S, K)
         bs, bk = min(bs, S), min(bk, K)
         grid = (cdiv(S, bs), cdiv(K, bk))
+        params = {}
+        if not interpret_default():
+            # the saturating rung's multi-MB blocks exceed the 16 MB default
+            # scoped-vmem limit once double-buffered (v5e has 128 MB)
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
         return pl.pallas_call(
             functools.partial(_binary_kernel, op),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -57,6 +63,7 @@ def make_elementwise_binary(op, *, block: tuple[int, int] | None = None):
             out_specs=pl.BlockSpec((bs, bk), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
             interpret=interpret_default(),
+            **params,
         )(x, y)
 
     return fn
@@ -71,7 +78,10 @@ _LADDER = {
     "x2": (1, 2),
     "x4": (1, 4),
     "x8": (1, 8),
-    "x8_pack": (8, 8),  # large block: saturates the DMA pipeline
+    # saturating rung: ~4 MB blocks. The r4 VPU ladder measured the old
+    # (8, 8) = 256 KB top rung at only 0.2-0.46x XLA on 256 MB arrays —
+    # grid-step overhead still dominated; HBM wants multi-MB transfers.
+    "x8_pack": (64, 16),
 }
 
 _DTYPES = {"f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16}
@@ -111,5 +121,6 @@ def _register_ladder(op_name: str, op):
 _register_ladder("add", lambda a, b: a + b)
 
 # convenience top-level entry points (largest-block rungs)
-elementwise_add_f32 = make_elementwise_binary(lambda a, b: a + b, block=(64, 1024))
+elementwise_add_f32 = make_elementwise_binary(lambda a, b: a + b,
+                                              block=(512, 2048))
 elementwise_add_bf16 = elementwise_add_f32  # dtype follows the inputs

@@ -25,14 +25,22 @@ from leetcuda_tpu.core.runtime import cdiv, interpret_default, min_tile
 from leetcuda_tpu.core.registry import register_op
 
 
-def _reduce_sum_kernel(x_ref, o_ref):
-    # First grid step initializes the accumulator block; later steps accumulate.
+def _reduce_sum_kernel(x_ref, o_ref, acc_ref):
+    # Vector accumulator: each grid step does a SUBLANE-only reduce of its
+    # block into a (1, bk) lane vector — cheap on the VPU — and the single
+    # expensive cross-lane reduce runs once at the last step. The original
+    # (1,1) revisited-output accumulator cross-lane-reduced every step and
+    # measured 275 GB/s vs XLA's ~800 (r4 VPU ladder).
     @pl.when(pl.program_id(0) == 0)
     def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # (1,1)-shaped accumulate — scalar stores to VMEM are not allowed on TPU
-    o_ref[:] = o_ref[:] + jnp.sum(x_ref[:].astype(o_ref.dtype))
+    acc_ref[:] = acc_ref[:] + jnp.sum(
+        x_ref[:].astype(acc_ref.dtype), axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        o_ref[:] = jnp.sum(acc_ref[:], keepdims=True).astype(o_ref.dtype)
 
 
 def _kernel_acc_dtype(acc_dtype):
@@ -65,6 +73,7 @@ def make_block_all_reduce_sum(acc_dtype, *, block: tuple[int, int] = (256, 1024)
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((1, bk), kdt)],
             interpret=interpret_default(),
         )(x)
         return out[0, 0].astype(acc_dtype)
@@ -72,12 +81,18 @@ def make_block_all_reduce_sum(acc_dtype, *, block: tuple[int, int] = (256, 1024)
     return fn
 
 
-def _reduce_max_kernel(x_ref, o_ref):
+def _reduce_max_kernel(x_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
-        o_ref[:] = jnp.full_like(o_ref, -jnp.inf)
+        acc_ref[:] = jnp.full_like(acc_ref, -jnp.inf)
 
-    o_ref[:] = jnp.maximum(o_ref[:], jnp.max(x_ref[:].astype(o_ref.dtype)))
+    acc_ref[:] = jnp.maximum(
+        acc_ref[:],
+        jnp.max(x_ref[:].astype(acc_ref.dtype), axis=0, keepdims=True))
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        o_ref[:] = jnp.max(acc_ref[:], keepdims=True).astype(o_ref.dtype)
 
 
 def make_block_all_reduce_max(acc_dtype, *, block: tuple[int, int] = (256, 1024)):
@@ -95,6 +110,7 @@ def make_block_all_reduce_max(acc_dtype, *, block: tuple[int, int] = (256, 1024)
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((1, bk), kdt)],
             interpret=interpret_default(),
         )(x)
         return out[0, 0].astype(acc_dtype)

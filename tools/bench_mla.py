@@ -98,6 +98,11 @@ def main():
         rows["mla_latent_paged"] = (
             make_paged_attention(sm_scale=sm, shared_kv=True),
             (q_lat, pool, jnp.asarray(table_np), lengths), B * S * Dlat * 2)
+        # the r4 one-page-per-step baseline (DMA-latency-bound, 283 GB/s)
+        rows["mla_paged_1pp"] = (
+            make_paged_attention(sm_scale=sm, shared_kv=True,
+                                 pages_per_step=1),
+            (q_lat, pool, jnp.asarray(table_np), lengths), B * S * Dlat * 2)
 
     print(f"B={B} H={H} S={S} latent D={Dlat} vs GQA Hkv={Hkv} Dh={Dh}")
     results = {}
