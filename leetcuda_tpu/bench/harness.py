@@ -196,6 +196,11 @@ def _build_timed_uncached(fn, args, iters: int):
             if pi is not None:
                 a = new_args[pi]
                 new_args[pi] = a + (carry * 0).astype(a.dtype)
+            elif not new_args:
+                # zero-arg fn: nothing to perturb — chain via the probe only
+                # (XLA may hoist the body; zero-arg timings are best-effort)
+                out = fn()
+                return _tiny_probe(out) + carry * 0, None
             else:
                 leaves, treedef = jax.tree_util.tree_flatten(new_args[0])
                 for j, leaf in enumerate(leaves):
@@ -240,7 +245,9 @@ def run_benchmark(
     for _ in range(max(warmup, 1)):
         float(probe(timed(*args)))  # warm the scan compile
 
-    floor = _rpc_floor(args[0] if args else None)
+    # zero-arg fns (e.g. closures over device arrays) probe a tiny constant:
+    # _tiny_probe(None) has no leaves and raised IndexError (advisor r4)
+    floor = _rpc_floor(args[0] if args else jnp.zeros((8,), jnp.float32))
     t0 = time.perf_counter()
     float(probe(timed(*args)))
     t1 = time.perf_counter()

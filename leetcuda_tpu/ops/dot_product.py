@@ -2,12 +2,16 @@
 
 The reference grades dot-product across f32/f32x4/f16_f32/f16x2_f32/f16x8_pack_f32
 (dot_product.cu:35-167), each a fused multiply + warp/block tree-reduce + atomicAdd.
-The TPU version fuses the elementwise product into the same revisited-accumulator
-reduction used by ``ops.reduce`` (grid steps execute in order; the (1,1) output block
-is the accumulator), always accumulating in f32 like the reference's ``_f32`` rungs.
+The TPU version fuses the elementwise product into the same vector-accumulator
+reduction used by ``ops.reduce``: each ordered grid step sublane-reduces its block's
+products into a (1, bk) f32 VMEM scratch vector, and the one expensive cross-lane
+reduce runs once at the last step before writing the (1,1) output — always
+accumulating in f32 like the reference's ``_f32`` rungs.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -18,16 +22,21 @@ from leetcuda_tpu.core.runtime import cdiv, interpret_default
 from leetcuda_tpu.core.registry import register_op
 
 
-def _dot_kernel(x_ref, y_ref, o_ref, acc_ref):
+def _dot_kernel(nj, bounds, x_ref, y_ref, o_ref, acc_ref):
     # Same vector-accumulator shape as ops/reduce.py: sublane-only reduce per
     # step into a (1, bk) f32 lane vector, one cross-lane reduce at the end.
+    from leetcuda_tpu.ops.reduce import _block_mask
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     x = x_ref[:].astype(jnp.float32)
     y = y_ref[:].astype(jnp.float32)
-    acc_ref[:] = acc_ref[:] + jnp.sum(x * y, axis=0, keepdims=True)
+    prod = x * y
+    if bounds is not None:  # non-divisible (S, K): zero the block padding
+        prod = _block_mask(x_ref.shape, nj, bounds, 0, prod)
+    acc_ref[:] = acc_ref[:] + jnp.sum(prod, axis=0, keepdims=True)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -41,8 +50,9 @@ def make_dot_product(*, block: tuple[int, int] = (256, 1024)):
         S, K = x.shape
         bs, bk = min(block[0], S), min(block[1], K)
         nj = cdiv(K, bk)
+        bounds = None if (S % bs == 0 and K % bk == 0) else (S, K)
         out = pl.pallas_call(
-            _dot_kernel,
+            functools.partial(_dot_kernel, nj, bounds),
             out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
             grid=(cdiv(S, bs) * nj,),
             in_specs=[

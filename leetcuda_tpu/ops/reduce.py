@@ -25,7 +25,23 @@ from leetcuda_tpu.core.runtime import cdiv, interpret_default, min_tile
 from leetcuda_tpu.core.registry import register_op
 
 
-def _reduce_sum_kernel(x_ref, o_ref, acc_ref):
+def _block_mask(shape, nj, bounds, fill, x):
+    """Zero/neutral-fill the out-of-bounds padding of a boundary block.
+
+    Pallas pads a partial block with whatever the DMA drags in, so a
+    reduction over a non-divisible (S, K) accumulated garbage (advisor r4:
+    (300,1500) f32 sum off by ~4e5). Same iota-vs-bound idiom as the
+    attention kernels' ragged tails.
+    """
+    S, K = bounds
+    bs, bk = shape
+    i = pl.program_id(0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bs, bk), 0) + (i // nj) * bs
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bs, bk), 1) + (i % nj) * bk
+    return jnp.where((rows < S) & (cols < K), x, fill)
+
+
+def _reduce_sum_kernel(nj, bounds, x_ref, o_ref, acc_ref):
     # Vector accumulator: each grid step does a SUBLANE-only reduce of its
     # block into a (1, bk) lane vector — cheap on the VPU — and the single
     # expensive cross-lane reduce runs once at the last step. The original
@@ -35,8 +51,10 @@ def _reduce_sum_kernel(x_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] = acc_ref[:] + jnp.sum(
-        x_ref[:].astype(acc_ref.dtype), axis=0, keepdims=True)
+    x = x_ref[:].astype(acc_ref.dtype)
+    if bounds is not None:  # only traced for non-divisible shapes
+        x = _block_mask(x_ref.shape, nj, bounds, 0, x)
+    acc_ref[:] = acc_ref[:] + jnp.sum(x, axis=0, keepdims=True)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -65,8 +83,9 @@ def make_block_all_reduce_sum(acc_dtype, *, block: tuple[int, int] = (256, 1024)
         grid = (cdiv(S, bs) * cdiv(K, bk),)
         nj = cdiv(K, bk)
         kdt = _kernel_acc_dtype(acc_dtype)
+        bounds = None if (S % bs == 0 and K % bk == 0) else (S, K)
         out = pl.pallas_call(
-            _reduce_sum_kernel,
+            functools.partial(_reduce_sum_kernel, nj, bounds),
             out_shape=jax.ShapeDtypeStruct((1, 1), kdt),
             grid=grid,
             in_specs=[pl.BlockSpec((bs, bk), lambda i: (i // nj, i % nj),
@@ -81,14 +100,15 @@ def make_block_all_reduce_sum(acc_dtype, *, block: tuple[int, int] = (256, 1024)
     return fn
 
 
-def _reduce_max_kernel(x_ref, o_ref, acc_ref):
+def _reduce_max_kernel(nj, bounds, x_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         acc_ref[:] = jnp.full_like(acc_ref, -jnp.inf)
 
-    acc_ref[:] = jnp.maximum(
-        acc_ref[:],
-        jnp.max(x_ref[:].astype(acc_ref.dtype), axis=0, keepdims=True))
+    x = x_ref[:].astype(acc_ref.dtype)
+    if bounds is not None:
+        x = _block_mask(x_ref.shape, nj, bounds, -jnp.inf, x)
+    acc_ref[:] = jnp.maximum(acc_ref[:], jnp.max(x, axis=0, keepdims=True))
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -102,8 +122,9 @@ def make_block_all_reduce_max(acc_dtype, *, block: tuple[int, int] = (256, 1024)
         bs, bk = min(block[0], S), min(block[1], K)
         nj = cdiv(K, bk)
         kdt = _kernel_acc_dtype(acc_dtype)
+        bounds = None if (S % bs == 0 and K % bk == 0) else (S, K)
         out = pl.pallas_call(
-            _reduce_max_kernel,
+            functools.partial(_reduce_max_kernel, nj, bounds),
             out_shape=jax.ShapeDtypeStruct((1, 1), kdt),
             grid=(cdiv(S, bs) * nj,),
             in_specs=[pl.BlockSpec((bs, bk), lambda i: (i // nj, i % nj),
