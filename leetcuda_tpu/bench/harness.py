@@ -195,7 +195,14 @@ def _build_timed_uncached(fn, args, iters: int):
             new_args = list(args_)
             if pi is not None:
                 a = new_args[pi]
-                new_args[pi] = a + (carry * 0).astype(a.dtype)
+                # optimization_barrier: the perturbed operand must be a
+                # MATERIALIZED buffer for both duel sides. Without it the
+                # XLA oracle fuses the perturb add into its own op (zero
+                # extra traffic) while a Pallas custom call cannot — the
+                # perturb pass then taxes only the custom kernel (the r4
+                # reduce "0.29x XLA" was mostly this, not the kernel).
+                new_args[pi] = jax.lax.optimization_barrier(
+                    a + (carry * 0).astype(a.dtype))
             elif not new_args:
                 # zero-arg fn: nothing to perturb — chain via the probe only
                 # (XLA may hoist the body; zero-arg timings are best-effort)
@@ -205,7 +212,8 @@ def _build_timed_uncached(fn, args, iters: int):
                 leaves, treedef = jax.tree_util.tree_flatten(new_args[0])
                 for j, leaf in enumerate(leaves):
                     if _numeric(leaf):
-                        leaves[j] = leaf + (carry * 0).astype(leaf.dtype)
+                        leaves[j] = jax.lax.optimization_barrier(
+                            leaf + (carry * 0).astype(leaf.dtype))
                         break
                 new_args[0] = jax.tree_util.tree_unflatten(treedef, leaves)
             out = fn(*new_args)
@@ -215,6 +223,44 @@ def _build_timed_uncached(fn, args, iters: int):
         return final
 
     return timed, True
+
+
+_PERTURB_FLOOR_CACHE: dict = {}
+
+
+def perturb_floor_ms(sample, iters: int = 20) -> float:
+    """Per-iteration cost of ONE materialized perturb pass (read+write of
+    ``sample``), timed with the same chained-scan protocol.
+
+    Perturbed-chain results include exactly this pass on top of the op
+    (both duel sides, post-barrier); subtracting it recovers op-only time
+    so reduce-class bandwidths are comparable to the chainable families'.
+    """
+    key = (tuple(sample.shape), str(sample.dtype), iters)
+    if key in _PERTURB_FLOOR_CACHE:
+        return _PERTURB_FLOOR_CACHE[key]
+
+    @jax.jit
+    def timed(x):
+        def body(carry, _):
+            x2 = jax.lax.optimization_barrier(
+                x + (carry * 0).astype(x.dtype))
+            return x2.reshape(-1)[0].astype(jnp.float32), None
+
+        final, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return final
+
+    probe = jax.jit(_tiny_probe)
+    float(probe(timed(sample)))  # warm the compile
+    floor = _rpc_floor(sample)
+    best = 1e30
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(probe(timed(sample)))
+        best = min(best, time.perf_counter() - t0)
+    ms = max(best - floor, 0.0) / iters * 1e3
+    _PERTURB_FLOOR_CACHE[key] = ms
+    return ms
 
 
 def run_benchmark(

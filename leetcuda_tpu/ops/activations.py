@@ -94,6 +94,8 @@ def make_activation(op, *, block: tuple[int, int] | None = None):
             # default scoped-vmem limit once double-buffered (v5e: 128 MB)
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)
+        # in-place on x's buffer when x is dead after the call — see the
+        # aliasing note in elementwise.make_elementwise_binary
         return pl.pallas_call(
             functools.partial(_unary_kernel, op),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -102,6 +104,7 @@ def make_activation(op, *, block: tuple[int, int] | None = None):
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((bs, bk), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
+            input_output_aliases={0: 0},
             interpret=interpret_default(),
             **params,
         )(x)

@@ -43,7 +43,9 @@ def _dot_kernel(nj, bounds, x_ref, y_ref, o_ref, acc_ref):
         o_ref[:] = jnp.sum(acc_ref[:], keepdims=True)
 
 
-def make_dot_product(*, block: tuple[int, int] = (256, 1024)):
+def make_dot_product(*, block: tuple[int, int] = (512, 2048)):
+    from leetcuda_tpu.ops.reduce import _vmem_params
+
     @jax.jit
     def fn(x, y):
         assert x.ndim == 2
@@ -65,6 +67,7 @@ def make_dot_product(*, block: tuple[int, int] = (256, 1024)):
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((1, bk), jnp.float32)],
             interpret=interpret_default(),
+            **_vmem_params(),
         )(x, y)
         return out[0, 0]
 
@@ -85,10 +88,10 @@ def _dot_bytes(x, y):
 
 for _suffix, _blk, _atol in [
     ("f32", (256, 1024), 1e-1),
-    ("f32x4", (512, 1024), 1e-1),
+    ("f32x4", (512, 2048), 1e-1),
     ("f16_f32", (256, 1024), 2.0),
-    ("f16x2_f32", (256, 2048), 2.0),
-    ("f16x8_pack_f32", (512, 2048), 2.0),
+    ("f16x2_f32", (512, 2048), 2.0),
+    ("f16x8_pack_f32", (1024, 2048), 2.0),
 ]:
     register_op(
         f"dot_prod_{_suffix}",

@@ -52,6 +52,13 @@ def make_elementwise_binary(op, *, block: tuple[int, int] | None = None):
             # scoped-vmem limit once double-buffered (v5e has 128 MB)
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024)
+        # input 0 aliases the output: the kernel updates x's HBM buffer in
+        # place when the caller no longer needs x (XLA elementwise fusions
+        # get the same buffer reuse from buffer assignment; without this a
+        # chained y = f(y, ...) pays a defensive 2N-byte copy of the carry
+        # before every custom call — the r4 VPU "0.6x XLA" was exactly that
+        # copy, not the kernel). If x is still live, XLA inserts the same
+        # copy it always did; semantics are unchanged.
         return pl.pallas_call(
             functools.partial(_binary_kernel, op),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -62,6 +69,7 @@ def make_elementwise_binary(op, *, block: tuple[int, int] | None = None):
             ],
             out_specs=pl.BlockSpec((bs, bk), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
+            input_output_aliases={0: 0},
             interpret=interpret_default(),
             **params,
         )(x, y)
@@ -76,11 +84,11 @@ def make_elementwise_binary(op, *, block: tuple[int, int] | None = None):
 _LADDER = {
     "": (1, 1),        # naive: min tile
     "x2": (1, 2),
-    "x4": (1, 4),
-    "x8": (1, 8),
-    # saturating rung: ~4 MB blocks. The r4 VPU ladder measured the old
-    # (8, 8) = 256 KB top rung at only 0.2-0.46x XLA on 256 MB arrays —
-    # grid-step overhead still dominated; HBM wants multi-MB transfers.
+    "x4": (2, 4),
+    # measured on chip (logs/r5_explore.log): f32 add at (64,1024) = 256 KB
+    # already duels XLA at 0.991; (512,2048) = 4 MB lands 1.003 and
+    # (512,8192) 1.06 — once blocks clear ~256 KB the stream is HBM-bound.
+    "x8": (8, 8),
     "x8_pack": (64, 16),
 }
 

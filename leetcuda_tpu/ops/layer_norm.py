@@ -36,6 +36,8 @@ def _layer_norm_kernel(x_ref, g_ref, b_ref, o_ref):
 def make_layer_norm(*, rows_per_step: int = 8):
     """layer_norm(x, gamma, beta) over rows of (S, K); gamma/beta shape (K,)."""
 
+    from leetcuda_tpu.ops.reduce import _vmem_params
+
     @jax.jit
     def fn(x, gamma, beta):
         assert x.ndim == 2
@@ -43,6 +45,8 @@ def make_layer_norm(*, rows_per_step: int = 8):
         bs = min(rows_per_step, S)
         g2 = gamma.reshape(1, K)
         b2 = beta.reshape(1, K)
+        # in-place on x's buffer when x is dead after the call — see the
+        # aliasing note in elementwise.make_elementwise_binary
         return pl.pallas_call(
             _layer_norm_kernel,
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -54,7 +58,9 @@ def make_layer_norm(*, rows_per_step: int = 8):
             ],
             out_specs=pl.BlockSpec((bs, K), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
+            input_output_aliases={0: 0},
             interpret=interpret_default(),
+            **_vmem_params(),
         )(x, g2, b2)
 
     return fn
@@ -86,10 +92,12 @@ def _ln_bytes(x, *a):
 
 # ladder: rung -> rows-per-grid-step (more rows per program amortizes grid overhead,
 # like wider per-thread vectorization did on CUDA)
+# top rungs sized to the measured multi-MB HBM-bound plateau: at K=4096,
+# 256 f32 rows = 4 MB, 512 f16 rows = 4 MB (logs/r5_explore.log)
 for _suffix, _rows, _atol in [
-    ("f32", 8, 1e-5), ("f32x4", 32, 1e-5),
-    ("f16_f16", 16, 2e-2), ("f16x2_f16", 32, 2e-2), ("f16x8_f16", 64, 2e-2),
-    ("f16x8_pack_f16", 128, 2e-2), ("f16x8_pack_f32", 128, 2e-2),
+    ("f32", 8, 1e-5), ("f32x4", 256, 1e-5),
+    ("f16_f16", 16, 2e-2), ("f16x2_f16", 64, 2e-2), ("f16x8_f16", 128, 2e-2),
+    ("f16x8_pack_f16", 512, 2e-2), ("f16x8_pack_f32", 512, 2e-2),
     ("f16_f32", 16, 2e-2),
 ]:
     register_op(

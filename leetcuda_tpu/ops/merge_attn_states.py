@@ -49,11 +49,13 @@ def _merge_kernel(po_ref, pl_ref, so_ref, sl_ref, o_ref, ol_ref):
     ol_ref[:] = (m + jnp.log(denom)).astype(ol_ref.dtype)
 
 
-def make_merge_attn_states(*, tokens_per_step: int = 8):
+def make_merge_attn_states(*, tokens_per_step: int = 256):
     """(prefix_out, prefix_lse, suffix_out, suffix_lse) -> (out, lse).
 
-    Shapes: out (T, H, D); lse (T, H), natural log base.
+    Shapes: out (T, H, D); lse (T, H), natural log base. Default block
+    sized for the HBM-bound regime (256 tokens x 8 heads x 128 = 1 MB f32).
     """
+    from leetcuda_tpu.ops.reduce import _vmem_params
 
     @jax.jit
     def fn(prefix_output, prefix_lse, suffix_output, suffix_lse):
@@ -62,6 +64,8 @@ def make_merge_attn_states(*, tokens_per_step: int = 8):
         o_spec = pl.BlockSpec((bt, H, D), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
         l_spec = pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        # prefix_output's buffer is reused for the merged output when dead
+        # (see the aliasing note in elementwise.make_elementwise_binary)
         return pl.pallas_call(
             _merge_kernel,
             out_shape=(jax.ShapeDtypeStruct((T, H, D), prefix_output.dtype),
@@ -69,7 +73,9 @@ def make_merge_attn_states(*, tokens_per_step: int = 8):
             grid=(cdiv(T, bt),),
             in_specs=[o_spec, l_spec, o_spec, l_spec],
             out_specs=(o_spec, l_spec),
+            input_output_aliases={0: 0},
             interpret=interpret_default(),
+            **_vmem_params(),
         )(prefix_output, prefix_lse, suffix_output, suffix_lse)
 
     return fn

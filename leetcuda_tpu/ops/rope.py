@@ -68,6 +68,54 @@ def make_rope(*, theta: float = DEFAULT_THETA, rows_per_step: int = 8):
     return fn
 
 
+def _rope_lane_kernel(theta, rows, x_ref, o_ref):
+    """Interleaved rope on the NATIVE lane layout — no de-interleave.
+
+    The pair (2i, 2i+1) lives in adjacent lanes; instead of splitting planes
+    (which strands the op on 64-lane arrays and pays an XLA relayout), build
+    per-lane cos/sin from iota (lane//2 is the frequency index) and realize
+    the pair swap as two 1-lane circular shifts + an even/odd select — three
+    VPU ops against an HBM-bound stream. out = x·c + swap(x)·(±s).
+    """
+    bs, D = x_ref.shape
+    half = D // 2
+    pos = (pl.program_id(0) * rows
+           + jax.lax.broadcasted_iota(jnp.int32, (bs, D), 0)).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bs, D), 1)
+    pair = (lane // 2).astype(jnp.float32)
+    inv_freq = jnp.exp(pair * (-jnp.log(theta) / half))
+    ang = pos * inv_freq
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    x = x_ref[:].astype(jnp.float32)
+    is_even = (lane % 2) == 0
+    # pltpu.roll wants non-negative shifts: roll(-1) == roll(D-1)
+    swapped = jnp.where(is_even, pltpu.roll(x, D - 1, 1), pltpu.roll(x, 1, 1))
+    o_ref[:] = (x * c + swapped * jnp.where(is_even, -s, s)).astype(o_ref.dtype)
+
+
+def make_rope_lane(*, theta: float = DEFAULT_THETA, rows_per_step: int = 1024):
+    """rope(x) directly on the interleaved (S, D) array (top ladder rung)."""
+    from leetcuda_tpu.ops.reduce import _vmem_params
+
+    @jax.jit
+    def fn(x):
+        S, D = x.shape
+        bs = min(rows_per_step, S)
+        spec = pl.BlockSpec((bs, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_rope_lane_kernel, theta, bs),
+            out_shape=jax.ShapeDtypeStruct((S, D), x.dtype),
+            grid=(cdiv(S, bs),),
+            in_specs=[spec],
+            out_specs=spec,
+            input_output_aliases={0: 0},
+            interpret=interpret_default(),
+            **_vmem_params(),
+        )(x)
+
+    return fn
+
+
 def rope_ref(x, theta: float = DEFAULT_THETA):
     """jnp oracle with reference-identical interleaved semantics."""
     S, D = x.shape
@@ -211,11 +259,18 @@ def _rope_bytes(x):
     return float(2 * x.size * x.dtype.itemsize)
 
 
-for _suffix, _rows in [("f32", 8), ("f32_v2", 32), ("f32x4_pack", 64)]:
+for _suffix, _rows in [("f32", 8), ("f32_v2", 512)]:
     register_op(
         f"rope_{_suffix}",
         ref=rope_ref, flops=_rope_flops, bytes=_rope_bytes,
         atol=1e-4, rtol=1e-4, family="rope", tags=(_suffix,),
     )(make_rope(rows_per_step=_rows))
 
-rope = make_rope(rows_per_step=32)
+# top rung: the native interleaved-lane kernel (no de-interleave relayout)
+register_op(
+    "rope_f32x4_pack",
+    ref=rope_ref, flops=_rope_flops, bytes=_rope_bytes,
+    atol=1e-4, rtol=1e-4, family="rope", tags=("f32x4_pack", "lane"),
+)(make_rope_lane(rows_per_step=2048))
+
+rope = make_rope_lane(rows_per_step=2048)

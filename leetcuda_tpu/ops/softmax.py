@@ -71,11 +71,15 @@ def _online_softmax_kernel(chunk: int, x_ref, o_ref):
 
 
 def _make_rowwise(kernel, *, rows_per_step: int = 8):
+    from leetcuda_tpu.ops.reduce import _vmem_params
+
     @jax.jit
     def fn(x):
         assert x.ndim == 2
         S, K = x.shape
         bs = min(rows_per_step, S)
+        # in-place on x's buffer when x is dead after the call — see the
+        # aliasing note in elementwise.make_elementwise_binary
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -84,7 +88,9 @@ def _make_rowwise(kernel, *, rows_per_step: int = 8):
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((bs, K), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
+            input_output_aliases={0: 0},
             interpret=interpret_default(),
+            **_vmem_params(),
         )(x)
 
     return fn
@@ -124,7 +130,9 @@ def _softmax_bytes(x):
 _COMMON = dict(ref=_softmax_ref, flops=_softmax_flops, bytes=_softmax_bytes,
                family="softmax")
 
-for _suffix, _rows in [("f32", 8), ("f32x4", 32)]:
+# row counts graded to the saturating regime: at K=2048 f32, 256 rows = 2 MB
+# blocks (the measured HBM-bound plateau, logs/r5_explore.log)
+for _suffix, _rows in [("f32", 8), ("f32x4", 256)]:
     register_op(f"softmax_{_suffix}_per_token", atol=1e-4, rtol=1e-4,
                 tags=("naive", _suffix), **_COMMON)(
         make_softmax(rows_per_step=_rows))
@@ -132,8 +140,8 @@ for _suffix, _rows in [("f32", 8), ("f32x4", 32)]:
                 tags=("safe", _suffix), **_COMMON)(
         make_safe_softmax(rows_per_step=_rows))
 
-for _suffix, _rows, _atol in [("f16_f32", 16, 1e-2), ("f16x2_f32", 32, 1e-2),
-                              ("f16x8_pack_f32", 64, 1e-2)]:
+for _suffix, _rows, _atol in [("f16_f32", 16, 1e-2), ("f16x2_f32", 128, 1e-2),
+                              ("f16x8_pack_f32", 512, 1e-2)]:
     register_op(f"safe_softmax_{_suffix}_per_token", atol=_atol, rtol=1e-2,
                 tags=("safe", _suffix), **_COMMON)(
         make_safe_softmax(rows_per_step=_rows))
@@ -142,7 +150,7 @@ register_op("online_safe_softmax_f32", atol=1e-5, rtol=1e-5,
             tags=("online", "f32"), **_COMMON)(make_online_softmax())
 register_op("online_safe_softmax_f32x4_pack", atol=1e-5, rtol=1e-5,
             tags=("online", "f32x4"), **_COMMON)(
-    make_online_softmax(rows_per_step=32, chunk=256))
+    make_online_softmax(rows_per_step=256, chunk=256))
 
-softmax = make_safe_softmax(rows_per_step=32)
-online_softmax = make_online_softmax(rows_per_step=32)
+softmax = make_safe_softmax(rows_per_step=256)
+online_softmax = make_online_softmax(rows_per_step=256)

@@ -66,6 +66,8 @@ def make_transpose(*, block: tuple[int, int] = (256, 256), order: str = "col2row
                 out_spec = pl.BlockSpec((bk, bs), lambda i, j: (j, i),
                                         memory_space=pltpu.VMEM)
 
+        from leetcuda_tpu.ops.reduce import _vmem_params
+
         return pl.pallas_call(
             _transpose_kernel,
             out_shape=jax.ShapeDtypeStruct((K, S), x.dtype),
@@ -73,6 +75,7 @@ def make_transpose(*, block: tuple[int, int] = (256, 256), order: str = "col2row
             in_specs=[in_spec],
             out_specs=out_spec,
             interpret=interpret_default(),
+            **_vmem_params(),
         )(x)
 
     return fn
@@ -90,8 +93,8 @@ for _name, _order, _blk in [
     ("mat_transpose_f32_col2row2d", "col2row", (256, 256)),
     ("mat_transpose_f32_row2col2d", "row2col", (256, 256)),
     ("mat_transpose_f32_diagonal2d", "diagonal", (256, 256)),
-    ("mat_transpose_f32x4_col2row2d", "col2row", (512, 512)),
-    ("mat_transpose_f32x4_row2col2d", "row2col", (512, 512)),
+    ("mat_transpose_f32x4_col2row2d", "col2row", (1024, 1024)),
+    ("mat_transpose_f32x4_row2col2d", "row2col", (1024, 1024)),
     ("mat_transpose_f32x4_shared_col2row2d", "col2row", (128, 128)),
     ("mat_transpose_f32x4_shared_row2col2d", "row2col", (128, 128)),
     ("mat_transpose_f32x4_shared_bcf_col2row2d", "col2row", (128, 256)),
