@@ -83,6 +83,37 @@ def interpret_default() -> bool:
     return not on_tpu()
 
 
+def e4m3_bits_to_f32(wi32):
+    """e4m3fn byte (as sign-extended i32) -> exact f32, via bit surgery.
+
+    Normals: shift the 7 abs bits a = (e<<3)|m into the f32 exponent/mantissa
+    position and ADD the rebias ((120)<<23) in integer space — the bitcast
+    then reads 2^(e+120-127)(1+m/8) = 2^(e-7)(1+m/8) directly, no float
+    multiply and no subnormal-f32 intermediate (an earlier x*2^120 variant
+    died to flush-to-zero). Subnormals (a < 8): value is m*2^-9, computed as
+    an exact int->f32 cast times a normal constant; one select merges the
+    branches and one signed select applies the sign. Pure int ops + bitcast
+    + select — replaces Mosaic's software-emulated e4m3 cast (measured ~10x
+    slower than the HBM stream: FP8_DECODE r4; e4m3 reduce rung 80 GB/s vs
+    752 for e5m2, logs/r5_vpu.log). NaN (abs 0x7F) decodes to a finite
+    2^8(1+7/8): quantizers never emit NaN weights.
+    """
+    a = jnp.bitwise_and(wi32, 0x7F)
+    bits = jnp.left_shift(a, 20) + (120 << 23)
+    normal = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    sub = a.astype(jnp.float32) * jnp.float32(2.0 ** -9)
+    mag = jnp.where(a < 8, sub, normal)
+    return jnp.where(wi32 < 0, -mag, mag)
+
+
+def upcast_for_vpu(x, target_dtype):
+    """x.astype(target) with the e4m3 software-cast bypassed by bit surgery."""
+    if x.dtype == jnp.dtype("float8_e4m3fn"):
+        raw = jax.lax.bitcast_convert_type(x, jnp.int8)
+        return e4m3_bits_to_f32(raw.astype(jnp.int32)).astype(target_dtype)
+    return x.astype(target_dtype)
+
+
 def bytes_of(shape, dtype) -> int:
     n = 1
     for s in shape:

@@ -45,7 +45,10 @@ def quantize_rowwise_fp8(w, axis: int = 0, dtype=None):
     return w_q, scale.reshape(-1)
 
 
-def _wq_mm_kernel(compute_dtype, x_ref, w_ref, s_ref, o_ref, acc_ref):
+from leetcuda_tpu.core.runtime import e4m3_bits_to_f32 as _e4m3_bits_to_f32
+
+
+def _wq_mm_kernel(compute_dtype, fp8_bits, x_ref, w_ref, s_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -54,7 +57,10 @@ def _wq_mm_kernel(compute_dtype, x_ref, w_ref, s_ref, o_ref, acc_ref):
     # Mosaic has no direct fp8->bf16 cast (tools/lower_sweep.py caught the
     # on-chip failure from a CPU session) — fp8 legalizes via f32
     w = w_ref[:]
-    if jnp.issubdtype(w.dtype, jnp.floating) and w.dtype.itemsize == 1:
+    if fp8_bits:
+        # raw e4m3 bytes arrive bitcast as int8; decode with integer ops
+        w = _e4m3_bits_to_f32(w.astype(jnp.int32))
+    elif jnp.issubdtype(w.dtype, jnp.floating) and w.dtype.itemsize == 1:
         w = w.astype(jnp.float32)
     w = w.astype(compute_dtype)
     acc_ref[:] += jnp.dot(x_ref[:].astype(compute_dtype), w,
@@ -71,8 +77,13 @@ def make_matmul_w8a16(
     block: tuple[int, int, int] = (512, 1024, 512),
     compute_dtype=jnp.bfloat16,
     out_dtype=None,
+    fp8_bits: bool = False,
 ):
     """x (M, K) bf16 @ dequant(w_q (K, N) int8/fp8, scale (N,)) -> (M, N).
+
+    ``fp8_bits``: decode e4m3 weights with integer bit surgery instead of the
+    software-emulated fp8 cast (see _e4m3_bits_to_f32) — the weights stream
+    into the kernel bitcast as int8.
 
     Differentiable wrt x (custom VJP: dx = (g·s) @ w_qᵀ via XLA) — quantized
     weights are frozen (QLoRA-style adapters train through this)."""
@@ -82,6 +93,8 @@ def make_matmul_w8a16(
         M, K = x.shape
         K2, N = w_q.shape
         assert K == K2
+        if fp8_bits:
+            w_q = jax.lax.bitcast_convert_type(w_q, jnp.int8)
         bm, bn, bk = block
         bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
         assert K % bk == 0, "quantized matmul requires K divisible by block K"
@@ -93,7 +106,7 @@ def make_matmul_w8a16(
                 vmem_limit_bytes=100 * 1024 * 1024,
             )
         return pl.pallas_call(
-            functools.partial(_wq_mm_kernel, compute_dtype),
+            functools.partial(_wq_mm_kernel, compute_dtype, fp8_bits),
             out_shape=jax.ShapeDtypeStruct((M, N), odt),
             grid=(cdiv(M, bm), cdiv(N, bn), cdiv(K, bk)),
             in_specs=[
@@ -220,6 +233,17 @@ register_op(
     ref=matmul_w8a16_ref, flops=_wq_flops,
     atol=8e-2, rtol=8e-2, family="gemm-quant", tags=("fp8", "weight-only"),
 )(make_matmul_w8a16())
+
+register_op(
+    # e4m3 decoded by INTEGER BIT SURGERY instead of the software-emulated
+    # cast (VERDICT r4 #4: the fp8 north star was parked at 0.166x int8
+    # "software-cast-bound" without dueling a bit-decode rung). f32 dots:
+    # at decode-sized M the MXU is idle, skipping the bf16 cast passes.
+    "hgemm_w8a16_dequant_fp8_bits",
+    ref=matmul_w8a16_ref, flops=_wq_flops,
+    atol=8e-2, rtol=8e-2, family="gemm-quant",
+    tags=("fp8", "weight-only", "bits-decode", "f32-dots"),
+)(make_matmul_w8a16(fp8_bits=True, compute_dtype=jnp.float32))
 
 register_op(
     "hgemm_w8a8_i32",

@@ -38,6 +38,12 @@ from leetcuda_tpu.gemm.quant import make_matmul_w8a16, make_matmul_w4a16
 from leetcuda_tpu.ops.rope import apply_rope_half
 
 _w8a16 = make_matmul_w8a16()
+# e4m3 packs: integer bit-surgery decode instead of the software-emulated
+# cast (core.runtime.e4m3_bits_to_f32) — prefill keeps bf16 dots, decode
+# rows take f32 dots (MXU idle at small M; skips the bf16 cast passes)
+_w8a16_fp8 = make_matmul_w8a16(fp8_bits=True)
+_w8a16_fp8_decode = make_matmul_w8a16(fp8_bits=True,
+                                      compute_dtype=jnp.float32)
 _w4a16 = make_matmul_w4a16()            # floor unpack, bf16 dots (prefill)
 # decode-shape specialization: f32 dots skip the bf16 cast passes; at small
 # M the MXU is idle so the f32 rate is free — measured 599 vs 389 GB/s
@@ -85,7 +91,13 @@ def linear(x, w, adapter_ids=None):
             w4 = _w4a16_decode if xf.shape[0] <= _W4_F32_MAX_ROWS else _w4a16
             out = w4(xf, w["q4"], w["s4"])
         else:
-            out = _w8a16(x.reshape(-1, x.shape[-1]), w["q"], w["s"])
+            xf = x.reshape(-1, x.shape[-1])
+            if w["q"].dtype == jnp.dtype("float8_e4m3fn"):
+                w8 = (_w8a16_fp8_decode if xf.shape[0] <= _W4_F32_MAX_ROWS
+                      else _w8a16_fp8)
+            else:
+                w8 = _w8a16
+            out = w8(xf, w["q"], w["s"])
         return out.reshape(*lead, out.shape[-1])
     return x @ w
 

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from leetcuda_tpu.core.runtime import cdiv, interpret_default, min_tile
+from leetcuda_tpu.core.runtime import (cdiv, interpret_default, min_tile,
+                                       upcast_for_vpu)
 from leetcuda_tpu.core.registry import register_op
 
 
@@ -51,7 +52,9 @@ def _reduce_sum_kernel(nj, bounds, x_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:].astype(acc_ref.dtype)
+    # e4m3 inputs bypass Mosaic's software-emulated cast via bit surgery
+    # (measured 80 GB/s vs 750+ for every other dtype, logs/r5_vpu.log)
+    x = upcast_for_vpu(x_ref[:], acc_ref.dtype)
     if bounds is not None:  # only traced for non-divisible shapes
         x = _block_mask(x_ref.shape, nj, bounds, 0, x)
     acc_ref[:] = acc_ref[:] + jnp.sum(x, axis=0, keepdims=True)

@@ -300,6 +300,11 @@ def main():
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--probe", type=int, nargs=2, default=(16, 80))
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sessions", type=int, default=1,
+                    help="independent interleaved measurement sessions; the "
+                         "headline is the MEDIAN per-session paired ratio "
+                         "with its spread (VERDICT r4 #5b: one session's "
+                         "0.998 vs the prior day's 0.936 is not a claim)")
     ap.add_argument("--check", action="store_true",
                     help="verify each candidate vs matmul_chain_ref first")
     args = ap.parse_args()
@@ -358,29 +363,44 @@ def main():
                 print(f"  {cand}/{name}: compile failed: {type(e).__name__}",
                       flush=True)
 
-    best = {k: 1e30 for k in probes}
-    for _ in range(args.reps):                      # interleaved best-of-N
-        for k, g in probes.items():
-            t0 = time.perf_counter()
-            float(g(a, b))
-            best[k] = min(best[k], time.perf_counter() - t0)
-
     fl = 2 * n ** 3
-    results = {}
-    for cand in ["xla", "base", "parsem", "dual", "dual1k", "njin"]:
-        if (cand, "lo") in best and (cand, "hi") in best:
-            per = (best[(cand, "hi")] - best[(cand, "lo")]) / (HI - LO)
-            results[cand] = round(fl / per / 1e12, 1)
-    xla = results.get("xla")
-    print(f"\nresident {n}^3, probe ({LO},{HI}), best-of-{args.reps}:")
-    for cand, tf in sorted(results.items(), key=lambda kv: -kv[1]):
-        ratio = f"  ratio {tf / xla:.3f}" if xla and cand != "xla" else ""
-        print(f"  {cand:>9}: {tf:7.1f} TFLOPS{ratio}")
+    sessions = []
+    for si in range(args.sessions):
+        best = {k: 1e30 for k in probes}
+        for _ in range(args.reps):                  # interleaved best-of-N
+            for k, g in probes.items():
+                t0 = time.perf_counter()
+                float(g(a, b))
+                best[k] = min(best[k], time.perf_counter() - t0)
 
+        results = {}
+        for cand in ["xla", "base", "parsem", "dual", "dual1k", "njin"]:
+            if (cand, "lo") in best and (cand, "hi") in best:
+                per = (best[(cand, "hi")] - best[(cand, "lo")]) / (HI - LO)
+                results[cand] = round(fl / per / 1e12, 1)
+        xla = results.get("xla")
+        print(f"\nresident {n}^3, probe ({LO},{HI}), best-of-{args.reps}"
+              f" (session {si + 1}/{args.sessions}):")
+        for cand, tf in sorted(results.items(), key=lambda kv: -kv[1]):
+            ratio = f"  ratio {tf / xla:.3f}" if xla and cand != "xla" else ""
+            print(f"  {cand:>9}: {tf:7.1f} TFLOPS{ratio}")
+        sessions.append(results)
+
+    line = {"n": n, "probe": [LO, HI], "reps": args.reps,
+            "tflops": sessions[-1], "sessions": sessions,
+            "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    if len(sessions) > 1:
+        ratios = sorted(s["parsem"] / s["xla"] for s in sessions
+                        if s.get("xla") and s.get("parsem"))
+        if ratios:
+            line["parsem_ratio_median"] = round(ratios[len(ratios) // 2], 3)
+            line["parsem_ratio_spread"] = [round(ratios[0], 3),
+                                           round(ratios[-1], 3)]
+            print(f"\nparsem paired ratio over {len(ratios)} sessions: "
+                  f"median {line['parsem_ratio_median']}, "
+                  f"spread {line['parsem_ratio_spread']}")
     with open("RESIDENT_ABLATE.json", "a") as f:
-        f.write(json.dumps({"n": n, "probe": [LO, HI], "reps": args.reps,
-                            "tflops": results,
-                            "ts": time.strftime("%Y-%m-%d %H:%M:%S")}) + "\n")
+        f.write(json.dumps(line) + "\n")
 
 
 if __name__ == "__main__":

@@ -223,9 +223,10 @@ def main():
             if a is None:
                 continue
             nbytes = io_bytes(spec.fn, a)
-            # >=20 scan steps: at 5 the rpc-floor subtraction noise rivals
-            # the measurement (an XLA reduce row read over the HBM roof)
-            iters = max(20, min(100, int(3e9 * (1 if args.quick else 2)
+            # size the scan so total measured time is ~25 ms at roof: the
+            # subtracted rpc floor is ~1 ms and its noise inflated short
+            # runs past the HBM roof (gemv >1 TB/s in the first r5 pass)
+            iters = max(20, min(150, int(2e10 * (0.5 if args.quick else 1)
                                          / nbytes)))
             best_p = best_x = 1e30
             perturbed = False
