@@ -52,8 +52,11 @@ def make_args(spec, rng):
     if fam == "rope":
         return (randn((S, 128), jnp.float32),)
     if fam == "embedding":
-        d = jnp.float16 if "f16" in spec.name else jnp.float32
+        d = (jnp.bfloat16 if "bf16" in spec.name
+             else jnp.float16 if "f16" in spec.name else jnp.float32)
         idx = jnp.asarray(rng.integers(0, 104, (32,)), jnp.int32)
+        if "tiled" in tags:  # serving layout: (V, D/128, 128)
+            return (idx, randn((104, 2, 128), d))
         table = randn((104, 128), d)  # rows must be a multiple of 8 (HBM tiling)
         return (idx, table)
     if fam == "histogram":

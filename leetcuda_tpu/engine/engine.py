@@ -55,6 +55,11 @@ class EngineConfig:
     # hold fewer than slots*max_seq tokens; on pool exhaustion the youngest
     # sequence is preempted (pages released, request requeued for recompute)
     paged: bool = False
+    # TPU sizing note: paged decode time ~ (base + 0.35us per page DMA) —
+    # multi-page prefetch (G) doesn't help, page SIZE does (PAGED_SWEEP.json:
+    # page128 278 GB/s, page256 460, page512 767 vs contiguous 924). At long
+    # context prefer 256/512 (prefill_bucket and max_seq must be multiples);
+    # 128 is the fragmentation-friendly default for short-seq serving.
     page_size: int = 128
     num_pages: int | None = None     # default: a full slots*max_seq pool + 1
     # speculative decoding: k draft proposals per tick verified by one

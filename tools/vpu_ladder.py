@@ -132,9 +132,12 @@ def bench_args(spec, quick=False):
         # 128-lane pairs layout; 256k rows = 128 MB f32
         return (randn((262144 // div, 128), jnp.float32),)
     if fam == "embedding":
-        d = jnp.float16 if "f16" in spec.name else jnp.float32
+        d = (jnp.bfloat16 if "bf16" in spec.name
+             else jnp.float16 if "f16" in spec.name else jnp.float32)
         n_tok = 65536 // div
         idx = _dev_randn((n_tok,), jnp.int32, lo=0, hi=32768)
+        if "tiled" in tags:  # serving layout: same bytes, row-owned tiles
+            return (idx, randn((32768, 16, 128), d, tag=1))
         table = randn((32768, 2048), d, tag=1)  # 128 MB f16 / 256 MB f32
         return (idx, table)
     if fam == "histogram":
