@@ -182,7 +182,8 @@ def main():
     pf = [run_benchmark(jax.jit(_ft.partial(_fwd, cfg=cfg)), params, ptoks,
                         iters=8, flops=pf_flops).tflops for _ in range(3)]
     report["prefill"] = {
-        "tok_s": round(8 * 2048 * max(pf) / (pf_flops / 1e12) / 1e12, 0),
+        # tokens/s = tokens * (TFLOPS*1e12) / total_flops
+        "tok_s": round(8 * 2048 * max(pf) * 1e12 / pf_flops, 0),
         "mfu_pct": round(100 * max(pf) / 197, 1),
         "tflops": stats(pf)}
     print("prefill:", report["prefill"], flush=True)
