@@ -38,10 +38,17 @@ def param_bytes(tree):
                if hasattr(x, "dtype"))
 
 
-def bench_one(tag, params, cfg, B, S, max_new, kv_quant, reps=3):
+def bench_one(tag, params, cfg, B, S, max_new, kv_quant, reps=3,
+              return_sol=False):
     """Two-point measurement: time generate at max_new and at max_new//4 and
     difference them — prefill cost and constant overheads cancel, leaving the
-    pure decode rate."""
+    pure decode rate.
+
+    ``return_sol``: also return the speed-of-light fraction. A draw > 1.0 is
+    PROOF the measurement broke (a tunnel stall landed in the short arm and
+    the difference collapsed) — callers should exclude it from medians
+    (r5 cert sessions produced 134%-of-SOL draws under daytime congestion).
+    """
     max_seq = ((S + max_new + 1023) // 1024) * 1024  # enables the 1024 decode block
     prompts = jnp.asarray(
         np.random.default_rng(0).integers(0, cfg.vocab_size, (B, S)),
@@ -78,6 +85,8 @@ def bench_one(tag, params, cfg, B, S, max_new, kv_quant, reps=3):
           f"({toks_per_s / B:>7.1f}/seq, weights {wbytes/1e9:.2f} GB, "
           f"KV/step {kv_bytes/1e6:.0f} MB, {100 * toks_per_s / sol:.0f}% of "
           f"HBM SOL; prefill {t_lo - (t_hi - t_lo) / 3:.3f}s)", flush=True)
+    if return_sol:
+        return toks_per_s, toks_per_s / sol
     return toks_per_s
 
 

@@ -57,21 +57,30 @@ def main():
 
     for S in [128]:
         rows = {"fp8": [], "int8": []}
+        sols = {"fp8": [], "int8": []}
         for d in range(args.draws):
-            rows["fp8"].append(round(bench_one(
-                f"fp8 S={S} draw{d}", qf8, cfg, 8, S, 96, "fp8", reps=1), 1))
-            rows["int8"].append(round(bench_one(
-                f"int8 S={S} draw{d}", q8, cfg, 8, S, 96, "int8", reps=1), 1))
+            for k, qp, kvq in [("fp8", qf8, "fp8"), ("int8", q8, "int8")]:
+                t, sf = bench_one(f"{k} S={S} draw{d}", qp, cfg, 8, S, 96,
+                                  kvq, reps=1, return_sol=True)
+                rows[k].append(round(t, 1))
+                sols[k].append(round(sf, 3))
 
-        sec = {}
+        # exclude physically-impossible pairs (>105% of HBM speed-of-light:
+        # a tunnel stall collapsed the two-point difference)
+        valid = [i for i in range(args.draws)
+                 if sols["fp8"][i] <= 1.05 and sols["int8"][i] <= 1.05]
+        sec = {"sol_frac": sols,
+               "invalid_pairs": [i for i in range(args.draws)
+                                 if i not in valid]}
         for k, xs in rows.items():
-            s = sorted(xs)
+            s = sorted(xs[i] for i in valid) or sorted(xs)
             sec[k] = {"draws": xs,
                       "spread_pct": round(100 * (s[-1] - s[0]) / s[-1], 1),
                       "median": s[len(s) // 2]}
-        ratios = [round(a / b, 3) for a, b in zip(rows["fp8"], rows["int8"])]
+        ratios = [round(rows["fp8"][i] / rows["int8"][i], 3) for i in valid]
         sec["fp8_over_int8_per_draw"] = ratios
-        sec["ratio_median"] = sorted(ratios)[len(ratios) // 2]
+        sec["ratio_median"] = (sorted(ratios)[len(ratios) // 2]
+                               if ratios else None)
         report["sections"][f"S{S}"] = sec
         print(f"S={S}: {json.dumps(sec)}", flush=True)
 

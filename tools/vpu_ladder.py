@@ -289,13 +289,16 @@ def main():
             floors = json.load(f)
         fails = []
         for fam, floor in floors.items():
+            if fam.startswith("_"):  # _comment
+                continue
             got = report["families"].get(fam, {}).get("best_ratio_vs_xla")
             if got is None or got < floor:
                 fails.append(f"{fam}: best {got} < floor {floor}")
         if fails:
             print("FLOOR REGRESSION:\n  " + "\n  ".join(fails), flush=True)
             return 2
-        print(f"floors ok ({len(floors)} families)", flush=True)
+        n = sum(1 for k in floors if not k.startswith("_"))
+        print(f"floors ok ({n} families)", flush=True)
     return 1 if bad else 0
 
 
