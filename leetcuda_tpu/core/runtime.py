@@ -95,14 +95,17 @@ def e4m3_bits_to_f32(wi32):
     branches and one signed select applies the sign. Pure int ops + bitcast
     + select — replaces Mosaic's software-emulated e4m3 cast (measured ~10x
     slower than the HBM stream: FP8_DECODE r4; e4m3 reduce rung 80 GB/s vs
-    752 for e5m2, logs/r5_vpu.log). NaN (abs 0x7F) decodes to a finite
-    2^8(1+7/8): quantizers never emit NaN weights.
+    752 for e5m2, logs/r5_vpu.log). NaN (abs 0x7F) decodes to NaN — this
+    feeds generic ops (the e4m3 reduce rung, the quantized-KV decode), not
+    just quantizer output, so a corrupted cache byte must surface as NaN
+    rather than a plausible ±480.
     """
     a = jnp.bitwise_and(wi32, 0x7F)
     bits = jnp.left_shift(a, 20) + (120 << 23)
     normal = jax.lax.bitcast_convert_type(bits, jnp.float32)
     sub = a.astype(jnp.float32) * jnp.float32(2.0 ** -9)
     mag = jnp.where(a < 8, sub, normal)
+    mag = jnp.where(a == 0x7F, jnp.float32(jnp.nan), mag)
     return jnp.where(wi32 < 0, -mag, mag)
 
 

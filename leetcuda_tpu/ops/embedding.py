@@ -148,13 +148,20 @@ def make_embedding_tiled(*, tokens_per_step: int = 256):
     return fn
 
 
+_embedding_tiled_default = None
+
+
 def embedding_serving(idx, table):
     """Convenience: 2-D table in, 2-D rows out, via the serving layout.
     For repeated lookups convert once with to_serving_layout and call the
     tiled op directly."""
+    global _embedding_tiled_default
+    if _embedding_tiled_default is None:  # one jit closure, cached traces
+        _embedding_tiled_default = make_embedding_tiled()
     S = idx.shape[0]
     D = table.shape[1]
-    return make_embedding_tiled()(idx, to_serving_layout(table)).reshape(S, D)
+    return _embedding_tiled_default(idx,
+                                    to_serving_layout(table)).reshape(S, D)
 
 
 def embedding_ref(idx, table):

@@ -24,6 +24,15 @@ def test_all_bytes_exact():
     np.testing.assert_array_equal(got, want)  # bit-exact, subnormals included
 
 
+def test_nan_bytes_surface_as_nan():
+    # the decode feeds generic ops (reduce, KV caches): a corrupted 0x7F/0xFF
+    # byte must surface as NaN, not a plausible +-480
+    wi32 = jnp.asarray(np.array([0x7F, 0xFF], np.uint8).astype(np.int8)
+                       ).astype(jnp.int32)
+    got = np.asarray(e4m3_bits_to_f32(wi32))
+    assert np.isnan(got).all()
+
+
 def test_quant_roundtrip_matmul():
     from leetcuda_tpu.core.registry import OPS
     import leetcuda_tpu.gemm.quant  # noqa: F401

@@ -86,12 +86,14 @@ def main():
                "invalid_pairs": [i for i in range(args.draws)
                                  if i not in valid]}
         for k, xs in rows.items():
-            s = sorted(xs[i] for i in valid) or sorted(xs)
-            gaps = [round(b - a, 1) for a, b in zip(s, s[1:])]
-            sec[k] = {"draws": xs, "sorted": s,
-                      "spread_pct": round(100 * (s[-1] - s[0]) / s[-1], 1),
-                      "max_gap": max(gaps) if gaps else 0.0,
-                      "median": s[len(s) // 2]}
+            s = sorted(xs[i] for i in valid)
+            sec[k] = {"draws": xs, "sorted": s}
+            if s:  # stats only over VALID pairs — never the broken draws
+                gaps = [round(b - a, 1) for a, b in zip(s, s[1:])]
+                sec[k].update(
+                    spread_pct=round(100 * (s[-1] - s[0]) / s[-1], 1),
+                    max_gap=max(gaps) if gaps else 0.0,
+                    median=s[len(s) // 2])
         # paired ratio per draw: tunnel drift cancels
         ratios = [round(rows["int4"][i] / rows["int8"][i], 3) for i in valid]
         sec["int4_over_int8_per_draw"] = ratios
@@ -104,12 +106,17 @@ def main():
 
     # verdict heuristic, recorded for PERF.md
     s128 = report["sections"]["S128"]
-    bimodal = (s128["int4"]["spread_pct"] > 2 * s128["int8"]["spread_pct"]
-               and s128.get("ratio_spread_pct", 0) > 10)
-    report["verdict"] = (
-        "bimodal int4-specific behavior — inspect unpack path" if bimodal
-        else "spread tracks the interleaved int8 rows / paired ratio stable: "
-             "r2's 24.6% row was tunnel state, not an int4 mode switch")
+    if "median" not in s128["int4"]:
+        report["verdict"] = ("NO VALID DRAWS: every pair exceeded the SOL "
+                             "validity bound; rerun on a quiet tunnel")
+    else:
+        bimodal = (s128["int4"]["spread_pct"] > 2 * s128["int8"]["spread_pct"]
+                   and s128.get("ratio_spread_pct", 0) > 10)
+        report["verdict"] = (
+            "bimodal int4-specific behavior — inspect unpack path" if bimodal
+            else "spread tracks the interleaved int8 rows / paired ratio "
+                 "stable: r2's 24.6% row was tunnel state, not an int4 mode "
+                 "switch")
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print("verdict:", report["verdict"])

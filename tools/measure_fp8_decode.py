@@ -73,10 +73,12 @@ def main():
                "invalid_pairs": [i for i in range(args.draws)
                                  if i not in valid]}
         for k, xs in rows.items():
-            s = sorted(xs[i] for i in valid) or sorted(xs)
-            sec[k] = {"draws": xs,
-                      "spread_pct": round(100 * (s[-1] - s[0]) / s[-1], 1),
-                      "median": s[len(s) // 2]}
+            s = sorted(xs[i] for i in valid)
+            sec[k] = {"draws": xs}
+            if s:  # medians only over VALID pairs — never the broken draws
+                sec[k].update(
+                    spread_pct=round(100 * (s[-1] - s[0]) / s[-1], 1),
+                    median=s[len(s) // 2])
         ratios = [round(rows["fp8"][i] / rows["int8"][i], 3) for i in valid]
         sec["fp8_over_int8_per_draw"] = ratios
         sec["ratio_median"] = (sorted(ratios)[len(ratios) // 2]
@@ -85,12 +87,18 @@ def main():
         print(f"S={S}: {json.dumps(sec)}", flush=True)
 
     r = report["sections"]["S128"]["ratio_median"]
-    report["verdict"] = (
-        f"fp8-weight+fp8-KV decode = {r}x the int8 row on v5e "
-        f"(r5: e4m3 now decodes by integer bit surgery — "
-        "core.runtime.e4m3_bits_to_f32 — instead of the software-emulated "
-        "cast that made r4's row 0.166x; at identical bytes moved, parity "
-        "with int8 is the expected ceiling on cast-free hardware)")
+    if r is None:
+        report["verdict"] = (
+            "NO VALID DRAWS: every pair exceeded the SOL validity bound — "
+            "the session was too turbulent to measure; rerun on a quiet "
+            "tunnel")
+    else:
+        report["verdict"] = (
+            f"fp8-weight+fp8-KV decode = {r}x the int8 row on v5e "
+            f"(r5: e4m3 now decodes by integer bit surgery — "
+            "core.runtime.e4m3_bits_to_f32 — instead of the software-emulated "
+            "cast that made r4's row 0.166x; at identical bytes moved, parity "
+            "with int8 is the expected ceiling on cast-free hardware)")
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print("verdict:", report["verdict"])

@@ -11,22 +11,29 @@
 #   hwsweep   full correctness sweep
 #   mosaic    CPU-side lowering self-test (no chip)
 # Usage: bash tools/r5_battery.sh [stage...]
-set -u
+set -u -o pipefail
 mkdir -p logs
 cd "$(dirname "$0")/.."
+
+FAILED=""
 
 run() {
   name="$1"; shift
   echo "=== [$name] $(date +%H:%M:%S) ==="
   timeout "${STAGE_TIMEOUT:-4000}" "$@" 2>&1 | tee "logs/r5_${name}.log"
-  echo "=== [$name] exit=$? ==="
+  rc=${PIPESTATUS[0]}
+  echo "=== [$name] exit=$rc ==="
+  if [ "$rc" -ne 0 ]; then FAILED="$FAILED $name($rc)"; fi
 }
 
 stages="${*:-vpu mla fp8decode int4 resident benchall hwsweep}"
 
 for s in $stages; do
   case "$s" in
-    vpu)       run vpu python -u tools/vpu_ladder.py --resume --assert-floor ;;
+    # no --resume: the floor gate must re-MEASURE to detect a regression
+    # (a resumed run asserts against the committed artifact's own numbers)
+    vpu)       run vpu python -u tools/vpu_ladder.py --assert-floor \
+                   --out VPU_LADDER.json ;;
     mla)       run mla python -u tools/bench_mla.py ;;
     fp8decode) run fp8decode python -u tools/measure_fp8_decode.py --draws 7 ;;
     int4)      run int4 python -u tools/diagnose_int4.py --draws 15 ;;
@@ -39,3 +46,9 @@ for s in $stages; do
     *) echo "unknown stage $s" ;;
   esac
 done
+
+if [ -n "$FAILED" ]; then
+  echo "=== BATTERY FAILED stages:$FAILED ==="
+  exit 1
+fi
+echo "=== BATTERY OK ==="

@@ -65,7 +65,12 @@ def _dev_randn(shape, dtype, scale=1.0, lo=None, hi=None, tag=0):
 
     k = (tag, shape, jnp.dtype(dtype).name, scale, lo, hi)
     if k not in _ARG_CACHE:
-        key = jax.random.PRNGKey(hash(k) % (2**31))
+        import zlib
+
+        # deterministic across processes: Python's hash() of a str-bearing
+        # tuple is PYTHONHASHSEED-randomized, which would give a resumed run
+        # different operands than the session it resumes
+        key = jax.random.PRNGKey(zlib.crc32(repr(k).encode()))
         if lo is not None:
             x = jax.random.randint(key, shape, lo, hi, jnp.int32)
         else:
@@ -213,7 +218,15 @@ def main():
         # keep only successful rows; errored rungs re-run
         report["rungs"] = {n: r for n, r in prior.get("rungs", {}).items()
                            if "ratio_vs_xla" in r}
+        # carried-over rows keep their session's date: don't re-stamp them
+        if prior.get("timestamp"):
+            report["timestamp"] = prior["timestamp"]
+            report["resumed_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
         print(f"resume: {len(report['rungs'])} rungs carried over", flush=True)
+        if args.assert_floor and report["rungs"]:
+            print("NOTE: --assert-floor with --resume gates on carried-over "
+                  "measurements; a fresh run (no --resume) is the real "
+                  "regression check", flush=True)
 
     names = [n for n in sorted(OPS) if OPS[n].family in fams]
     print(f"{len(names)} rungs across {fams}", flush=True)
@@ -290,6 +303,8 @@ def main():
         fails = []
         for fam, floor in floors.items():
             if fam.startswith("_"):  # _comment
+                continue
+            if fam not in fams:  # --families run: only gate what was measured
                 continue
             got = report["families"].get(fam, {}).get("best_ratio_vs_xla")
             if got is None or got < floor:
