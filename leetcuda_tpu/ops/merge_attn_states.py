@@ -49,11 +49,12 @@ def _merge_kernel(po_ref, pl_ref, so_ref, sl_ref, o_ref, ol_ref):
     ol_ref[:] = (m + jnp.log(denom)).astype(ol_ref.dtype)
 
 
-def make_merge_attn_states(*, tokens_per_step: int = 256):
+def make_merge_attn_states(*, tokens_per_step: int = 1024):
     """(prefix_out, prefix_lse, suffix_out, suffix_lse) -> (out, lse).
 
     Shapes: out (T, H, D); lse (T, H), natural log base. Default block
-    sized for the HBM-bound regime (256 tokens x 8 heads x 128 = 1 MB f32).
+    measured on chip (r5 depth probe, logs/r5_merge_depth.log): 1024 tokens
+    = 4 MB blocks -> 0.971x XLA vs 0.930x at 256 tokens.
     """
     from leetcuda_tpu.ops.reduce import _vmem_params
 
