@@ -78,11 +78,15 @@ def _chunk_kernel(scale, softcap, Hkv, group, T, block_k, quantized, window,
         if window:
             valid &= cols >= limit - window
 
+        from leetcuda_tpu.core.runtime import upcast_for_vpu
+
         for kvh in range(Hkv):  # static unroll over KV heads
             qg = (q_ref[0, kvh * group:(kvh + 1) * group]
                   .reshape(rows, q_ref.shape[-1]).astype(jnp.float32))
-            k_blk = k_ref[0, kvh].astype(jnp.float32)   # (bk, D)
-            v_blk = v_ref[0, kvh].astype(jnp.float32)
+            # e4m3 caches decode via bit surgery (core.runtime), not the
+            # ~10x-slower software-emulated cast
+            k_blk = upcast_for_vpu(k_ref[0, kvh], jnp.float32)   # (bk, D)
+            v_blk = upcast_for_vpu(v_ref[0, kvh], jnp.float32)
             s = jax.lax.dot_general(
                 qg, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (rows, bk)

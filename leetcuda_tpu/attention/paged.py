@@ -74,11 +74,15 @@ def _paged_kernel(scale, softcap, Hkv, group, page, quantized, window,
             if window:
                 valid &= cols >= seq_len - window
 
+            from leetcuda_tpu.core.runtime import upcast_for_vpu
+
             for kvh in range(Hkv):
                 qg = q_ref[0, kvh * group:(kvh + 1) * group, :].astype(
                     jnp.float32)
-                k_blk = k_refs[j][0, kvh].astype(jnp.float32)  # (page, D)
-                v_blk = v_refs[j][0, kvh].astype(jnp.float32)
+                # e4m3 pools decode via bit surgery (core.runtime), not the
+                # ~10x-slower software-emulated cast
+                k_blk = upcast_for_vpu(k_refs[j][0, kvh], jnp.float32)
+                v_blk = upcast_for_vpu(v_refs[j][0, kvh], jnp.float32)
                 s = jax.lax.dot_general(
                     qg, k_blk, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale
