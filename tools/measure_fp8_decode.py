@@ -87,11 +87,21 @@ def main():
         print(f"S={S}: {json.dumps(sec)}", flush=True)
 
     r = report["sections"]["S128"]["ratio_median"]
+    ratios = report["sections"]["S128"]["fp8_over_int8_per_draw"]
+    noisy = (len(ratios) >= 2
+             and (max(ratios) - min(ratios)) / max(ratios) > 0.5)
     if r is None:
         report["verdict"] = (
             "NO VALID DRAWS: every pair exceeded the SOL validity bound — "
             "the session was too turbulent to measure; rerun on a quiet "
             "tunnel")
+    elif noisy:
+        # paired ratios spanning >50% carry no information even after SOL
+        # filtering (sub-SOL stalls inflate single arms): refuse a headline
+        report["verdict"] = (
+            f"SESSION TOO NOISY for a headline: valid paired ratios span "
+            f"{min(ratios)}-{max(ratios)} (median {r}); prior quiet-session "
+            "medians (1.006/0.817/0.880) remain the citable numbers")
     else:
         report["verdict"] = (
             f"fp8-weight+fp8-KV decode = {r}x the int8 row on v5e "
